@@ -1,0 +1,141 @@
+"""Relational operator library (SURVEY.md §2.2-2.7).
+
+Pure ``DataFrame -> DataFrame`` functions over native Catalyst
+expressions — everything here stays inside whole-stage codegen; no
+Python UDFs.  Reference parity citations are into ``/root/reference/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_first_by_key(
+    df: DataFrame, key: str | list[str], order_by: str | list[str] | None = None
+) -> DataFrame:
+    """A1 — one row per key (search_ranking_peers.py:178-188).
+
+    The reference uses ``groupBy(key).agg({c: 'first'})`` then strips
+    the ``first(...)`` names with string munging
+    (search_ranking_peers.py:186, F6) — ``first`` without ordering is
+    nondeterministic under shuffles.  Deterministic Spark-native form:
+    ``row_number() == 1`` over an explicit sort key.  With no
+    ``order_by``, falls back to ``dropDuplicates`` (same semantics as
+    the reference: *some* row per key).
+
+    Scale: the window form is a single shuffle on ``key``;
+    ``WindowGroupLimit`` (Spark ≥3.5) pushes the rank filter below the
+    sort so only the top row per key is buffered.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    if order_by is None:
+        return df.dropDuplicates(keys)
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    w = Window.partitionBy(*keys).orderBy(*orders)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dense_ids(df: DataFrame, key: str, id_col: str = "idx") -> DataFrame:
+    """Dense 0-based ids per distinct key (J5/B20).
+
+    Replaces ``rdd.zipWithIndex()`` (search_ranking_peers.py:201-205,
+    recommender_prod_rec.py:187-191) — which severs the Catalyst plan
+    and forces an extra job — with a deterministic window over the
+    natural key.  Contract: ``key`` values are totally ordered; equal
+    keys get the same id (it is applied to *distinct* keys).
+
+    Scale: ``Window.orderBy`` without partitioning is a single-reducer
+    sort — acceptable for id *maps* (distinct keys — ~millions), never
+    for fact tables.  For fact-table row ids use
+    ``monotonically_increasing_id`` (non-dense) instead.
+    """
+    w = Window.orderBy(key)
+    return (
+        df.select(key)
+        .distinct()
+        .withColumn(id_col, (F.row_number().over(w) - 1).cast("int"))
+    )
+
+
+def windowed_topk(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: Column | str | list,
+    k: int,
+    rank_fn=F.row_number,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """W2/W3/O2/O4 — top-K rows per group
+    (inference_postprocess.py:85-86,114-115; the in-UDF quickselect at
+    search_ranking_peers.py:276-300 collapses to this too).
+
+    Fixes defect B16: the reference's penetration rank orders
+    *ascending* (bottom-K); callers here pass an explicit descending
+    order.  ``rank_fn`` defaults to ``row_number`` (exactly K rows);
+    pass ``F.rank`` for the reference's tie-inclusive behavior.
+
+    Scale: Catalyst ≥3.5 rewrites rank-filter-over-window into
+    ``WindowGroupLimit`` — partial top-K before the shuffle, so the
+    full sort never materializes per group.
+    """
+    parts = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    orders = order_by if isinstance(order_by, list) else [order_by]
+    w = Window.partitionBy(*parts).orderBy(*orders)
+    ranked = df.withColumn("__rank", rank_fn().over(w)).filter(F.col("__rank") <= k)
+    if rank_col:
+        return ranked.withColumnRenamed("__rank", rank_col)
+    return ranked.drop("__rank")
+
+
+def topk_by_threshold(
+    df: DataFrame,
+    partition_by: str | list[str],
+    score_col: str,
+    k: int,
+    threshold: float,
+) -> DataFrame:
+    """O2+O3 — the reference's per-record threshold + quickselect top-K
+    (search_ranking_peers.py:276-316, th=0.0 K=15 at :612-613) as one
+    declarative filter + windowed top-K."""
+    return windowed_topk(
+        df.filter(F.col(score_col) >= F.lit(threshold)),
+        partition_by,
+        F.col(score_col).desc(),
+        k,
+    )
+
+
+def trim_normalized_join(
+    left: DataFrame, right: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """J9 — normalize the join key with ``trim`` on both sides before an
+    equi-join (inference_postprocess.py:88-90,116)."""
+    lnorm = left.withColumn(key, F.trim(F.col(key)))
+    rnorm = right.withColumn(key, F.trim(F.col(key)))
+    return lnorm.join(rnorm, on=key, how=how)
+
+
+def rename_with_prefix(df: DataFrame, prefix: str, exclude: list[str] | None = None) -> DataFrame:
+    """P5 — bulk-prefix columns (``tgt_``/``src_`` pattern,
+    search_ranking_peers.py:333-335) in one ``select`` (one projection
+    node instead of N ``withColumnRenamed`` plan rewrites)."""
+    excl = set(exclude or [])
+    return df.select(
+        *[F.col(c).alias(c if c in excl else f"{prefix}{c}") for c in df.columns]
+    )
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """P4 — repair-by-cast after schema-on-read
+    (search_ranking_peers.py:346-348,497-501), single projection."""
+    return df.select(
+        *[
+            F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -1,0 +1,495 @@
+"""Relational query surface (SURVEY.md §2.1-2.8) on the TPC-H-ish
+testdata tables.
+
+Every query aliases computed columns identically in the DataFrame code
+and the oracle SQL, and rounds floating aggregates so the driver's
+value-hash compare is robust to summation-order ULP drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.relational import (
+    dedup_first_by_key,
+    windowed_topk,
+)
+from prod_recommendation_pyspark_spark.queries.registry import register
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+from prod_recommendation_pyspark_spark.sources.readers import latest_snapshot
+
+
+# --- TPC-H Q1 shape: scan → filter → groupBy 2 keys → 8 aggs → sort -------
+@register(
+    "q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation pipeline parity: the reference's groupBy-agg pattern
+    (SURVEY A2-A4; recommender_prod_rec.py:181-185,
+    inference_postprocess.py:83,111) exercised at TPC-H Q1 width.
+    Catalyst plans partial+final HashAggregate; filter and the 7-column
+    projection push into the parquet scan."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Flagship: join → agg → windowed top-K per group (penetration shape) --
+@register(
+    "topk_segments_by_nation",
+    sql="""
+    WITH revenue AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               round(sum(o.o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, c.c_mktsegment
+    )
+    SELECT nation, segment, revenue, n_orders, rnk
+    FROM (SELECT *, rank() OVER (PARTITION BY nation ORDER BY revenue DESC, segment) AS rnk
+          FROM revenue)
+    WHERE rnk <= 3
+    ORDER BY nation, rnk, segment
+    """,
+)
+def topk_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query (SURVEY §7 Phase A): the penetration-table shape
+    (inference_postprocess.py:98-122) — join → groupBy-agg → rank
+    window → top-K filter → sort — recast on orders/customer/nation.
+
+    Scale notes: nation (25 rows) is broadcast; the orders↔customer
+    join shuffles on custkey and AQE picks broadcast for the dimension
+    side when it fits; the rank-filter plans as WindowGroupLimit.  B16
+    fix: rank is DESCENDING (top-K, not bottom-K), with a deterministic
+    tiebreak on segment."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.table("orders")
+        .join(cat.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        windowed_topk(
+            rev,
+            "nation",
+            [F.col("revenue").desc(), F.col("segment")],
+            k=3,
+            rank_fn=F.rank,
+            rank_col="rnk",
+        )
+        .select("nation", "segment", "revenue", "n_orders", "rnk")
+        .orderBy("nation", "rnk", "segment")
+    )
+
+
+# --- Broadcast equi-join (J2) + agg -----------------------------------------
+@register(
+    "brand_revenue_broadcast_join",
+    sql="""
+    SELECT p.p_brand AS brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def brand_revenue_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 parity — the reference's one explicit physical hint,
+    ``broadcast(target)`` (search_ranking_peers.py:337): fact↔dim join
+    with the dimension broadcast so the 6M-row (100 TB: multi-billion)
+    lineitem side never shuffles."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("lineitem")
+        .join(F.broadcast(cat.table("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- Dedup-first-by-key (A1, deterministic) --------------------------------
+@register(
+    "dedup_first_customer_per_nation",
+    sql="""
+    SELECT c_nationkey, c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+    FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+          FROM customer)
+    WHERE rn = 1
+    ORDER BY c_nationkey
+    """,
+)
+def dedup_first_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 parity — dedup-by-key-keep-first
+    (search_ranking_peers.py:178-188) made deterministic via
+    row_number over an explicit order (SURVEY §8 note on
+    nondeterministic ``first()``)."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    return (
+        dedup_first_by_key(cust, "c_nationkey", order_by="c_custkey")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- Set operations (U1 + extensions) ---------------------------------------
+@register(
+    "set_ops_customer_segments",
+    sql="""
+    WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM b UNION SELECT * FROM a)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM b INTERSECT SELECT * FROM a)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    ORDER BY op
+    """,
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 parity + the set ops the reference lacks (SURVEY §2.7 notes
+    no intersect/except): union-distinct, intersect, except as
+    first-class operators."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    a = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+
+    def count_of(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count_of(b.union(a).distinct(), "union")
+        .unionByName(count_of(b.intersect(a), "intersect"))
+        .unionByName(count_of(b.exceptAll(a.distinct()).distinct(), "except"))
+        .orderBy("op")
+    )
+
+
+# --- Scalar function surface (F1-F7) ----------------------------------------
+@register(
+    "scalar_functions_part",
+    sql="""
+    SELECT p_partkey,
+           upper(p_brand)                          AS brand_upper,
+           lower(p_type)                           AS type_lower,
+           trim(concat('  ', p_name, '  '))        AS name_trimmed,
+           substring(p_type, 1, 5)                 AS type_prefix,
+           length(p_name)                          AS name_len,
+           round(log10(p_retailprice), 4)          AS log_price,
+           round(sqrt(p_size), 4)                  AS sqrt_size,
+           p_size % 7                              AS size_mod,
+           CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium'
+                ELSE 'small' END                   AS size_class
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4 parity (log10 search_ranking_peers.py:422, trim
+    inference_postprocess.py:88, upper :466/B12, arithmetic) plus the
+    string/math surface a complete engine needs — all native Catalyst
+    expressions inside one whole-stage-codegen projection."""
+    part = Catalog(spark, sf_dir).table("part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.round(F.log10("p_retailprice"), 4).alias("log_price"),
+        F.round(F.sqrt("p_size"), 4).alias("sqrt_size"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.when(F.col("p_size") >= 25, "large")
+        .when(F.col("p_size") >= 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+    ).orderBy("p_partkey")
+
+
+# --- Window-function analytics surface (W1-W3 + full ranking set) -----------
+@register(
+    "window_analytics_orders",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS price,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_analytics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full analytic-window surface (SURVEY §2.5 notes windowed top-K
+    is load-bearing in 2 of 3 reference outputs; W1 percent_rank is
+    the ALS preprocessing normalizer recommender_prod_rec.py:171-176).
+    One window spec shared by all ranking functions → a single sort +
+    shuffle on o_custkey."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+    ).orderBy("o_custkey", "rn")
+
+
+# --- Conditional / null handling (P2-P3, P7, P10-P11) -----------------------
+@register(
+    "conditional_null_handling",
+    sql="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal IS NULL OR c_acctbal <= 0 THEN 1.0
+                ELSE round(c_acctbal, 2) END                   AS floored_bal,
+           coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_masked,
+           (c_acctbal IS NOT NULL AND c_acctbal > 0)            AS is_positive
+    FROM customer
+    WHERE c_mktsegment <> 'RST'
+    ORDER BY c_custkey
+    """,
+)
+def conditional_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 parity — the nonpositive/null→1.0 floor guard
+    (search_ranking_peers.py:419-421) plus null-predicate filters
+    (P2/P3: coname != 'RST' :344, isNotNull
+    inference_postprocess.py:81,110 with the B17 AND fix)."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    return (
+        cust.filter(F.col("c_mktsegment") != "RST")
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_acctbal").isNull() | (F.col("c_acctbal") <= 0), F.lit(1.0)
+            )
+            .otherwise(F.round("c_acctbal", 2))
+            .alias("floored_bal"),
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+            ).alias("segment_masked"),
+            (F.col("c_acctbal").isNotNull() & (F.col("c_acctbal") > 0)).alias(
+                "is_positive"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- Scalar aggregates / stats (A5-A9) ---------------------------------------
+@register(
+    "agg_stats_orders",
+    sql="""
+    SELECT o_orderstatus,
+           count(*)                           AS n_rows,
+           count(DISTINCT o_custkey)          AS n_customers,
+           round(min(o_totalprice), 2)        AS min_price,
+           round(max(o_totalprice), 2)        AS max_price,
+           round(avg(o_totalprice), 4)        AS avg_price,
+           round(stddev_samp(o_totalprice), 4) AS std_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5-A9 parity — scalar max (search_ranking_peers.py:373),
+    distinct count (:406), row count (recommender_prod_rec.py:178),
+    describe() stats (inference_postprocess.py:66) as one grouped
+    aggregate instead of N driver round-trips."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- Latest-snapshot partition pruning (S4) ----------------------------------
+@register(
+    "latest_snapshot_events",
+    sql="""
+    WITH dated AS (SELECT *, CAST(ts AS DATE) AS snapshot_date FROM events),
+         latest AS (SELECT max(snapshot_date) AS d FROM dated)
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM dated, latest WHERE dated.snapshot_date = latest.d
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def latest_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 parity — latest-partition discovery.  The reference resolves
+    the newest YYYYMMDD S3 directory with driver-side boto3 calls
+    (search_ranking_peers.py:87-151); here it is a partition-pruned
+    scan (``latest_snapshot``): on a date-partitioned table the max()
+    is answered from partition metadata and the equality becomes a
+    PartitionFilter."""
+    ev = Catalog(spark, sf_dir).table("events").withColumn(
+        "snapshot_date", F.col("ts").cast("date")
+    )
+    return (
+        latest_snapshot(ev, "snapshot_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Multi-way join with semi/anti (join-surface completeness) ---------------
+@register(
+    "semi_anti_join_customers",
+    sql="""
+    SELECT
+      (SELECT count(*) FROM customer c WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)) AS n_big_spenders,
+      (SELECT count(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_no_orders
+    """,
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-kind completeness beyond the reference's left/inner/right
+    set (SURVEY §2.3): left-semi (EXISTS) and left-anti (NOT EXISTS) —
+    at scale these avoid materializing the join payload entirely."""
+    cat = Catalog(spark, sf_dir)
+    cust, orders = cat.table("customer"), cat.table("orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+    n_semi = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").count()
+    n_anti = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").count()
+    return spark.createDataFrame(
+        [(n_semi, n_anti)], "n_big_spenders bigint, n_no_orders bigint"
+    )
+
+
+# --- Grouping sets / rollup / cube / pivot (agg completeness) ----------------
+@register(
+    "rollup_nation_segment",
+    sql="""
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(c.c_mktsegment, 'ALL') AS segment,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    ORDER BY nation, segment
+    """,
+)
+def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregates (absent from the reference — SURVEY
+    §2.4 'no grouping sets/cube/rollup'; a complete engine ships
+    them).  ROLLUP plans as a single Expand + HashAggregate — one
+    pass over the fact table for all grouping levels."""
+    cat = Catalog(spark, sf_dir)
+    joined = cat.table("customer").join(
+        F.broadcast(cat.table("nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n_customers",
+            "total_bal",
+        )
+        .orderBy("nation", "segment")
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    sql="""
+    SELECT o_orderpriority,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (engine-completeness op).  Explicit value list so the plan
+    is a single aggregate with conditional sums — no extra pass to
+    discover pivot values (that discovery is a collect at scale)."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .orderBy("o_orderpriority")
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Replaces the reference's hand-rolled SparkConf blocks
+(/root/reference/src/search_ranking_peers.py:621-650,
+/root/reference/src/inference_postprocess.py:171-198 — EMR + S3 SSE-KMS
+specific) with a clean, environment-driven factory.  Cluster-only
+settings (S3 encryption, YARN queues) belong in ``spark-defaults.conf``
+on the cluster, not in code.
+
+Scale notes
+-----------
+* AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic broadcast selection are the first line of defense at 100 TB.
+* ``spark.sql.shuffle.partitions`` defaults to ~cores locally; on a
+  real cluster AQE's coalescing makes the initial number mostly a
+  ceiling — set it high (e.g. 2000+) there.
+* Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are stable across environments.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "prod_recommendation_pyspark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-sane defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

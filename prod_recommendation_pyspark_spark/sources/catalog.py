@@ -1,0 +1,77 @@
+"""Thin table catalog (SURVEY.md §2.1 S9).
+
+Replaces the reference's getter/setter DataFrame wrapper
+(search_ranking_peers.py:47-85, recommender_prod_rec.py:43-83) with a
+directory-backed catalog: one parquet file per table, lazily read and
+cached per session.  ``register_all`` also publishes temp views so the
+same tables are queryable through ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Lazy parquet-directory catalog: ``Catalog(spark, dir).table(name)``."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir.rstrip("/")
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = f"{self.base_dir}/{name}.parquet"
+            nanos = _nano_timestamp_cols(path)
+            if nanos:
+                # Spark rejects TIMESTAMP(NANOS) parquet outright; read
+                # nanos as long and truncate to microseconds — the same
+                # precision DuckDB/Arrow surface, so oracle-comparable.
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = self.spark.read.parquet(path)
+            for c in nanos:
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                )
+            self._cache[name] = df
+        return self._cache[name]
+
+    def register_all(self, names=TESTDATA_TABLES) -> None:
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def _nano_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (one footer read —
+    driver-side, O(1) regardless of table size)."""
+    try:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+            if not files:
+                return []
+            probe = os.path.join(path, files[0])
+        schema = pq.read_schema(probe)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []

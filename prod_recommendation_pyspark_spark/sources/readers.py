@@ -1,0 +1,103 @@
+"""Source operators (SURVEY.md §2.1 S1-S4, S8).
+
+Reference behavior re-expressed Spark-first:
+
+* S1 pipe-delimited CSV scan — search_ranking_peers.py:153-156,
+  recommender_prod_rec.py:135-138.
+* S2 CSV scan with schema inference — search_ranking_peers.py:157-160.
+* S3 Parquet scan — search_ranking_peers.py:161-164.
+* S4 latest-partition discovery — the reference lists S3 objects with
+  boto3 and rewrites a ``YYYYMMDD`` path segment driver-side
+  (search_ranking_peers.py:87-151).  Here that becomes a
+  partition-pruned scan on a partition column: Catalyst turns
+  ``snapshot_date == max(snapshot_date)`` into ``PartitionFilters``
+  so only the newest directory is read — no driver-side object-store
+  calls, and it works on any Hadoop-compatible FS at any scale.
+* S8 literal-row source — search_ranking_peers.py:464-468.
+
+The reference's extension dispatch is broken (``or`` makes the
+condition always-true — search_ranking_peers.py:153, defect B5); we
+dispatch on the real suffix.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_pipe_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """S1 — pipe-delimited CSV, all columns string (schema-on-read;
+    repair-by-cast downstream as the reference does at
+    search_ranking_peers.py:346-348)."""
+    return (
+        spark.read.format("csv")
+        .option("delimiter", "|")
+        .option("header", header)
+        .load(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession, path: str, header: bool = True, infer_schema: bool = True
+) -> DataFrame:
+    """S2 — comma CSV.  ``inferSchema`` costs an extra pass over the
+    data; at scale pass an explicit schema instead."""
+    return (
+        spark.read.option("header", header)
+        .option("inferSchema", infer_schema)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S3 — columnar scan with predicate pushdown + column pruning."""
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Extension-dispatched read (fixes defect B5: the reference's
+    ``'.csv' or '.tsv' in path`` is always truthy)."""
+    lower = path.rstrip("/").lower()
+    if lower.endswith(".parquet"):
+        return read_parquet(spark, path)
+    if lower.endswith(".json"):
+        return read_json(spark, path, kwargs.get("schema"))
+    if lower.endswith(".csv") or lower.endswith(".tsv"):
+        return read_csv(spark, path, **kwargs)
+    return read_pipe_csv(spark, path)
+
+
+def latest_snapshot(df: DataFrame, snapshot_col: str = "snapshot_date") -> DataFrame:
+    """S4 — keep only the rows of the newest snapshot partition.
+
+    On a table partitioned by ``snapshot_col`` Catalyst plans the inner
+    ``max`` as a partition-metadata-only query and the filter as a
+    ``PartitionFilter`` — the physical scan touches one date directory,
+    the exact behavior the reference hand-rolled with boto3
+    (search_ranking_peers.py:103-137, recommender_prod_rec.py:85-133)
+    minus the driver-side network calls and the B4 NameError.
+    """
+    latest = df.select(F.max(snapshot_col).alias("__latest"))
+    return (
+        df.join(F.broadcast(latest), F.col(snapshot_col) == F.col("__latest"))
+        .drop("__latest")
+    )
+
+
+def literal_rows(
+    spark: SparkSession, rows: Iterable[tuple], columns: list[str]
+) -> DataFrame:
+    """S8 — hand-injected rows with a positional schema
+    (search_ranking_peers.py:464-468; fixes B12's argless ``upper()``
+    by expecting callers to pass literals)."""
+    return spark.createDataFrame(list(rows), columns)
