@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style full materialization
+(collect for small results) and timed wall-clock. The first query pays
+JVM/codegen warmup; a warmup round on sf0.001 amortizes that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from prod_recommendation_pyspark_spark.queries import QUERIES
+from prod_recommendation_pyspark_spark.session import get_spark
+
+# Headline set: one per engine area (relational agg, join, window,
+# similarity, dedup, recommender, events) — grown as phases land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "topk_segments_by_nation",
+    "brand_revenue_broadcast_join",
+    "window_analytics_orders",
+    "cosine_topk_embeddings",
+    "minhash_lsh_dedup_candidates",
+    "als_recommend_topn",
+    "session_windows_events",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    warmup_dir = "/root/testdata/sf0.001"
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    for name in names:  # warmup: codegen + Arrow init, tiny data
+        try:
+            QUERIES[name](spark, warmup_dir).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            n = QUERIES[name](spark, sf_dir).count()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as ex:  # a broken bench query must not hide the rest
+            timings[name] = -1.0
+            print(f"# bench error {name}: {ex}", file=sys.stderr)
+        _ = n
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
