@@ -1,1 +1,285 @@
-"""Placeholder — populated in a later phase."""
+"""Similarity-engine query surface (SURVEY.md §2.10, §7 Phase D).
+
+``cosine_topk_embeddings`` runs the blocked mapInPandas kernel;
+``cosine_topk_declarative`` runs the pure-Catalyst crossJoin variant;
+``peer_search_hybrid_topk`` is Stage-1 parity end-to-end (features →
+L2-normalize → hybrid blend → threshold → top-K → attribute join-back).
+All three are oracle-checked (DuckDB ``list_cosine_similarity`` / an
+explicit SQL transliteration of the score formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.hybrid import hybrid_topk
+from prod_recommendation_pyspark_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_crossjoin,
+    l2_normalize,
+)
+from prod_recommendation_pyspark_spark.queries.registry import register
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+W_HOPS, W_HAVS = 0.399, 0.001  # search_ranking_peers.py:608-609
+W_COS = 1.0 - W_HOPS - W_HAVS  # == 0.6 exactly in IEEE754
+TOPK_PEERS = 15  # search_ranking_peers.py:613
+THRESHOLD = 0.0  # search_ranking_peers.py:612
+
+
+@register(
+    "cosine_topk_embeddings",
+    sql="""
+    WITH pairs AS (
+        SELECT a.vec_id AS tgt_id, b.vec_id AS nbr_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id <> b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM pairs)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= 10
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-broadcast cosine top-10 self-join over the embeddings
+    table — the kernel replacing the reference's
+    IndexedRowMatrix.multiply mat-mul (search_ranking_peers.py:238-243).
+    One BLAS matmul per Arrow batch, exact argpartition top-k, no
+    shuffle."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    norm = l2_normalize(emb, "embedding", "vec")
+    left = norm.select(F.col("vec_id").alias("tgt_id"), "vec")
+    right = norm.select(F.col("vec_id").alias("nbr_id"), "vec")
+    return (
+        cosine_topk(
+            left, right, "tgt_id", "nbr_id", "vec", k=10, exclude_self=True
+        )
+        .select("tgt_id", "nbr_id", F.round("score", 4).alias("score"))
+        .orderBy("tgt_id", "nbr_id")
+    )
+
+
+@register(
+    "cosine_topk_declarative",
+    sql="""
+    WITH lab AS (SELECT vec_id, label, embedding FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS tgt_id, b.vec_id AS nbr_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+        FROM lab a JOIN lab b
+          ON a.label = b.label AND a.vec_id <> b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM pairs)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= 5
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def cosine_topk_declarative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst variant (zip_with dot product + windowed top-K),
+    here with a label-blocked candidate set — the pattern for
+    'similarity within a partition key' workloads.  Validates the
+    kernel and shows the declarative fallback stays on codegen."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    norm = l2_normalize(emb, "embedding", "vec")
+    left = norm.select(F.col("vec_id").alias("tgt_id"), F.col("label").alias("lbl"), "vec")
+    right = norm.select(F.col("vec_id").alias("nbr_id"), F.col("label").alias("lbl"), "vec")
+    lhs = left.select("tgt_id", "lbl", F.col("vec").alias("__lvec"))
+    rhs = right.select("nbr_id", "lbl", F.col("vec").alias("__rvec"))
+    pairs = lhs.join(F.broadcast(rhs), on="lbl").filter(
+        F.col("tgt_id") != F.col("nbr_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("__lvec", "__rvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.withColumn("score", dot).select("tgt_id", "nbr_id", "score")
+    from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
+
+    return (
+        windowed_topk(scored, "tgt_id", [F.col("score").desc(), F.col("nbr_id")], 5)
+        .select("tgt_id", "nbr_id", F.round("score", 4).alias("score"))
+        .orderBy("tgt_id", "nbr_id")
+    )
+
+
+def _firmographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic firmographics-shaped table from
+    ``customer`` (FIXTURES.md B1 stand-in): scaled feature vector +
+    6-digit industry code + geo coordinates."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        (F.col("c_custkey") % 97).cast("double").alias("key_mod"),
+        F.concat(F.lit("52"), F.lpad((F.col("c_custkey") % 1000).cast("string"), 4, "0")).alias("naics"),
+        ((F.col("c_custkey") % 120) - 60 + 0.25).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 300) - 150 + 0.25).cast("double").alias("lon"),
+    )
+    stats = base.agg(
+        F.min("c_acctbal").alias("bal_mn"),
+        F.max("c_acctbal").alias("bal_mx"),
+        F.min("key_mod").alias("km_mn"),
+        F.max("key_mod").alias("km_mx"),
+    )
+    scaled = base.crossJoin(F.broadcast(stats)).select(
+        "c_custkey",
+        "c_name",
+        "naics",
+        "lat",
+        "lon",
+        F.array(
+            (
+                (F.col("c_acctbal") - F.col("bal_mn"))
+                / (F.col("bal_mx") - F.col("bal_mn"))
+                * 0.8
+            ),
+            (
+                (F.col("key_mod") - F.col("km_mn"))
+                / (F.col("km_mx") - F.col("km_mn"))
+                * 0.2
+            ),
+        ).alias("raw_vec"),
+    )
+    return l2_normalize(scaled, "raw_vec", "vec")
+
+
+_FIRMO_SQL = """
+    base AS (
+        SELECT c_custkey, c_name, c_acctbal,
+               CAST(c_custkey % 97 AS DOUBLE) AS key_mod,
+               '52' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 4, '0') AS naics,
+               CAST((c_custkey % 120) - 60 + 0.25 AS DOUBLE) AS lat,
+               CAST(((c_custkey * 7) % 300) - 150 + 0.25 AS DOUBLE) AS lon
+        FROM customer),
+    stats AS (SELECT min(c_acctbal) bal_mn, max(c_acctbal) bal_mx,
+                     min(key_mod) km_mn, max(key_mod) km_mx FROM base),
+    feat AS (
+        SELECT c_custkey, c_name, naics, lat, lon,
+               (c_acctbal - bal_mn) / (bal_mx - bal_mn) * CAST(0.8 AS DOUBLE) AS f0,
+               (key_mod - km_mn) / (km_mx - km_mn) * CAST(0.2 AS DOUBLE) AS f1
+        FROM base, stats),
+    normed AS (
+        SELECT c_custkey, c_name, naics, lat, lon,
+               CASE WHEN sqrt(f0*f0 + f1*f1) = 0 THEN f0
+                    ELSE f0 / sqrt(f0*f0 + f1*f1) END AS v0,
+               CASE WHEN sqrt(f0*f0 + f1*f1) = 0 THEN f1
+                    ELSE f1 / sqrt(f0*f0 + f1*f1) END AS v1
+        FROM feat)
+"""
+
+_HOPS_SQL = """
+        CASE WHEN length(l.naics) <> 6 OR length(r.naics) <> 6 THEN CAST(-1.0 AS DOUBLE)
+             WHEN l.naics = r.naics THEN CAST(1.0 AS DOUBLE)
+             WHEN substring(l.naics, 1, 5) = substring(r.naics, 1, 5) THEN CAST(0.8 AS DOUBLE)
+             WHEN substring(l.naics, 1, 4) = substring(r.naics, 1, 4) THEN CAST(0.6 AS DOUBLE)
+             WHEN substring(l.naics, 1, 3) = substring(r.naics, 1, 3) THEN CAST(0.4 AS DOUBLE)
+             WHEN substring(l.naics, 1, 2) = substring(r.naics, 1, 2) THEN CAST(0.19999999999999996 AS DOUBLE)
+             WHEN substring(l.naics, 1, 1) = substring(r.naics, 1, 1) THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(0.0 AS DOUBLE) END
+"""
+
+_HAVS_SQL = """
+        CASE WHEN l.lat IS NULL OR l.lon IS NULL OR r.lat IS NULL OR r.lon IS NULL
+             THEN CAST(0.5 AS DOUBLE)
+             ELSE 1.0 - (2 * 6373.0 * asin(sqrt(
+                    sin(radians(r.lat - l.lat) / 2) * sin(radians(r.lat - l.lat) / 2)
+                    + cos(radians(l.lat)) * cos(radians(r.lat))
+                    * sin(radians(r.lon - l.lon) / 2) * sin(radians(r.lon - l.lon) / 2)
+                  ))) / 20020.0 END
+"""
+
+
+@register(
+    "peer_search_hybrid_topk",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    pairs AS (
+        SELECT l.c_custkey AS tgt_custkey, r.c_custkey AS src_custkey,
+               l.c_name AS tgt_name, r.c_name AS src_name,
+               CAST(0.6 AS DOUBLE) * (l.v0 * r.v0 + l.v1 * r.v1)
+               + CAST(0.399 AS DOUBLE) * ({_HOPS_SQL})
+               + CAST(0.001 AS DOUBLE) * ({_HAVS_SQL}) AS score
+        FROM normed l JOIN normed r
+          ON l.c_custkey % 10 = 0 AND r.c_custkey % 10 <> 0),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY tgt_custkey
+                                     ORDER BY score DESC, src_custkey) AS rn
+        FROM pairs WHERE score >= 0.0)
+    SELECT tgt_custkey, src_custkey, tgt_name, src_name, round(score, 4) AS score
+    FROM ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def peer_search_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 parity end-to-end (search_ranking_peers.py:457-571):
+    derive firmographics → weighted scaled features → L2-normalize →
+    deterministic 10/90 prospect/client split (replacing randomSplit
+    U2 for oracle determinism) → blocked hybrid top-15 (cos+hops+havs,
+    th=0.0) → join attributes back (J1/J2).
+
+    The kernel never collects side data to the driver: naics/lat/lon
+    ride in the executor broadcast (fixing the reference's
+    driver-collected closure lists at :538-549)."""
+    firmo = _firmographics(spark, sf_dir)
+    prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
+    )
+    clients = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src_custkey"), "vec", "naics", "lat", "lon"
+    )
+    peers = hybrid_topk(
+        prospects,
+        clients,
+        "tgt_custkey",
+        "src_custkey",
+        vec_col="vec",
+        naics_col="naics",
+        lat_col="lat",
+        lon_col="lon",
+        k=TOPK_PEERS,
+        threshold=THRESHOLD,
+        w_hops=W_HOPS,
+        w_havs=W_HAVS,
+    )
+    names = Catalog(spark, sf_dir).table("customer").select("c_custkey", "c_name")
+    return (
+        peers.join(
+            F.broadcast(names.select(F.col("c_custkey").alias("tgt_custkey"),
+                                     F.col("c_name").alias("tgt_name"))),
+            "tgt_custkey",
+            "left",
+        )
+        .join(
+            F.broadcast(names.select(F.col("c_custkey").alias("src_custkey"),
+                                     F.col("c_name").alias("src_name"))),
+            "src_custkey",
+            "left",
+        )
+        .select(
+            "tgt_custkey",
+            "src_custkey",
+            "tgt_name",
+            "src_name",
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+# re-exported for tests
+__all__ = [
+    "cosine_topk_embeddings",
+    "cosine_topk_declarative",
+    "peer_search_hybrid_topk",
+    "cosine_topk_crossjoin",
+]
