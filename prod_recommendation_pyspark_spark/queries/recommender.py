@@ -1,1 +1,298 @@
-"""Placeholder — populated in a later phase."""
+"""Recommender query surface (SURVEY.md §2.11, §3.2-3.3).
+
+Ratings derivation on testdata: user = o_custkey, item = l_partkey /
+p_brand, usage intensity = l_quantity — the pup-table shape of
+FIXTURES.md B2 derived deterministically from lineitem/orders.
+
+Everything *around* the ALS model is oracle-checked; the model itself
+gets a rows-only check plus property tests (SURVEY §5: oracle the
+pipeline, property-check the model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
+from prod_recommendation_pyspark_spark.queries.registry import register
+from prod_recommendation_pyspark_spark.recommender.als import (
+    ALSConfig,
+    recommend_topn,
+    train_als,
+)
+from prod_recommendation_pyspark_spark.recommender.ratings import (
+    accumulated_volume,
+    dense_id_ratings,
+    percent_rank_ratings,
+)
+from prod_recommendation_pyspark_spark.recommender.reports import (
+    confidence_table,
+    penetration_table,
+)
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+
+def _usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pup-shaped usage rows: (custkey, partkey, quantity)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("lineitem")
+        .join(cat.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_quantity").alias("quantity"),
+        )
+    )
+
+
+_USAGE_SQL = """
+    usage AS (
+        SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+               l.l_quantity AS quantity
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+"""
+
+
+@register(
+    "ratings_percent_rank",
+    sql=f"""
+    WITH {_USAGE_SQL}
+    SELECT custkey, partkey, round(quantity, 2) AS quantity,
+           round(percent_rank() OVER (PARTITION BY custkey, partkey
+                                      ORDER BY quantity) + 1e-06, 6) AS rating
+    FROM usage
+    ORDER BY custkey, partkey, quantity
+    """,
+)
+def ratings_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — per-(user,item) percentile usage normalization + epsilon
+    (recommender_prod_rec.py:170-179)."""
+    usage = _usage(spark, sf_dir)
+    return (
+        percent_rank_ratings(usage, "custkey", "partkey", "quantity")
+        .select(
+            "custkey",
+            "partkey",
+            F.round("quantity", 2).alias("quantity"),
+            F.round("rating", 6).alias("rating"),
+        )
+        .orderBy("custkey", "partkey", "quantity")
+    )
+
+
+@register(
+    "accumulated_volume_ratings",
+    sql=f"""
+    WITH {_USAGE_SQL}
+    SELECT custkey, partkey, round(sum(quantity), 2) AS acc_volume
+    FROM usage
+    GROUP BY custkey, partkey
+    ORDER BY custkey, partkey
+    """,
+)
+def accumulated_volume_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-(user,item) usage rollup
+    (recommender_prod_rec.py:181-185)."""
+    usage = _usage(spark, sf_dir)
+    return (
+        accumulated_volume(usage, "custkey", "partkey", "quantity")
+        .select(
+            "custkey", "partkey", F.round("acc_volume", 2).alias("acc_volume")
+        )
+        .orderBy("custkey", "partkey")
+    )
+
+
+@register(
+    "dense_id_ratings_maps",
+    sql=f"""
+    WITH {_USAGE_SQL},
+    acc AS (SELECT custkey, partkey, sum(quantity) AS acc_volume
+            FROM usage GROUP BY custkey, partkey),
+    umap AS (SELECT custkey,
+                    CAST(row_number() OVER (ORDER BY custkey) - 1 AS INT) AS userId
+             FROM (SELECT DISTINCT custkey FROM acc)),
+    imap AS (SELECT partkey,
+                    CAST(row_number() OVER (ORDER BY partkey) - 1 AS INT) AS itemId
+             FROM (SELECT DISTINCT partkey FROM acc))
+    SELECT u.userId, i.itemId, round(a.acc_volume, 2) AS rating
+    FROM acc a JOIN umap u ON a.custkey = u.custkey
+               JOIN imap i ON a.partkey = i.partkey
+    ORDER BY u.userId, i.itemId
+    """,
+)
+def dense_id_ratings_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/B20 — deterministic dense ALS ids via window-ranked distinct
+    key maps (replaces rdd.zipWithIndex,
+    recommender_prod_rec.py:187-206)."""
+    usage = _usage(spark, sf_dir)
+    acc = accumulated_volume(usage, "custkey", "partkey", "quantity")
+    als_input, _, _ = dense_id_ratings(acc, "custkey", "partkey", "acc_volume")
+    return als_input.select(
+        "userId", "itemId", F.round(F.col("rating").cast("double"), 2).alias("rating")
+    ).orderBy("userId", "itemId")
+
+
+def _peers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peers stand-in (FIXTURES.md B5 shape): for each prospect
+    (custkey % 10 == 0), the top-15 same-nation clients by account-
+    balance proximity, score ∈ (0, 1]."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    prospects = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("prospect"),
+        F.col("c_nationkey").alias("nkey"),
+        F.col("c_acctbal").alias("tgt_bal"),
+    )
+    clients = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("coname"),
+        F.col("c_nationkey").alias("nkey"),
+        F.col("c_acctbal").alias("src_bal"),
+    )
+    pairs = prospects.join(clients, "nkey").withColumn(
+        "score", 1.0 - F.abs(F.col("tgt_bal") - F.col("src_bal")) / 20000.0
+    )
+    return windowed_topk(
+        pairs, "prospect", [F.col("score").desc(), F.col("coname")], 15
+    ).select("prospect", "coname", "score")
+
+
+_PEERS_SQL = """
+    prospects AS (SELECT c_custkey AS prospect, c_nationkey AS nkey,
+                         c_acctbal AS tgt_bal
+                  FROM customer WHERE c_custkey % 10 = 0),
+    clients AS (SELECT c_custkey AS coname, c_nationkey AS nkey,
+                       c_acctbal AS src_bal
+                FROM customer WHERE c_custkey % 10 <> 0),
+    peer_pairs AS (
+        SELECT p.prospect, c.coname,
+               1.0 - abs(p.tgt_bal - c.src_bal) / 20000.0 AS score
+        FROM prospects p JOIN clients c ON p.nkey = c.nkey),
+    peers AS (
+        SELECT prospect, coname, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY prospect
+                        ORDER BY score DESC, coname) AS rn
+              FROM peer_pairs)
+        WHERE rn <= 15)
+"""
+
+_PRODUCTS_SQL = """
+    products AS (
+        SELECT o.o_custkey AS coname, p.p_brand AS product,
+               sum(l.l_quantity) AS rating
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY o.o_custkey, p.p_brand)
+"""
+
+
+def _products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-2-output stand-in (FIXTURES.md B6): per client company,
+    per product(brand), total usage as the rating."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("lineitem")
+        .join(cat.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.table("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("o_custkey").alias("coname"), F.col("p_brand").alias("product")
+        )
+        .agg(F.sum("l_quantity").alias("rating"))
+    )
+
+
+@register(
+    "confidence_table_products",
+    sql=f"""
+    WITH {_PEERS_SQL}, {_PRODUCTS_SQL},
+    scored AS (
+        SELECT pe.prospect, pr.product,
+               pe.score * pr.rating / 30.0 AS confidence
+        FROM peers pe JOIN products pr ON pe.coname = pr.coname
+        WHERE pe.prospect IS NOT NULL
+          AND pr.rating IS NOT NULL AND pr.rating <> 0),
+    summed AS (SELECT prospect, product, sum(confidence) AS confidence
+               FROM scored GROUP BY prospect, product)
+    SELECT prospect, product, round(confidence, 4) AS confidence, rnk
+    FROM (SELECT *, rank() OVER (PARTITION BY prospect
+                                 ORDER BY confidence DESC, product) AS rnk
+          FROM summed)
+    WHERE rnk <= 20
+    ORDER BY prospect, rnk
+    """,
+)
+def confidence_table_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-3 confidence table end-to-end
+    (inference_postprocess.py:69-96; B17 AND-fix): peers fan out to
+    their products, confidence = score·rating/NUM_PEERS, sum per
+    (prospect, product), top-20 desc per prospect."""
+    table = confidence_table(
+        _peers(spark, sf_dir),
+        _products(spark, sf_dir),
+        num_peers=30,
+        topk=20,
+    )
+    return table.select(
+        "prospect",
+        "product",
+        F.round("confidence", 4).alias("confidence"),
+        "rnk",
+    ).orderBy("prospect", "rnk")
+
+
+@register(
+    "penetration_table_products",
+    sql=f"""
+    WITH {_PEERS_SQL}, {_PRODUCTS_SQL},
+    filtered AS (
+        SELECT pe.prospect, pr.product, pr.rating
+        FROM peers pe JOIN products pr ON pe.coname = pr.coname
+        WHERE pe.prospect IS NOT NULL
+          AND pr.rating IS NOT NULL AND pr.rating <> 0),
+    counted AS (SELECT prospect, product,
+                       count(rating) / 30.0 AS penetration
+                FROM filtered GROUP BY prospect, product)
+    SELECT prospect, product, round(penetration, 4) AS penetration, rnk
+    FROM (SELECT *, rank() OVER (PARTITION BY prospect
+                                 ORDER BY penetration DESC, product) AS rnk
+          FROM counted)
+    WHERE rnk <= 20
+    ORDER BY prospect, rnk
+    """,
+)
+def penetration_table_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-3 penetration table (inference_postprocess.py:98-122 with
+    the B16 descending fix)."""
+    table = penetration_table(
+        _peers(spark, sf_dir),
+        _products(spark, sf_dir),
+        num_peers=30,
+        topk=20,
+    )
+    return table.select(
+        "prospect",
+        "product",
+        F.round("penetration", 4).alias("penetration"),
+        "rnk",
+    ).orderBy("prospect", "rnk")
+
+
+@register("als_recommend_topn")  # no oracle: iterative MLlib model (SURVEY §5)
+def als_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9+M12 — implicit-feedback ALS end-to-end
+    (recommender_prod_rec.py:212-269): percent-rank ratings → dense
+    ids → train (rank=15, maxIter=5, reg=0.001, implicit, nonnegative,
+    seed=0) → top-10 per user, mapped back to original keys.
+    Driver records a rows-only check; invariants (row count = 10/user,
+    nonnegative scores) are pytest properties."""
+    usage = _usage(spark, sf_dir)
+    rated = percent_rank_ratings(usage, "custkey", "partkey", "quantity")
+    acc = accumulated_volume(rated, "custkey", "partkey", "rating", out_col="acc")
+    als_input, user_map, item_map = dense_id_ratings(acc, "custkey", "partkey", "acc")
+    model = train_als(als_input.cache(), ALSConfig())
+    recs = recommend_topn(model, 10, user_map, item_map)
+    return recs.select(
+        "custkey", "partkey", F.col("rating").cast("double").alias("rating")
+    ).orderBy("custkey", F.col("rating").desc(), "partkey")

@@ -1,0 +1,123 @@
+"""ALS collaborative filtering (SURVEY.md §2.11 M9-M12).
+
+Reference: recommender_prod_rec.py:212-269 — implicit-feedback ALS
+(rank=15, maxIter=5, regParam=0.001, nonnegative, coldStartStrategy=
+'drop', seed=0 at :216-227,244-246), RMSE holdout evaluation
+(:234-241), nested-loop grid search (:243-259), and
+``recommendForAllUsers`` postprocessing through Python UDFs
+(D3 :59-71,261-269).
+
+MLlib's ALS is already the Spark-native distributed implementation
+(blocked alternating least squares); the engine wraps it and replaces
+every UDF around it with native struct/array access.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.recommendation import ALS, ALSModel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ALSConfig:
+    rank: int = 15
+    max_iter: int = 5
+    reg_param: float = 0.001
+    implicit_prefs: bool = True
+    nonnegative: bool = True
+    cold_start: str = "drop"
+    seed: int = 0
+
+
+def train_als(ratings: DataFrame, cfg: ALSConfig | None = None) -> ALSModel:
+    """M9 — train on (userId, itemId, rating).
+
+    Scale: ALS shuffles by user/item blocks; ``numUserBlocks``/
+    ``numItemBlocks`` default to spark.default.parallelism — at 100 TB
+    set them ~ executors, and checkpoint every ~5 iterations to cut
+    lineage (MLlib handles this internally via
+    ``setCheckpointInterval``)."""
+    cfg = cfg or ALSConfig()
+    als = ALS(
+        rank=cfg.rank,
+        maxIter=cfg.max_iter,
+        regParam=cfg.reg_param,
+        implicitPrefs=cfg.implicit_prefs,
+        nonnegative=cfg.nonnegative,
+        coldStartStrategy=cfg.cold_start,
+        seed=cfg.seed,
+        userCol="userId",
+        itemCol="itemId",
+        ratingCol="rating",
+    )
+    return als.fit(ratings)
+
+
+def evaluate_rmse(model: ALSModel, test: DataFrame) -> float:
+    """M10 — RMSE on a holdout (recommender_prod_rec.py:234-241)."""
+    preds = model.transform(test)
+    evaluator = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    )
+    return float(evaluator.evaluate(preds))
+
+
+def grid_search(
+    ratings: DataFrame,
+    ranks: list[int] = (10, 15),
+    max_iters: list[int] = (5,),
+    reg_params: list[float] = (0.001, 0.01),
+    train_fraction: float = 0.8,
+    seed: int = 0,
+) -> tuple[ALSConfig, float]:
+    """M11 — the reference's nested-loop search
+    (recommender_prod_rec.py:243-259) with an explicit holdout
+    (B21: its randomSplit([1.0, 0.0]) trains on everything).
+    Returns (best config, best RMSE)."""
+    train, test = ratings.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    train = train.cache()
+    test = test.cache()
+    best_cfg, best_rmse = None, float("inf")
+    for r in ranks:
+        for mi in max_iters:
+            for rp in reg_params:
+                cfg = ALSConfig(rank=r, max_iter=mi, reg_param=rp, seed=seed)
+                rmse = evaluate_rmse(train_als(train, cfg), test)
+                if rmse < best_rmse:
+                    best_cfg, best_rmse = cfg, rmse
+    return best_cfg, best_rmse
+
+
+def recommend_topn(
+    model: ALSModel,
+    n: int,
+    user_map: DataFrame | None = None,
+    item_map: DataFrame | None = None,
+    user_col: str = "user",
+    item_col: str = "item",
+) -> DataFrame:
+    """M12+D3 — top-N per user as flat rows.
+
+    ``recommendForAllUsers`` returns ``array<struct<itemId,rating>>``;
+    the reference unpacks it with two Python UDFs
+    (recommender_prod_rec.py:59-71,263-264).  Native form:
+    ``explode`` + struct-field access — stays JVM-side — then optional
+    broadcast joins back to the original keys."""
+    recs = (
+        model.recommendForAllUsers(n)
+        .select("userId", F.explode("recommendations").alias("rec"))
+        .select(
+            "userId",
+            F.col("rec.itemId").alias("itemId"),
+            F.col("rec.rating").alias("rating"),
+        )
+    )
+    if user_map is not None:
+        recs = recs.join(F.broadcast(user_map), "userId").drop("userId")
+    if item_map is not None:
+        recs = recs.join(F.broadcast(item_map), "itemId").drop("itemId")
+    return recs

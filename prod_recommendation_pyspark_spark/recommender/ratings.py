@@ -1,0 +1,81 @@
+"""Stage-2 ratings preparation (SURVEY.md §2.11 M9 inputs; §3.2).
+
+Reference: recommender_prod_rec.py — eci→cid remap (J4 :164-168),
+percent-rank usage normalization (W1 :170-179), per-key volume rollup
+(A2 :181-185), dense-id assignment for ALS (J5 :193-206 via
+``rdd.zipWithIndex``, defects B14/B20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.relational import dense_ids
+
+PERCENT_RANK_EPS = 1e-6  # recommender_prod_rec.py:176
+
+
+def key_remap(
+    df: DataFrame, mapping: DataFrame, old_key: str, new_key: str
+) -> DataFrame:
+    """J4 — remap an entity key through a mapping table
+    (recommender_prod_rec.py:164-168): left join, drop old, keep new.
+    The mapping side is broadcast — it is a key dimension."""
+    return df.join(F.broadcast(mapping.select(old_key, new_key)), old_key, "left").drop(
+        old_key
+    )
+
+
+def percent_rank_ratings(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    value_col: str,
+    out_col: str = "rating",
+    eps: float = PERCENT_RANK_EPS,
+) -> DataFrame:
+    """W1 — per-(user,item) percentile normalization of usage
+    intensity + epsilon (recommender_prod_rec.py:171-176), after
+    dropping null keys (P11 :174).  Epsilon keeps implicit-ALS
+    confidence strictly positive for observed interactions."""
+    w = Window.partitionBy(user_col, item_col).orderBy(value_col)
+    return (
+        df.na.drop(subset=[user_col, item_col])
+        .filter(F.col(value_col).isNotNull())
+        .withColumn(out_col, F.percent_rank().over(w) + F.lit(eps))
+    )
+
+
+def accumulated_volume(
+    df: DataFrame, user_col: str, item_col: str, value_col: str,
+    out_col: str = "acc_volume",
+) -> DataFrame:
+    """A2 — total usage per (user, item)
+    (recommender_prod_rec.py:181-185)."""
+    return df.groupBy(user_col, item_col).agg(F.sum(value_col).alias(out_col))
+
+
+def dense_id_ratings(
+    ratings: DataFrame, user_col: str, item_col: str, rating_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """J5/B20 — deterministic dense ids for ALS (which requires int
+    user/item): window-ranked distinct-key maps joined back, replacing
+    the reference's two zipWithIndex jobs + B14's broken renames.
+
+    Returns ``(als_input(userId,itemId,rating), user_map, item_map)``.
+    The maps are *distinct keys* — small relative to the fact table —
+    and broadcast back onto it.
+    """
+    user_map = dense_ids(ratings, user_col, "userId")
+    item_map = dense_ids(ratings, item_col, "itemId")
+    als_input = (
+        ratings.join(F.broadcast(user_map), user_col)
+        .join(F.broadcast(item_map), item_col)
+        .select(
+            F.col("userId"),
+            F.col("itemId"),
+            F.col(rating_col).cast("float").alias("rating"),
+        )
+    )
+    return als_input, user_map, item_map
