@@ -1,1 +1,128 @@
-"""Placeholder — populated in a later phase."""
+"""Batch event-windowing query surface (SURVEY.md §2.12, §7 Phase F).
+
+Window bounds are emitted as epoch seconds so results are
+timezone-independent (Spark renders timestamps in session TZ; DuckDB
+is TZ-naive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.events import (
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from prod_recommendation_pyspark_spark.queries.registry import register
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+
+@register(
+    "tumbling_hourly_events",
+    sql="""
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)        AS window_start,
+           CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (epoch-aligned, exactly
+    DuckDB's floor(epoch/3600))."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return tumbling_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select(
+        "window_start", "window_end", "event_type", "n_events", "total_value"
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "sliding_windows_events",
+    sql="""
+    WITH expanded AS (
+        SELECT CAST(floor(epoch(ts) / 900) * 900 - 900 * k AS BIGINT) AS window_start,
+               event_type, value
+        FROM events, unnest([0, 1, 2, 3]) AS t(k))
+    SELECT window_start, window_start + 3600 AS window_end, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes: each event belongs to
+    exactly 4 window instances; Spark plans the expansion + one hash
+    aggregate, identical to the SQL unnest."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return sliding_window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select(
+        "window_start", "window_end", "event_type", "n_events", "total_value"
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "session_windows_events",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered)
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT)        AS window_start,
+           CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS window_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, window_start
+    """,
+)
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization per user — ``session_window``
+    batch semantics == the classic gaps-and-islands SQL (a new session
+    starts when the gap to the previous event is ≥ the gap duration;
+    session end = last event + gap)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    return session_window_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ],
+    ).select(
+        "user_id", "window_start", "window_end", "n_events", "total_value"
+    ).orderBy("user_id", "window_start")

@@ -1,1 +1,216 @@
-"""Placeholder — populated in a later phase."""
+"""LLM-data-pipeline query surface (SURVEY.md §7 Phase F): dedup,
+similarity search, text analysis, multimodal plumbing on the
+``documents`` / ``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    hamming64,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from prod_recommendation_pyspark_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_image_features,
+)
+from prod_recommendation_pyspark_spark.operators.text import text_stats
+from prod_recommendation_pyspark_spark.queries.registry import register
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+# Word-trigram Jaccard oracle: shingle i = words[i..i+2]; DuckDB list
+# slicing is 1-based inclusive so w[i:i+2] mirrors Spark slice(w,i,3).
+_SHINGLES_SQL = """
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+"""
+
+_JACCARD_SQL = f"""
+    WITH {_SHINGLES_SQL}
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY id_a, id_b
+    """
+
+
+@register(
+    "exact_dedup_documents",
+    sql="""
+    SELECT doc_id, source, n_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 row_number() OVER (
+                     PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint of normalized text, keep the
+    lowest doc_id per fingerprint.  One shuffle on the fingerprint."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        exact_dedup(docs, "text", "doc_id", keep="min")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register("minhash_lsh_dedup_candidates", sql=_JACCARD_SQL)
+def minhash_lsh_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + banded LSH(16×4) candidate generation, then exact
+    trigram-Jaccard verification at 0.8 — the scale path for near-dup
+    dedup: signatures and band keys are pure Catalyst expressions,
+    one shuffle on band keys, verification only on candidates.
+
+    Oracle = brute-force Jaccard: with b=16,r=4 a 0.8-Jaccard pair is
+    missed w.p. ~2e-4, and this corpus's near-dups are ≥0.9 (miss
+    ~1e-7), so LSH+verify equals brute force deterministically here."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    cands = lsh_candidate_pairs(
+        docs, "doc_id", "text", shingle_words=3, n_hashes=64, bands=16
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register("ngram_jaccard_pairs_brute", sql=_JACCARD_SQL)
+def ngram_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ 0.8, no LSH prefilter — the
+    correctness baseline (explode shingles → join on shingle →
+    count)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        ngram_jaccard_pairs(docs, "doc_id", "text", shingle_words=3, threshold=0.8)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("simhash_near_dup_pairs")  # no oracle: Spark-internal hash family
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(63-bit, token-level) pairs with Hamming distance ≤ 8.
+    Hash family is Spark's xxhash64 (not reproducible in DuckDB →
+    rows-only check; recall property vs Jaccard pairs is a pytest).
+    At scale: block by signature bytes before pairing instead of the
+    cross join used at this corpus size."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    sql="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold (0.45 —
+    this corpus has no planted duplicates; the operator's production
+    default is 0.95)."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    return (
+        embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "text_stats_documents",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               * 1.0 / greatest(length(text), 1) AS alpha,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is'], x))) AS hits_en,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['el','la','de','que','y','los','un'], x))) AS hits_es,
+             len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(['le','la','de','et','un','que','pour'], x))) AS hits_fr
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+           round(n_chars * 1.0 / greatest(n_tokens, 1), 4) AS avg_token_len,
+           n_punct,
+           round(alpha, 4) AS alpha_ratio,
+           round(CAST(0.4 AS DOUBLE) * least(n_tokens / 100.0, 1.0)
+                 + CAST(0.4 AS DOUBLE) * alpha
+                 + CAST(0.2 AS DOUBLE) * (CASE WHEN n_chars * 1.0 / greatest(n_tokens, 1)
+                                     BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+           CASE WHEN hits_en = 0 AND hits_es = 0 AND hits_fr = 0 THEN 'und'
+                WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                WHEN hits_es >= hits_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass text analysis: char/token/BPE-token counts, punctuation
+    and alpha ratios, composite quality score, stopword-voting language
+    ID, md5 content fingerprint — all native expressions in a single
+    codegen'd projection."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    return text_stats(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@register("multimodal_image_features")  # no oracle: mapInPandas stub decode
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload column + typed
+    metadata → Arrow-batched mapInPandas feature extraction (decode is
+    a deterministic STUB — see operators/multimodal.py; real codecs
+    are not in this environment)."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = attach_fake_payload(docs, "doc_id", "text")
+    feats = extract_image_features(media, n_features=8, fake=True)
+    return feats.select(
+        "media_id",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+    ).orderBy("media_id")

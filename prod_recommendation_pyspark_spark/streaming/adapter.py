@@ -1,0 +1,76 @@
+"""Structured Streaming adapter (SURVEY.md §2.12; §7 Phase F stretch).
+
+The batch windowing operators (operators/events.py) use exactly the
+expressions Structured Streaming accepts, so the streaming surface is
+the same logical plan behind ``readStream``: file source → watermark →
+windowed aggregate → sink.  For tests, a parquet directory drives the
+stream and a memory sink collects results synchronously
+(``processAllAvailable``) — batch/stream parity is asserted on the
+same data.
+
+Production notes (100 TB / real streams): swap the file source for
+Kafka, keep the watermark ≥ max expected lateness, and write with
+``foreachBatch`` for exactly-once sinks; state store size is bounded
+by (#groups × #open windows), which the watermark caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/catalog.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over the events parquet (ns timestamps read
+    as long, converted to µs timestamps — same contract as the batch
+    Catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def streaming_windowed_counts(
+    events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type — the
+    streaming twin of ``tumbling_window_agg``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drive a streaming aggregate to completion against a static
+    source: memory sink + processAllAvailable (synchronous; test use)."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,103 @@
+"""Property tests for the non-oracle LLM-pipeline operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from prod_recommendation_pyspark_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_image_features,
+    sample_frames,
+)
+from prod_recommendation_pyspark_spark.queries.llm_pipeline import (
+    simhash_near_dup_pairs,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+def test_lsh_candidates_cover_true_pairs(spark):
+    """Every true near-dup pair (Jaccard ≥ 0.8) must surface as an LSH
+    candidate — recall property of the banding scheme."""
+    docs = _docs(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs, "doc_id", "text", 3, 64, 16).collect()
+    }
+    assert truth, "corpus should contain planted near-dups"
+    assert truth <= cands
+
+
+def test_simhash_close_for_near_dups(spark):
+    """Near-dup documents must land within the simhash Hamming radius."""
+    docs = _docs(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.9).collect()
+    }
+    sim = {
+        (r.id_a, r.id_b) for r in simhash_near_dup_pairs(spark, SF_SMOKE).collect()
+    }
+    assert truth and truth <= sim
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = _docs(spark).limit(50)
+    media = attach_fake_payload(docs, "doc_id", "text")
+    f1 = {(r.media_id, tuple(r.features)) for r in extract_image_features(media).collect()}
+    f2 = {(r.media_id, tuple(r.features)) for r in extract_image_features(media).collect()}
+    assert f1 == f2
+    assert all(len(feats) == 8 for _, feats in f1)
+
+
+def test_sample_frames_shape(spark):
+    docs = _docs(spark).limit(10)
+    media = attach_fake_payload(docs, "doc_id", "text")
+    frames = sample_frames(media, every_n=10)
+    counts = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_streaming_matches_batch(spark):
+    """Streaming windowed counts over a static directory must equal the
+    batch computation on the same files."""
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.streaming.adapter import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_windowed_counts,
+    )
+    from prod_recommendation_pyspark_spark.operators.events import tumbling_window_agg
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+    # file stream sources need a directory of files
+    stage_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{stage_dir}/part-0.parquet")
+    stream = read_events_stream(spark, stage_dir)
+    agg = streaming_windowed_counts(stream)
+    run_stream_to_memory(agg, "stream_counts")
+    got = {
+        (r.window_start, r.event_type, r.n_events)
+        for r in spark.sql("SELECT * FROM stream_counts").collect()
+    }
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    batch = tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    want = {
+        (r.window_start, r.event_type, r.n_events) for r in batch.collect()
+    }
+    assert got == want
