@@ -77,16 +77,27 @@ def read_table(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     return read_pipe_csv(spark, path)
 
 
-def latest_snapshot(df: DataFrame, snapshot_col: str = "snapshot_date") -> DataFrame:
-    """S4 — keep only the rows of the newest snapshot partition.
+def latest_snapshot(
+    df: DataFrame, snapshot_col: str = "snapshot_date", eager: bool = True
+) -> DataFrame:
+    """S4 — keep only the rows of the newest snapshot partition — the
+    behavior the reference hand-rolls with driver-side boto3 listing
+    (search_ranking_peers.py:103-137, recommender_prod_rec.py:85-133,
+    minus the B4 NameError).
 
-    On a table partitioned by ``snapshot_col`` Catalyst plans the inner
-    ``max`` as a partition-metadata-only query and the filter as a
-    ``PartitionFilter`` — the physical scan touches one date directory,
-    the exact behavior the reference hand-rolled with boto3
-    (search_ranking_peers.py:103-137, recommender_prod_rec.py:85-133)
-    minus the driver-side network calls and the B4 NameError.
+    ``eager=True`` (default) resolves ``max(snapshot_col)`` with one
+    tiny job first and filters on the literal: on a partitioned table
+    the max is answered from partition metadata (column-pruned scan
+    reads no data) and the literal equality becomes a static
+    ``PartitionFilter`` — the physical scan touches exactly one
+    directory.  ``eager=False`` stays fully lazy via a broadcast
+    max-join; correct, but Spark does not (as of 4.x) derive dynamic
+    partition pruning from an aggregate-derived build side, so the
+    probe scan reads all partitions.
     """
+    if eager:
+        latest = df.agg(F.max(snapshot_col)).first()[0]
+        return df.filter(F.col(snapshot_col) == F.lit(latest))
     latest = df.select(F.max(snapshot_col).alias("__latest"))
     return (
         df.join(F.broadcast(latest), F.col(snapshot_col) == F.col("__latest"))

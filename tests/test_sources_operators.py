@@ -1,0 +1,154 @@
+"""Round-trip and operator tests for the pieces not exercised through
+the oracle queries: readers/writers (S1-S8), key remap (J4), trim join
+(J9), threshold top-K (O2/O3), and the sentinel-row smoke pattern
+(SURVEY §5 / search_ranking_peers.py:464-471)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.hybrid import hybrid_topk_crossjoin
+from prod_recommendation_pyspark_spark.operators.relational import (
+    dedup_first_by_key,
+    topk_by_threshold,
+    trim_normalized_join,
+)
+from prod_recommendation_pyspark_spark.recommender.ratings import key_remap
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+from prod_recommendation_pyspark_spark.sources.readers import (
+    latest_snapshot,
+    literal_rows,
+    read_csv,
+    read_pipe_csv,
+    read_table,
+)
+from prod_recommendation_pyspark_spark.sources.writers import (
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_csv_parquet_json_roundtrip(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2.5).alias("val"), F.lit("x|y").alias("s")
+    )
+    base = tempfile.mkdtemp(prefix="sinks_")
+    write_csv(df, f"{base}/csv", single_file=True)
+    write_parquet(df, f"{base}/pq")
+    write_json(df, f"{base}/json")
+    back_csv = read_csv(spark, f"{base}/csv")
+    back_pq = read_table(spark, f"{base}/pq" + "/")  # dir ending: pipe default
+    back_pq2 = spark.read.parquet(f"{base}/pq")
+    assert back_csv.count() == 100
+    assert back_pq2.count() == 100
+    assert sorted(back_csv.columns) == sorted(df.columns)
+    files = os.listdir(f"{base}/csv")
+    assert sum(f.endswith(".csv") for f in files) == 1  # single_file honored
+    _ = back_pq
+
+
+def test_pipe_csv_roundtrip(spark):
+    df = spark.range(10).select(F.col("id").cast("string").alias("a"),
+                                F.lit("v").alias("b"))
+    base = tempfile.mkdtemp(prefix="pipe_")
+    df.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "delimiter", "|"
+    ).csv(f"{base}/out")
+    back = read_pipe_csv(spark, f"{base}/out")
+    assert back.count() == 10 and back.columns == ["a", "b"]
+
+
+def test_partitioned_write_and_latest_snapshot(spark):
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "20240101").otherwise("20240102").alias(
+            "snapshot_date"
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="snap_")
+    write_parquet(df, f"{base}/t", partition_by=["snapshot_date"])
+    back = spark.read.parquet(f"{base}/t")
+    latest = latest_snapshot(back, "snapshot_date")
+    dates = [r.snapshot_date for r in latest.select("snapshot_date").distinct().collect()]
+    assert [str(d) for d in dates] == ["20240102"]
+    # eager mode: literal equality becomes a static partition filter
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(snapshot_date" in plan
+    assert "(snapshot_date" in plan and "20240102" in plan
+    # lazy mode still computes the same rows
+    lazy = latest_snapshot(back, "snapshot_date", eager=False)
+    assert lazy.count() == latest.count()
+
+
+def test_key_remap_and_trim_join(spark):
+    data = literal_rows(
+        spark, [("e1", 5.0), ("e2", 7.0), ("e3", 1.0)], ["eci", "v"]
+    )
+    mapping = literal_rows(spark, [("e1", "c1"), ("e2", "c2")], ["eci", "cid"])
+    remapped = key_remap(data, mapping, "eci", "cid")
+    got = {(r.cid, r.v) for r in remapped.collect()}
+    assert got == {("c1", 5.0), ("c2", 7.0), (None, 1.0)}
+
+    left = literal_rows(spark, [("  widget ", 1)], ["name", "l"])
+    right = literal_rows(spark, [("widget", 9)], ["name", "r"])
+    joined = trim_normalized_join(left, right, "name")
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0].r == 9
+
+
+def test_topk_by_threshold(spark):
+    df = literal_rows(
+        spark,
+        [("g", i, float(i)) for i in range(10)],
+        ["grp", "id", "score"],
+    )
+    out = topk_by_threshold(df, "grp", "score", k=3, threshold=5.0)
+    got = sorted(r.id for r in out.collect())
+    assert got == [7, 8, 9]
+
+
+def test_dedup_first_nondeterministic_path(spark):
+    df = literal_rows(spark, [("k", 1), ("k", 2), ("j", 3)], ["key", "v"])
+    out = dedup_first_by_key(df, "key")  # dropDuplicates path
+    assert out.count() == 2
+
+
+def test_sentinel_row_peer_smoke(spark):
+    """SURVEY §5: inject a known entity and assert its expected peers
+    surface — the reference's hand-injected test row pattern
+    (search_ranking_peers.py:464-471) as an automated assertion."""
+    rows = [
+        # id, vec(2d unit), naics, lat, lon
+        (1000, [1.0, 0.0], "521234", 10.0, 10.0),   # sentinel prospect
+        (1, [1.0, 0.0], "521234", 10.0, 10.0),      # identical twin
+        (2, [0.9701425001453319, 0.24253562503633297], "521299", 11.0, 11.0),
+        (3, [0.0, 1.0], "990000", -60.0, 120.0),    # orthogonal, far
+    ]
+    df = spark.createDataFrame(
+        rows, "cid long, vec array<double>, naics string, lat double, lon double"
+    )
+    sentinel = df.filter(F.col("cid") == 1000).select(
+        F.col("cid").alias("tgt"), "vec", "naics", "lat", "lon"
+    )
+    others = df.filter(F.col("cid") != 1000).select(
+        F.col("cid").alias("src"), "vec", "naics", "lat", "lon"
+    )
+    peers = hybrid_topk_crossjoin(
+        sentinel, others, "tgt", "src", "vec", "naics", "lat", "lon", k=2
+    ).collect()
+    ranked = [r.src for r in sorted(peers, key=lambda r: -r.score)]
+    assert ranked == [1, 2]  # twin first, near-neighbor second, orthogonal out
+    top = max(peers, key=lambda r: r.score)
+    assert abs(top.score - (0.6 * 1.0 + 0.399 * 1.0 + 0.001 * 1.0)) < 1e-9
+
+
+def test_catalog_register_all_sql(spark):
+    cat = Catalog(spark, SF_SMOKE)
+    cat.register_all()
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").first().n
+    assert n == 6000
