@@ -151,14 +151,31 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
-    common = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     if candidates is not None:
-        common = common.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        # Verify ONLY candidate pairs: restrict each shingle side to
+        # ids that appear in a candidate pair (semi joins prune the
+        # explode→join input), then keep candidate pairs.  The shingle
+        # self-join never materializes non-candidate intersections —
+        # this is what makes LSH+verify the scale path.
+        a = a.join(
+            candidates.select("id_a").distinct(), "id_a", "left_semi"
+        )
+        b = b.join(
+            candidates.select("id_b").distinct(), "id_b", "left_semi"
+        )
+        common = (
+            a.join(b, "s")
+            .join(candidates, on=["id_a", "id_b"], how="left_semi")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        common = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
