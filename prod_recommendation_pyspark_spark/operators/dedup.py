@@ -52,20 +52,31 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """MinHash signature as array<bigint>: hash family h_i(s) =
-    xxhash64(s, i) via the seed column trick (xxhash64 hashes all its
-    arguments; a literal int per i gives n independent functions).
+def minhash_signature(hashed_shingles: Column, n_hashes: int = 64) -> Column:
+    """MinHash signature as array<bigint> over PRE-HASHED shingles
+    (array<bigint>): hash family h_i(h) = xxhash64(h, i) via the seed
+    column trick (xxhash64 hashes all its arguments; a literal int per
+    i gives n independent functions).
+
+    Taking pre-hashed longs matters twice over: (1) each of the n
+    passes hashes an 8-byte long, not a rebuilt shingle string;
+    (2) the caller puts the string-hash pass behind its own projection
+    alias, so Catalyst's CollapseProject (refcount > 1, non-cheap)
+    keeps it evaluated once instead of inlining the whole
+    split→slice→concat subtree into all n expressions.
 
     NB: the per-i lambda must take exactly ONE parameter — a 2-arg
     lambda in ``F.transform`` receives (element, array_index) and would
     silently replace the seed with the element's position."""
 
     def hash_fn(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
+        return lambda h: F.xxhash64(h, F.lit(i))
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hash_fn(i))) for i in range(n_hashes)]
+        *[
+            F.array_min(F.transform(hashed_shingles, hash_fn(i)))
+            for i in range(n_hashes)
+        ]
     )
 
 
@@ -87,11 +98,19 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops degenerate buckets (identical boilerplate) —
     at 100 TB an unbounded bucket is a cartesian bomb."""
     rows_per_band = n_hashes // bands
-    sig = df.select(
+    # Projection ladder: shingles → one string-hash pass → n_hashes
+    # long-hash passes.  Each alias below is referenced more than once
+    # downstream, so CollapseProject leaves the boundaries in place and
+    # every stage computes exactly once per row.
+    hashed = df.select(
         F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), shingle_words), n_hashes).alias(
-            "__sig"
-        ),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_words), lambda s: F.xxhash64(s)
+        ).alias("__hs"),
+    )
+    sig = hashed.select(
+        F.col(id_col),
+        minhash_signature(F.col("__hs"), n_hashes).alias("__sig"),
     )
     banded = sig.select(
         id_col,
@@ -148,27 +167,34 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
     if candidates is not None:
-        # Verify ONLY candidate pairs: restrict each shingle side to
-        # ids that appear in a candidate pair (semi joins prune the
-        # explode→join input), then keep candidate pairs.  The shingle
-        # self-join never materializes non-candidate intersections —
-        # this is what makes LSH+verify the scale path.
+        # Verify ONLY candidate pairs.  The candidate set is referenced
+        # three times below (two semi-join prunes + the pair filter) —
+        # persist it, otherwise its whole upstream plan (e.g. the
+        # MinHash+LSH pipeline) re-executes per reference.  At 100 TB
+        # this materialization is the natural stage boundary between
+        # candidate generation and verification; the pair set is tiny
+        # relative to the corpus.
+        candidates = candidates.select("id_a", "id_b").persist()
         a = a.join(
             candidates.select("id_a").distinct(), "id_a", "left_semi"
         )
         b = b.join(
             candidates.select("id_b").distinct(), "id_b", "left_semi"
         )
+        # restrict the shingle self-join to candidate ids: non-candidate
+        # intersections are never materialized — the scale path.
         common = (
             a.join(b, "s")
             .join(candidates, on=["id_a", "id_b"], how="left_semi")
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # shingle-set sizes only for ids that survived the prune
+        na = a.groupBy("id_a").agg(F.count(F.lit(1)).alias("na"))
+        nb = b.groupBy("id_b").agg(F.count(F.lit(1)).alias("nb"))
     else:
         common = (
             a.join(b, "s")
@@ -176,8 +202,9 @@ def ngram_jaccard_pairs(
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+        na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+        nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     return (
         common.join(F.broadcast(na), "id_a")
         .join(F.broadcast(nb), "id_b")

@@ -37,7 +37,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
@@ -193,4 +193,164 @@ def _cosine_topk_one_block(
 
     return left.select(left_id, vec_col).mapInPandas(
         kernel, schema=f"{left_id} long, {right_id} long, score double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate nearest neighbour: random-hyperplane LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH, rounded to 6
+    decimals so the identical literals can be embedded in both the
+    Spark plan and an ANSI-SQL oracle (shortest-repr round-trip makes
+    the doubles bit-identical on both sides)."""
+    rng = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in row]
+        for row in rng.standard_normal((n_planes, dim))
+    ]
+
+
+def random_hyperplane_tables(
+    dim: int, n_planes: int, n_tables: int, seed: int = 7
+) -> list[list[list[float]]]:
+    """``n_tables`` independent sign-LSH tables drawn from one seeded
+    stream (standard multi-table LSH: a neighbour is found if ANY table
+    buckets it with the query)."""
+    rng = np.random.RandomState(seed)
+    flat = rng.standard_normal((n_tables * n_planes, dim))
+    return [
+        [[round(float(x), 6) for x in row] for row in flat[t * n_planes:(t + 1) * n_planes]]
+        for t in range(n_tables)
+    ]
+
+
+def _plane_dot(vec: Column, plane: list[float]) -> Column:
+    """Left-folded dot(vec, plane) via ``zip_with`` + ``aggregate`` —
+    codegen emits a loop (an unrolled 64-term chain overflows Janino's
+    64 KB method limit when many planes share a projection) while the
+    sequential left-to-right accumulation keeps the IEEE754 result
+    identical to a `v[1]*w1 + v[2]*w2 + ...` SQL transliteration
+    (sign must agree for bucket parity)."""
+    weights = F.array(*[F.lit(w) for w in plane])
+    return F.aggregate(
+        F.zip_with(vec, weights, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) >= 0.
+    Pure Catalyst expressions — computed in the scan projection, fully
+    codegen'd, no UDF."""
+    sig = F.lit(0)
+    for p, plane in enumerate(planes):
+        sig = sig + F.when(_plane_dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
+    return sig
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int,
+    tables: list[list[list[float]]],
+    multi_probe: bool = True,
+) -> DataFrame:
+    """ANN top-K via multi-table random-hyperplane LSH — the bucketed
+    scale path next to the brute-force kernels.
+
+    Per table: O(n) signature computation in the scan projection (pure
+    Catalyst, codegen'd), one shuffle on ``(table, bucket)``, candidate
+    pairs only within shared buckets.  Multi-probe additionally flips
+    each signature bit on the *query* side (1 + n_planes probe keys per
+    query per table), recovering neighbours lost to a single boundary
+    plane without touching the corpus layout.  Candidates are
+    pair-deduplicated across tables/probes before exact cosine re-rank,
+    so each surviving pair is scored once.
+
+    At 100 TB the corpus signatures are precomputed and the table is
+    written bucketed by ``(tbl, sig)`` so probes become partition-pruned
+    scans; the (small) query side is the broadcast side of the bucket
+    join.  Recall/cost is tuned by (n_planes ↑ ⇒ smaller buckets,
+    n_tables ↑ ⇒ higher recall).
+
+    Inputs carry raw (unnormalized) ``array<float>`` vectors; bucketing
+    uses the raw sign (scale-invariant), ranking uses exact cosine.
+    """
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    dvec = F.col(vec_col).cast("array<double>")
+    c_sigs = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        *[
+            hyperplane_signature(dvec, t).alias(f"__sig{i}")
+            for i, t in enumerate(tables)
+        ],
+    )
+    c = c_sigs.select(
+        "__cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("tbl"), F.col(f"__sig{i}").alias("sig")
+                    )
+                    for i in range(n_tables)
+                ]
+            )
+        ).alias("__k"),
+    ).select("__cid", F.col("__k.tbl").alias("__tbl"), F.col("__k.sig").alias("__sig"))
+    q_sigs = queries.select(
+        F.col(query_id).alias("__qid"),
+        *[
+            hyperplane_signature(dvec, t).alias(f"__sig{i}")
+            for i, t in enumerate(tables)
+        ],
+    )
+    probe_structs = []
+    for i in range(n_tables):
+        base = F.col(f"__sig{i}")
+        keys = [base]
+        if multi_probe:
+            keys += [base.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)]
+        probe_structs += [
+            F.struct(F.lit(i).alias("tbl"), key.alias("sig")) for key in keys
+        ]
+    q = q_sigs.select(
+        "__qid", F.explode(F.array(*probe_structs)).alias("__k")
+    ).select("__qid", F.col("__k.tbl").alias("__tbl"), F.col("__k.sig").alias("__sig"))
+    pairs = (
+        q.join(c, ["__tbl", "__sig"])
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__cid")
+        .distinct()
+    )
+    qv = queries.select(F.col(query_id).alias("__qid"), dvec.alias("__qvec"))
+    cv = corpus.select(F.col(corpus_id).alias("__cid"), dvec.alias("__cvec"))
+    qn = F.sqrt(F.aggregate("__qvec", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(
+        F.zip_with("__qvec", "__cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        pairs.join(qv, "__qid")
+        .join(cv, "__cid")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            (dot / (qn * cn)).alias("score"),
+        )
+    )
+    return windowed_topk(
+        scored, query_id, [F.col("score").desc(), F.col(corpus_id)], k
     )

@@ -24,6 +24,16 @@ from prod_recommendation_pyspark_spark.operators.text import text_stats
 from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.sources.catalog import Catalog
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-file read across all cores before CPU-heavy
+    per-row work (shingling/hashing).  A few-MB parquet file arrives as
+    ONE input split, which would serialize the whole hash pipeline on
+    one core; on a real cluster large inputs get splits for free and
+    this is a no-op-sized shuffle either way."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
 # Word-trigram Jaccard oracle: shingle i = words[i..i+2]; DuckDB list
 # slicing is 1-based inclusive so w[i:i+2] mirrors Spark slice(w,i,3).
 _SHINGLES_SQL = """
@@ -84,7 +94,7 @@ def minhash_lsh_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = brute-force Jaccard: with b=16,r=4 a 0.8-Jaccard pair is
     missed w.p. ~2e-4, and this corpus's near-dups are ≥0.9 (miss
     ~1e-7), so LSH+verify equals brute force deterministically here."""
-    docs = Catalog(spark, sf_dir).table("documents")
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
     cands = lsh_candidate_pairs(
         docs, "doc_id", "text", shingle_words=3, n_hashes=64, bands=16
     ).select(
@@ -104,7 +114,7 @@ def ngram_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.8, no LSH prefilter — the
     correctness baseline (explode shingles → join on shingle →
     count)."""
-    docs = Catalog(spark, sf_dir).table("documents")
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
     return (
         ngram_jaccard_pairs(docs, "doc_id", "text", shingle_words=3, threshold=0.8)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -119,7 +129,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check; recall property vs Jaccard pairs is a pytest).
     At scale: block by signature bytes before pairing instead of the
     cross join used at this corpus size."""
-    docs = Catalog(spark, sf_dir).table("documents")
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
     sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig"))
     a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))

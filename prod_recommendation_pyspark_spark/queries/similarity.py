@@ -283,3 +283,93 @@ __all__ = [
     "peer_search_hybrid_topk",
     "cosine_topk_crossjoin",
 ]
+
+
+# ---------------------------------------------------------------------------
+# ANN: multi-table random-hyperplane LSH, multi-probe, exact cosine re-rank
+# ---------------------------------------------------------------------------
+
+from prod_recommendation_pyspark_spark.operators.similarity import (  # noqa: E402
+    ann_lsh_topk,
+    random_hyperplane_tables,
+)
+
+_ANN_DIM, _ANN_PLANES_N, _ANN_TABLES_N, _ANN_SEED, _ANN_K = 64, 4, 4, 7, 5
+_ANN_TABLES = random_hyperplane_tables(_ANN_DIM, _ANN_PLANES_N, _ANN_TABLES_N, _ANN_SEED)
+
+
+def _plane_dot_sql(plane: list[float]) -> str:
+    # left-assoc `+` chain — same IEEE754 fold order as the Spark expr
+    return " + ".join(f"v[{i + 1}] * ({w!r})" for i, w in enumerate(plane))
+
+
+def _sig_sql(planes: list[list[float]]) -> str:
+    return "\n             + ".join(
+        f"(CASE WHEN {_plane_dot_sql(p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+_ANN_SIGS_SQL = ",\n          ".join(
+    f"{_sig_sql(t)} AS sig{i}" for i, t in enumerate(_ANN_TABLES)
+)
+_ANN_CORPUS_SQL = "\n      UNION ALL ".join(
+    f"SELECT vec_id, {i} AS tbl, sig{i} AS sig FROM s"
+    for i in range(_ANN_TABLES_N)
+)
+_ANN_PROBES_SQL = "\n      UNION ALL ".join(
+    "SELECT vec_id, {i} AS tbl, unnest([sig{i}, {flips}]) AS sig FROM s WHERE vec_id % 20 = 0".format(
+        i=i,
+        flips=", ".join(f"xor(sig{i}, {1 << p})" for p in range(_ANN_PLANES_N)),
+    )
+    for i in range(_ANN_TABLES_N)
+)
+
+
+@register(
+    "ann_lsh_topk_embeddings",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id,
+          {_ANN_SIGS_SQL}
+          FROM e),
+    corpus AS ({_ANN_CORPUS_SQL}),
+    probes AS ({_ANN_PROBES_SQL}),
+    cand AS (
+        SELECT DISTINCT p.vec_id AS tgt_id, c.vec_id AS nbr_id
+        FROM probes p JOIN corpus c ON p.tbl = c.tbl AND p.sig = c.sig
+        WHERE p.vec_id <> c.vec_id),
+    scored AS (
+        SELECT tgt_id, nbr_id, list_cosine_similarity(a.v, b.v) AS score
+        FROM cand JOIN e a ON cand.tgt_id = a.vec_id
+                  JOIN e b ON cand.nbr_id = b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM scored)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= {_ANN_K}
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via multi-table sign-LSH (4 tables × 4 seeded
+    hyperplanes → 16 buckets each), 1-bit multi-probe on the query
+    side, pair-dedup across tables, exact cosine re-rank — measured
+    ≥0.9 recall vs brute force on this corpus (see
+    tests/test_similarity.py).  Fully deterministic: hyperplanes are
+    seeded literals shared with the SQL oracle, so bucket assignment
+    and results match DuckDB exactly.  At scale the corpus signature
+    table is written bucketed by ``(tbl, sig)`` (partition-pruned
+    probes); here the bucket join is one shuffle."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    out = ann_lsh_topk(
+        corpus, qs, "nbr_id", "tgt_id", "embedding", k=_ANN_K, tables=_ANN_TABLES
+    )
+    return out.select(
+        "tgt_id", "nbr_id", F.round("score", 4).alias("score")
+    ).orderBy("tgt_id", "nbr_id")

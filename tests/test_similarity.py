@@ -64,3 +64,40 @@ def test_topk_bound_per_group(spark):
     out = cosine_topk(left, right, "tgt_id", "nbr_id", "vec", k=3, exclude_self=True)
     counts = out.groupBy("tgt_id").count().agg(F.max("count")).first()[0]
     assert counts <= 3
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    """Multi-probe sign-LSH must recover most true top-5 neighbours;
+    with 6 planes + 7 probes on this corpus recall is high but the
+    guarantee we assert is a conservative floor."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ann_lsh_topk,
+        random_hyperplane_tables,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    tables = random_hyperplane_tables(64, 4, 4, seed=7)
+    ann = ann_lsh_topk(
+        corpus, qs, "nbr_id", "tgt_id", "embedding", k=5, tables=tables
+    )
+    norm = _normalized(spark)
+    left = norm.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "vec"
+    )
+    right = norm.select(F.col("vec_id").alias("nbr_id"), "vec")
+    truth = cosine_topk_crossjoin(
+        left, right, "tgt_id", "nbr_id", "vec", k=5, exclude_self=True
+    )
+    ann_set = {(r.tgt_id, r.nbr_id) for r in ann.collect()}
+    true_set = {(r.tgt_id, r.nbr_id) for r in truth.collect()}
+    recall = len(ann_set & true_set) / len(true_set)
+    assert recall >= 0.7, f"ANN recall too low: {recall:.3f}"
+    # every query returns at most k rows
+    import collections
+
+    per_q = collections.Counter(t for t, _ in ann_set)
+    assert max(per_q.values()) <= 5
