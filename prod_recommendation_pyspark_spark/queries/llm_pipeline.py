@@ -19,6 +19,7 @@ from prod_recommendation_pyspark_spark.operators.dedup import (
 from prod_recommendation_pyspark_spark.operators.multimodal import (
     attach_fake_payload,
     extract_image_features,
+    sample_frames,
 )
 from prod_recommendation_pyspark_spark.operators.text import text_stats
 from prod_recommendation_pyspark_spark.queries.registry import register
@@ -210,12 +211,30 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_stats(docs, "text", "doc_id").orderBy("doc_id")
 
 
-@register("multimodal_image_features")  # no oracle: mapInPandas stub decode
+# The stub decoder is sha256-seeded, so even the mapInPandas plumbing
+# is value-oracled: DuckDB recomputes the digest byte grid per doc.
+_DIGEST_BYTE_SQL = "CAST(concat('0x', substring(hx, 2*{i} - 1, 2)) AS INTEGER)"
+
+
+@register(
+    "multimodal_image_features",
+    sql="""
+    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents)
+    SELECT media_id, 8 AS n_features,
+           round(list_sum(list_transform(range(1, 9),
+               i -> CAST(concat('0x', substring(hx, 2*i - 1, 2)) AS INTEGER)))
+               / 8.0, 4) AS f0
+    FROM h ORDER BY media_id
+    """,
+)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payload column + typed
-    metadata → Arrow-batched mapInPandas feature extraction (decode is
-    a deterministic STUB — see operators/multimodal.py; real codecs
-    are not in this environment)."""
+    metadata → Arrow-batched mapInPandas feature extraction.  Decode is
+    a deterministic STUB (sha256-seeded pixel grid — see
+    operators/multimodal.py; real codecs are not in this environment),
+    which makes the whole Arrow round-trip value-checkable: the oracle
+    recomputes the digest bytes in SQL.  f0 = mean of the first
+    digest-byte row."""
     docs = Catalog(spark, sf_dir).table("documents")
     media = attach_fake_payload(docs, "doc_id", "text")
     feats = extract_image_features(media, n_features=8, fake=True)
@@ -224,3 +243,30 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").alias("n_features"),
         F.round(F.element_at("features", 1), 4).alias("f0"),
     ).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    sql="""
+    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+    s AS (SELECT media_id,
+                 list_sum(list_transform(range(1, 33),
+                     i -> CAST(concat('0x', substring(hx, 2*i - 1, 2)) AS INTEGER))) AS bytesum
+          FROM h)
+    SELECT media_id, t.frame_idx,
+           round(CAST(bytesum + t.frame_idx AS DOUBLE), 4) AS frame_score
+    FROM s CROSS JOIN (VALUES (0), (10), (20)) t(frame_idx)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped plumbing: per-payload frame sampling via
+    mapInPandas (one row out per sampled frame, stub demux emits 3
+    frames at stride ``every_n``).  Deterministic stub → full value
+    oracle, same digest trick as ``multimodal_image_features``."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = attach_fake_payload(docs, "doc_id", "text")
+    frames = sample_frames(media, every_n=10, fake=True)
+    return frames.select(
+        "media_id", "frame_idx", F.round("frame_score", 4).alias("frame_score")
+    ).orderBy("media_id", "frame_idx")

@@ -53,7 +53,12 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     norm = l2_normalize(emb, "embedding", "vec")
-    left = norm.select(F.col("vec_id").alias("tgt_id"), "vec")
+    # spread the streaming (left) side across cores: a few-MB parquet
+    # file is one input split, which would run the whole matmul kernel
+    # in a single task
+    left = norm.select(F.col("vec_id").alias("tgt_id"), "vec").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     right = norm.select(F.col("vec_id").alias("nbr_id"), "vec")
     return (
         cosine_topk(

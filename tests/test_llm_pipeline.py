@@ -101,3 +101,37 @@ def test_streaming_matches_batch(spark):
         (r.window_start, r.event_type, r.n_events) for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_user_totals_matches_batch(spark):
+    """Custom applyInPandasWithState operator: after draining the
+    stream, the last update per user must equal the batch per-user
+    totals on the same files."""
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.streaming.adapter import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from prod_recommendation_pyspark_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+    stage_dir = tempfile.mkdtemp(prefix="events_state_")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{stage_dir}/part-0.parquet")
+    stream = read_events_stream(spark, stage_dir).select("user_id", "value")
+    out = stateful_user_totals(stream)
+    run_stream_to_memory(out, "stateful_totals", output_mode="update")
+    rows = spark.sql("SELECT * FROM stateful_totals").collect()
+    # memory sink in update mode appends each update; keep the last per user
+    last = {}
+    for r in rows:
+        last[r.user_id] = (r.n_events, round(r.total_value, 6))
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    batch = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv")
+    )
+    want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
+    assert last == want
