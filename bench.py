@@ -28,9 +28,15 @@ HEADLINE = [
     "brand_revenue_broadcast_join",
     "window_analytics_orders",
     "cosine_topk_embeddings",
+    "ann_lsh_topk_embeddings",
     "minhash_lsh_dedup_candidates",
+    "simhash_near_dup_pairs",
+    "text_stats_documents",
+    "multimodal_image_features",
     "als_recommend_topn",
     "session_windows_events",
+    "peer_search_hybrid_topk",
+    "penetration_table_products",
 ]
 
 

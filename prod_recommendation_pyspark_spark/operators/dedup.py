@@ -217,26 +217,95 @@ def ngram_jaccard_pairs(
 def simhash(col: Column, bits: int = 64) -> Column:
     """SimHash of whitespace tokens, all-native: per-bit vote =
     Σ(±1 per token hash bit), signature bit = vote > 0.  Returns the
-    signature as bigint (bit 63 avoided to stay positive)."""
+    signature as bigint (bit 63 avoided to stay positive).
+
+    Single traversal: ONE ``aggregate`` over the token hashes carrying
+    an array of per-bit votes (``zip_with`` updates all bits per
+    token).  The naive per-bit formulation re-evaluates the
+    split→hash subtree once per bit — 63 array traversals per row and
+    a plan Janino refuses to compile."""
+    n_bits = min(bits, 63)
     tokens = F.split(col, r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def bit_vote(b: int):
-        return lambda a, h: a + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    acc = F.lit(0).cast("long")
-    for b in range(min(bits, 63)):
-        vote = F.aggregate(hashes, F.lit(0), bit_vote(b))
-        acc = acc + F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0))
-    return acc
+    powers = F.array(*[F.lit(2**b).cast("long") for b in range(n_bits)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            powers,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of
     XOR — native)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_banded_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 8,
+    bits: int = 63,
+) -> DataFrame:
+    """All pairs with Hamming(sig_a, sig_b) <= max_hamming WITHOUT the
+    O(n²) cross join — EXACT by pigeonhole: the signature is split into
+    ``max_hamming + 1`` disjoint bit-bands, so any pair within the
+    Hamming budget must agree on at least one whole band.  One shuffle
+    on (band, band_value), candidate pairs only within band buckets,
+    then the exact Hamming filter.
+
+    At 100 TB: identical scale shape as MinHash-LSH banding — the band
+    buckets are the skew risk (constant-ish signatures); cap bucket
+    sizes upstream if the corpus has degenerate boilerplate."""
+    bands = max_hamming + 1
+    width = bits // bands
+    keys = []
+    for b in range(bands):
+        start = b * width
+        w = width if b < bands - 1 else bits - start
+        mask = (1 << w) - 1
+        keys.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), start)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*keys)).alias("bk")
+    ).select(
+        id_col, sig_col, F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"), "band", "val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"), "band", "val"
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def embedding_near_dup_pairs(

@@ -15,6 +15,7 @@ from prod_recommendation_pyspark_spark.operators.dedup import (
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_banded_pairs,
 )
 from prod_recommendation_pyspark_spark.operators.multimodal import (
     attach_fake_payload,
@@ -125,22 +126,16 @@ def ngram_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_near_dup_pairs")  # no oracle: Spark-internal hash family
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(63-bit, token-level) pairs with Hamming distance ≤ 8.
-    Hash family is Spark's xxhash64 (not reproducible in DuckDB →
-    rows-only check; recall property vs Jaccard pairs is a pytest).
-    At scale: block by signature bytes before pairing instead of the
-    cross join used at this corpus size."""
+    """SimHash(63-bit, token-level) pairs with Hamming distance ≤ 8 via
+    banded blocking — EXACT (pigeonhole over 9 disjoint bit-bands), no
+    cross join; see operators/dedup.py:simhash_banded_pairs.  Hash
+    family is Spark's xxhash64 (not reproducible in DuckDB → rows-only
+    check); banded ≡ brute-force equivalence and recall vs Jaccard
+    pairs are pytests."""
     docs = _spread(Catalog(spark, sf_dir).table("documents"))
     sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig"))
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
-        .filter(F.col("hamming") <= 8)
-        .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
+    return simhash_banded_pairs(sigs, "doc_id", "sig", max_hamming=8).orderBy(
+        "id_a", "id_b"
     )
 
 

@@ -236,8 +236,12 @@ def peer_search_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ride in the executor broadcast (fixing the reference's
     driver-collected closure lists at :538-549)."""
     firmo = _firmographics(spark, sf_dir)
-    prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
-        F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
+    # spread the streaming (left) side: single-file reads arrive as one
+    # input split and would serialize the kernel on one core
+    prospects = (
+        firmo.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     clients = firmo.filter(F.col("c_custkey") % 10 != 0).select(
         F.col("c_custkey").alias("src_custkey"), "vec", "naics", "lat", "lon"

@@ -135,3 +135,31 @@ def test_stateful_user_totals_matches_batch(spark):
     )
     want = {r.user_id: (r.n, round(r.tv, 6)) for r in batch.collect()}
     assert last == want
+
+
+def test_simhash_banded_equals_brute_force(spark):
+    """Banded SimHash pairing is exact (pigeonhole), so it must return
+    the identical pair set as the O(n^2) cross join."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        hamming64,
+        simhash,
+        simhash_banded_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig"))
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_banded_pairs(sigs, "doc_id", "sig", max_hamming=8).collect()
+    }
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= 8)
+        .collect()
+    }
+    assert banded == brute and len(banded) > 0
