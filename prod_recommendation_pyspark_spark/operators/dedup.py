@@ -313,25 +313,36 @@ def embedding_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b) above threshold.
-    Uses the declarative dot product on L2-normalized vectors; for
-    massive tables swap in the blocked kernel
-    (operators.similarity.cosine_topk) with k = small and threshold."""
+
+    Declarative dot product on L2-normalized vectors.  Default is the
+    exact all-pairs cross join (correctness baseline / small tables).
+    At scale pass ``candidates`` (id_a, id_b) — e.g. the bucket pairs
+    from ``similarity.ann_lsh_topk``'s sign-LSH tables — and only those
+    pairs are scored: the cross join never materializes."""
     from prod_recommendation_pyspark_spark.operators.similarity import l2_normalize
 
     norm = l2_normalize(df.select(id_col, vec_col), vec_col, "__v")
     a = norm.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
     b = norm.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    if candidates is not None:
+        pairs = (
+            candidates.select("id_a", "id_b")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(a, "id_a")
+            .join(b, "id_b")
+        )
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     dot = F.aggregate(
         F.zip_with("__va", "__vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot)
+        pairs.withColumn("cosine", dot)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -40,25 +40,52 @@ def dedup_first_by_key(
     )
 
 
-def dense_ids(df: DataFrame, key: str, id_col: str = "idx") -> DataFrame:
-    """Dense 0-based ids per distinct key (J5/B20).
+def dense_ids(
+    df: DataFrame, key: str, id_col: str = "idx", num_partitions: int | None = None
+) -> DataFrame:
+    """Dense 0-based ids per distinct key, equal to the key's rank in
+    global sort order (J5/B20).
 
     Replaces ``rdd.zipWithIndex()`` (search_ranking_peers.py:201-205,
     recommender_prod_rec.py:187-191) — which severs the Catalyst plan
-    and forces an extra job — with a deterministic window over the
-    natural key.  Contract: ``key`` values are totally ordered; equal
-    keys get the same id (it is applied to *distinct* keys).
+    and forces an extra job — WITHOUT the other classic trap, a global
+    ``Window.orderBy`` (single-reducer sort).  Scalable construction:
 
-    Scale: ``Window.orderBy`` without partitioning is a single-reducer
-    sort — acceptable for id *maps* (distinct keys — ~millions), never
-    for fact tables.  For fact-table row ids use
-    ``monotonically_increasing_id`` (non-dense) instead.
+    1. ``repartitionByRange`` the distinct keys (parallel range sort);
+    2. ``row_number`` within each range partition (local sort only);
+    3. add each partition's exclusive prefix-sum of counts as offset
+       (the offset table has one row per partition — a broadcast join).
+
+    Because range partitions are contiguous in key order,
+    ``offset + local_rank`` IS the global rank for any boundary
+    placement.  The keys are persisted between the counts pass and the
+    id pass so the sampled range boundaries are identical in both.
     """
-    w = Window.orderBy(key)
-    return (
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keyed = (
         df.select(key)
         .distinct()
-        .withColumn(id_col, (F.row_number().over(w) - 1).cast("int"))
+        .repartitionByRange(n, F.col(key))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    offsets = counts.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__cnt").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("__pid", "__off")
+    w = Window.partitionBy("__pid").orderBy(key)
+    return (
+        keyed.withColumn("__local", F.row_number().over(w) - 1)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__off") + F.col("__local")).cast("int"))
+        .select(key, id_col)
     )
 
 

@@ -163,3 +163,21 @@ def test_simhash_banded_equals_brute_force(spark):
         .collect()
     }
     assert banded == brute and len(banded) > 0
+
+
+def test_embedding_near_dup_candidates_path(spark):
+    """Candidate-restricted scoring must agree with the cross join on
+    the candidate pairs it is given."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    all_ids = emb.select(F.col("vec_id").alias("id_a"))
+    cands = all_ids.crossJoin(emb.select(F.col("vec_id").alias("id_b")))
+    via_cands = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, candidates=cands
+    )
+    key = lambda df: {(r.id_a, r.id_b, round(r.cosine, 9)) for r in df.collect()}
+    assert key(brute) == key(via_cands) and brute.count() > 0
