@@ -28,8 +28,9 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col))
+    """Whitespace token count.  Empty/whitespace-only text is 0 tokens
+    (``split('')`` yields ``['']`` — size 1 — so guard explicitly)."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
 
 
 def bpe_token_count(col: Column) -> Column:

@@ -168,7 +168,8 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT doc_id, text,
              length(text) AS n_chars,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
              length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
