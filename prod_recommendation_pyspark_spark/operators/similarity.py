@@ -354,3 +354,99 @@ def ann_lsh_topk(
     return windowed_topk(
         scored, query_id, [F.col("score").desc(), F.col(corpus_id)], k
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate nearest neighbour: IVF (inverted file) with fixed centroids
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids by
+    cosine (centroids: (centroid_id, vec) — typically a deterministic
+    sample of the corpus, so the whole index is reproducible).  One
+    broadcast join against the (small) centroid table + windowed
+    top-n_probe; no UDFs.
+
+    At 100 TB: corpus rows are written partitioned by their single
+    nearest list (``n_probe=1``); only queries fan out to multiple
+    lists, turning search into partition-pruned scans of n_probe
+    lists."""
+    c = centroids.select(
+        F.col("centroid_id").alias(list_col), F.col("vec").alias("__cvec")
+    )
+    dvec = F.col(vec_col).cast("array<double>")
+    v = df.select(F.col(id_col), dvec.alias("__v"))
+    vn = F.sqrt(F.aggregate("__v", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(
+        F.zip_with("__v", "__cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col, list_col, (dot / (vn * cn)).alias("__csim")
+    )
+    ranked = windowed_topk(
+        scored, id_col, [F.col("__csim").desc(), F.col(list_col)], n_probe
+    )
+    return ranked.select(id_col, list_col)
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vec_col: str,
+    k: int,
+    centroids: DataFrame,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-K: corpus vectors live in ONE inverted list (their
+    nearest centroid); queries probe their ``n_probe`` nearest lists
+    and rank only vectors in those lists by exact cosine.
+
+    Complement to the sign-LSH tables (``ann_lsh_topk``): IVF adapts
+    to the data distribution (lists = Voronoi cells of the centroid
+    sample) where LSH is data-oblivious; recall is tuned by n_probe ×
+    centroid count.  With deterministic centroids the index build is a
+    pure function of the corpus — reproducible and oracle-checkable."""
+    c_assign = ivf_assign(corpus, corpus_id, vec_col, centroids, n_probe=1)
+    q_assign = ivf_assign(queries, query_id, vec_col, centroids, n_probe=n_probe)
+    dvec = F.col(vec_col).cast("array<double>")
+    cv = corpus.select(F.col(corpus_id).alias("__cid"), dvec.alias("__cvec"))
+    qv = queries.select(F.col(query_id).alias("__qid"), dvec.alias("__qvec"))
+    pairs = (
+        q_assign.withColumnRenamed(query_id, "__qid")
+        .join(c_assign.withColumnRenamed(corpus_id, "__cid"), "ivf_list")
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__cid")
+        .distinct()
+    )
+    qn = F.sqrt(F.aggregate("__qvec", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(
+        F.zip_with("__qvec", "__cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        pairs.join(qv, "__qid")
+        .join(cv, "__cid")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            (dot / (qn * cn)).alias("score"),
+        )
+    )
+    return windowed_topk(
+        scored, query_id, [F.col("score").desc(), F.col(corpus_id)], k
+    )

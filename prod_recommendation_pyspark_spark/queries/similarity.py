@@ -382,3 +382,80 @@ def ann_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "tgt_id", "nbr_id", F.round("score", 4).alias("score")
     ).orderBy("tgt_id", "nbr_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF (inverted-file) with deterministic centroid sample
+# ---------------------------------------------------------------------------
+
+from prod_recommendation_pyspark_spark.operators.similarity import (  # noqa: E402
+    ann_ivf_topk,
+)
+
+_IVF_CENTROID_MOD, _IVF_NPROBE, _IVF_K = 13, 4, 5
+
+
+@register(
+    "ann_ivf_topk_embeddings",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+             WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+    c_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent)
+        WHERE rn <= 1),
+    q_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent WHERE e.vec_id % 20 = 0)
+        WHERE rn <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS tgt_id, c.vec_id AS nbr_id
+        FROM q_assign q JOIN c_assign c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT tgt_id, nbr_id, list_cosine_similarity(a.v, b.v) AS score
+        FROM cand JOIN e a ON cand.tgt_id = a.vec_id
+                  JOIN e b ON cand.nbr_id = b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM scored)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= {_IVF_K}
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5: inverted lists = Voronoi cells of a deterministic
+    corpus sample (vec_id % 13) as centroids; corpus vectors live in
+    their single nearest list, queries probe their 4 nearest lists,
+    exact cosine re-rank.  Data-adaptive complement to the sign-LSH
+    tables; fully reproducible → value-oracled in SQL.  At scale the
+    corpus is written partitioned by list id, so probing is a
+    partition-pruned scan of n_probe lists."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    out = ann_ivf_topk(
+        corpus, qs, "nbr_id", "tgt_id", "embedding",
+        k=_IVF_K, centroids=centroids, n_probe=_IVF_NPROBE,
+    )
+    return out.select(
+        "tgt_id", "nbr_id", F.round("score", 4).alias("score")
+    ).orderBy("tgt_id", "nbr_id")

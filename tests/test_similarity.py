@@ -101,3 +101,34 @@ def test_ann_lsh_recall_vs_brute_force(spark):
 
     per_q = collections.Counter(t for t, _ in ann_set)
     assert max(per_q.values()) <= 5
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF with a corpus-sample centroid set and n_probe=4 must recover
+    a solid fraction of true top-5 neighbours."""
+    from prod_recommendation_pyspark_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    ann = ann_ivf_topk(
+        corpus, qs, "nbr_id", "tgt_id", "embedding", k=5,
+        centroids=centroids, n_probe=4,
+    )
+    norm = _normalized(spark)
+    left = norm.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "vec"
+    )
+    right = norm.select(F.col("vec_id").alias("nbr_id"), "vec")
+    truth = cosine_topk_crossjoin(
+        left, right, "tgt_id", "nbr_id", "vec", k=5, exclude_self=True
+    )
+    ann_set = {(r.tgt_id, r.nbr_id) for r in ann.collect()}
+    true_set = {(r.tgt_id, r.nbr_id) for r in truth.collect()}
+    recall = len(ann_set & true_set) / len(true_set)
+    assert recall >= 0.3, f"IVF recall too low: {recall:.3f}"
