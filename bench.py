@@ -29,6 +29,7 @@ HEADLINE = [
     "window_analytics_orders",
     "cosine_topk_embeddings",
     "ann_lsh_topk_embeddings",
+    "ann_ivf_topk_embeddings",
     "minhash_lsh_dedup_candidates",
     "simhash_near_dup_pairs",
     "text_stats_documents",
