@@ -12,7 +12,7 @@ keep the contract timezone-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -63,3 +63,68 @@ def session_window_agg(
         .withColumn("window_end", F.unix_timestamp("session_window.end"))
         .drop("session_window")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the latest right
+    row of the same ``key`` with ``right_ts <= left_ts`` (NULLs when no
+    prior right row exists) — the temporal join Spark lacks natively
+    (absent from the reference too; standard in time-series engines).
+
+    Spark-first construction — ONE shuffle on ``key``, no range join,
+    no per-key collect:
+
+    1. union both sides tagged (right rows sort before left rows at
+       equal timestamps ⇒ inclusive ``<=`` semantics);
+    2. running ``last(right_payload, ignorenulls)`` over
+       (key ORDER BY ts, tag) carries the most recent right payload
+       forward to each left row;
+    3. keep left rows, unpack the payload struct.
+
+    The window is a running frame (unbounded preceding → current row),
+    so executors stream each key's partition in ts order without
+    buffering it.  Right rows should be unique per (key, ts) for
+    deterministic ties — pre-dedupe if needed.
+    """
+    rp = F.struct(*[F.col(c) for c in right_cols]).alias("__rp")
+    l_cols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ats"),
+        F.lit(1).alias("__tag"),
+        F.struct(*[F.col(c) for c in l_cols]).alias("__lp"),
+        F.lit(None).cast(
+            right.select(rp).schema["__rp"].dataType.simpleString()
+        ).alias("__rp"),
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ats"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in l_cols]).alias("__lp"))
+            .schema["__lp"].dataType.simpleString()
+        ).alias("__lp"),
+        rp,
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ats", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l.unionByName(r)
+        .withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
+        .filter(F.col("__tag") == 1)
+    )
+    out_cols = [F.col(f"__lp.{c}").alias(c) for c in l_cols] + [
+        F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_cols
+    ]
+    return filled.select(*out_cols)

@@ -126,3 +126,57 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "window_start", "window_end", "n_events", "total_value"
     ).orderBy("user_id", "window_start")
+
+
+@register(
+    "asof_click_to_view",
+    sql="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    views AS (
+        SELECT event_id, user_id, ts, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'view')
+        WHERE rn = 1)
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+           v.event_id AS view_id,
+           CAST(epoch_us(v.ts) AS BIGINT) AS view_us,
+           round(v.value, 4) AS view_value
+    FROM clicks c
+    ASOF LEFT JOIN views v ON c.user_id = v.user_id AND v.ts <= c.ts
+    ORDER BY click_id
+    """,
+)
+def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click is paired with the same user's
+    most recent view at or before the click (the temporal-join
+    pattern — attribution, point-in-time feature lookup).  Views are
+    deduped to one per (user, ts) for deterministic ties; the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from prod_recommendation_pyspark_spark.operators.events import asof_join
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        dedup_first_by_key,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = dedup_first_by_key(
+        ev.filter(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        ["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    )
+    joined = asof_join(clicks, views, "user_id", "ts", "ts", ["event_id", "ts", "value"])
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.col("asof_event_id").alias("view_id"),
+        F.unix_micros("asof_ts").alias("view_us"),
+        F.round("asof_value", 4).alias("view_value"),
+    ).orderBy("click_id")

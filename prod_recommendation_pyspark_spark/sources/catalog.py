@@ -48,8 +48,11 @@ class Catalog:
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(path)
             for c in nanos:
+                # integer division: float `/ 1000` on ~1.7e18 ns values
+                # loses precision past the 53-bit double mantissa and
+                # lands up to ~hundreds of ns off
                 df = df.withColumn(
-                    c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
             self._cache[name] = df
         return self._cache[name]

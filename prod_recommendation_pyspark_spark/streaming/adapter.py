@@ -38,7 +38,8 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     Catalog)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # integer div: float /1000 on ns longs loses sub-µs precision
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_windowed_counts(
