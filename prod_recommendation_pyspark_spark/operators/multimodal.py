@@ -105,3 +105,31 @@ def sample_frames(
     return df.select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, frame_idx int, frame_score double"
     )
+
+
+def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio-shaped plumbing: per-payload (n_samples, rms) via
+    mapInPandas.  Real path would decode PCM and window it; the stub
+    treats the payload length as the sample count and computes the RMS
+    of the sha256 digest 'waveform' — deterministic, so the whole
+    Arrow round-trip is value-checkable in SQL."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_samples, rms = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                wave = _decode_bytes(raw, fake).reshape(-1)
+                n_samples.append(len(raw))
+                rms.append(float(np.sqrt((wave**2).mean())))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": n_samples,
+                    "rms": rms,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, n_samples long, rms double"
+    )

@@ -166,3 +166,32 @@ def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
             for c in df.columns
         ]
     )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+    final_aggs: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation for skewed group keys: stage 1 aggregates
+    on (keys + random-ish salt) so a hot key's rows spread over
+    ``n_salts`` reducers; stage 2 merges the partials per key.
+
+    ``aggs`` are the partial aggregates (run within each salt bucket),
+    ``final_aggs`` merge the partial columns (e.g. partial
+    ``sum(x) AS s`` then final ``sum(s) AS s``).  The salt is
+    ``pmod(hash(all columns), n_salts)`` — deterministic per row, no
+    rand(), so results are reproducible and the operator stays
+    oracle-checkable.
+
+    Catalyst already plans partial+final HashAggregates for simple
+    aggs; explicit salting matters when the *shuffle key itself* is hot
+    (e.g. groupBy on a key where one value is 30% of 100 TB) or the
+    agg buffers are wide (collect_list/percentile).  For skewed JOINs
+    prefer AQE (``spark.sql.adaptive.skewJoin``); for skewed broadcast
+    candidates prefer broadcasting the small side outright."""
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)

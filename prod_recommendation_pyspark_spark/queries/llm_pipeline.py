@@ -266,3 +266,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.round("frame_score", 4).alias("frame_score")
     ).orderBy("media_id", "frame_idx")
+
+
+@register(
+    "multimodal_audio_features",
+    sql="""
+    WITH h AS (SELECT doc_id AS media_id, text, sha256(text) AS hx FROM documents)
+    SELECT media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples,
+           round(sqrt(list_sum(list_transform(range(1, 33),
+               i -> pow(CAST(concat('0x', substring(hx, 2*i - 1, 2)) AS INTEGER), 2)))
+               / 32.0), 4) AS rms
+    FROM h ORDER BY media_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped plumbing: payload → (sample count, digest-waveform
+    RMS) via Arrow-batched mapInPandas; deterministic stub → full value
+    oracle (same digest trick as the image/frame queries)."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = attach_fake_payload(docs, "doc_id", "text")
+    feats = extract_audio_features(media, fake=True)
+    return feats.select(
+        "media_id", "n_samples", F.round("rms", 4).alias("rms")
+    ).orderBy("media_id")

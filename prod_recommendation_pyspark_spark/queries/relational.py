@@ -493,3 +493,34 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 2))
         .orderBy("o_orderpriority")
     )
+
+
+# --- SQL entry point (spark.sql over registered views) -----------------------
+# The reference never calls spark.sql (SURVEY §3); the engine still
+# exposes the full SQL surface: Catalog.register_all + one portable
+# ANSI string that runs VERBATIM on both Spark SQL and the DuckDB
+# oracle — dialect-portability is the test.
+_Q3_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < DATE '1997-01-01'
+      AND l_shipdate > DATE '1997-01-01'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, order_date, l_orderkey
+    LIMIT 10
+    """
+
+
+@register("q3_shipping_priority_sql", sql=_Q3_SQL)
+def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped query issued through ``spark.sql`` over
+    catalog-registered views — demonstrates the SQL entry point; the
+    oracle is the *identical* SQL string."""
+    Catalog(spark, sf_dir).register_all(["customer", "orders", "lineitem"])
+    return spark.sql(_Q3_SQL)

@@ -152,3 +152,29 @@ def test_catalog_register_all_sql(spark):
     cat.register_all()
     n = spark.sql("SELECT count(*) AS n FROM lineitem").first().n
     assert n == 6000
+
+
+def test_salted_agg_equals_plain(spark):
+    """Salted two-stage aggregation must produce exactly the plain
+    groupBy result (skew mitigation is a physical choice, not a
+    semantic one)."""
+    from prod_recommendation_pyspark_spark.operators.relational import salted_agg
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    plain = {
+        (r.o_orderstatus, r.n, round(r.tot, 2))
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("tot"))
+        .collect()
+    }
+    salted = {
+        (r.o_orderstatus, r.n, round(r.tot, 2))
+        for r in salted_agg(
+            orders,
+            ["o_orderstatus"],
+            [F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("pt")],
+            [F.sum("pn").alias("n"), F.sum("pt").alias("tot")],
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
