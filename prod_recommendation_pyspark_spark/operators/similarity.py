@@ -47,7 +47,12 @@ def l2_normalize(df: DataFrame, vec_col: str, out_col: str | None = None) -> Dat
     """Unit-normalize an array column with native higher-order
     functions (replaces the reference's RDD pass
     ``x.toArray()/x.norm(2)`` at search_ranking_peers.py:210-224).
-    Zero vectors stay zero."""
+    Zero vectors stay zero.
+
+    The norm is the naive ``sqrt(sum(x²))`` — same formulation as
+    DuckDB's ``list_cosine_similarity`` oracle twin; components below
+    ~1e-154 underflow in the square (embedding-range inputs are far
+    from this; rescale first if you have denormal data)."""
     out_col = out_col or vec_col
     norm = F.sqrt(
         F.aggregate(

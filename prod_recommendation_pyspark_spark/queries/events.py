@@ -180,3 +180,38 @@ def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_ts").alias("view_us"),
         F.round("asof_value", 4).alias("view_value"),
     ).orderBy("click_id")
+
+
+@register(
+    "json_props_extract_events",
+    sql="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INT) AS max_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column surface: parse the semi-structured ``props`` string
+    with a declared schema (``from_json`` — schema'd parse beats
+    per-path ``get_json_object`` re-parsing when extracting multiple
+    fields) and aggregate the extracted field."""
+    ev = Catalog(spark, sf_dir).table("events")
+    parsed = ev.filter(F.col("props").isNotNull()).withColumn(
+        "__p", F.from_json("props", "k int")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__p.k").alias("min_k"),
+            F.max("__p.k").alias("max_k"),
+            F.round(F.avg("__p.k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -524,3 +524,36 @@ def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the *identical* SQL string."""
     Catalog(spark, sf_dir).register_all(["customer", "orders", "lineitem"])
     return spark.sql(_Q3_SQL)
+
+
+@register(
+    "cube_status_priority",
+    sql="""
+    SELECT coalesce(o_orderstatus, 'ALL')    AS status,
+           coalesce(o_orderpriority, 'ALL')  AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 2^n grouping sets in one
+    Expand + HashAggregate pass (completes the grouping-sets surface
+    next to ROLLUP and pivot)."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )

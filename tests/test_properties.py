@@ -32,11 +32,17 @@ def test_dense_ids_are_global_ranks(spark, ks):
     assert got == want
 
 
+# Magnitudes are bounded away from the denormal range: the operator
+# (like DuckDB's list_cosine_similarity, its oracle twin) computes
+# sum(x^2) naively, and x^2 underflows below ~1e-154 — a documented
+# non-goal for embedding-range inputs.
 @PROP
 @given(
     vec=st.lists(
-        st.floats(
-            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        st.one_of(
+            st.floats(min_value=1e-6, max_value=100),
+            st.floats(min_value=-100, max_value=-1e-6),
+            st.just(0.0),
         ),
         min_size=1,
         max_size=8,
