@@ -455,3 +455,45 @@ def ann_ivf_topk(
     return windowed_topk(
         scored, query_id, [F.col("score").desc(), F.col(corpus_id)], k
     )
+
+
+def cosine_topk_auto(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "vec",
+    k: int = 10,
+    threshold: float | None = None,
+    exclude_self: bool = False,
+    max_block_bytes: int = 256 * 1024 * 1024,
+    block_mod_col: str | None = None,
+) -> DataFrame:
+    """``cosine_topk`` with automatic block sizing — the reference's
+    manual ``MIN_BATCH`` knob (search_ranking_peers.py:606, 'from 5 to
+    52') generalized to the memory geometry SURVEY §7 names: the right
+    side is split into ``ceil(rows × dim × 8B / max_block_bytes)``
+    deterministic modulo blocks so each executor's broadcast stays
+    under the cap regardless of input size.
+
+    Costs one tiny aggregate on the right side (count + dim) before
+    planning; the result is exact for any block count (per-block exact
+    top-K, then one windowed re-rank)."""
+    stats = right.select(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+    ).first()
+    n_rows, dim = (stats["n"] or 0), (stats["d"] or 1)
+    block_bytes = n_rows * dim * 8
+    n_blocks = max(1, -(-block_bytes // max_block_bytes))
+    return cosine_topk(
+        left,
+        right,
+        left_id,
+        right_id,
+        vec_col,
+        k=k,
+        threshold=threshold,
+        exclude_self=exclude_self,
+        n_blocks=int(n_blocks),
+        block_mod_col=block_mod_col,
+    )
