@@ -120,10 +120,43 @@ def hybrid_topk(
     w_hops: float = DEFAULT_W_HOPS,
     w_havs: float = DEFAULT_W_HAVS,
     left_chunk: int = 512,
+    n_blocks: int = 1,
 ) -> DataFrame:
     """Blocked-broadcast hybrid top-K.  ``left_chunk`` bounds the
     (chunk × m × 6) prefix-comparison tensor so worker memory stays
-    flat regardless of Arrow batch size."""
+    flat regardless of Arrow batch size.
+
+    ``n_blocks > 1`` slices the right side into deterministic modulo
+    blocks on ``right_id`` — the reference's MIN_BATCH loop
+    (search_ranking_peers.py:489-494,606) on its original (hybrid)
+    path — runs the kernel per block and re-ranks the union with one
+    windowed top-K; exact for any block count."""
+    if n_blocks > 1:
+        parts = [
+            hybrid_topk(
+                left,
+                right.filter((F.col(right_id) % n_blocks) == b),
+                left_id,
+                right_id,
+                vec_col,
+                naics_col,
+                lat_col,
+                lon_col,
+                k,
+                threshold,
+                w_hops,
+                w_havs,
+                left_chunk,
+                n_blocks=1,
+            )
+            for b in range(n_blocks)
+        ]
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        return windowed_topk(
+            allc, left_id, [F.col("score").desc(), F.col(right_id)], k
+        )
     spark = left.sparkSession
     rows = right.select(right_id, vec_col, naics_col, lat_col, lon_col).collect()
     if not rows:

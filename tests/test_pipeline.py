@@ -94,3 +94,38 @@ def test_prod_rec_and_postprocess_stages(spark, firmo):
     mx = conf.groupBy("prospect").agg(F.max("confidence").alias("m"))
     joined = top.join(mx, "prospect").filter(F.col("confidence") != F.col("m"))
     assert joined.count() == 0
+
+
+def test_hybrid_blocked_equals_single_block(spark):
+    """Blocked hybrid kernel (MIN_BATCH parity) must equal the
+    single-block result exactly."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import hybrid_topk
+    from prod_recommendation_pyspark_spark.operators.similarity import l2_normalize
+
+    base = spark.range(120).select(
+        F.col("id").alias("key"),
+        F.array(
+            (F.col("id") % 7).cast("double") + 1.0,
+            (F.col("id") % 11).cast("double") + 0.5,
+        ).alias("raw"),
+        F.concat(F.lit("52"), F.lpad((F.col("id") % 40).cast("string"), 4, "0")).alias(
+            "naics"
+        ),
+        ((F.col("id") % 90) - 45).cast("double").alias("lat"),
+        ((F.col("id") * 3 % 180) - 90).cast("double").alias("lon"),
+    )
+    normed = l2_normalize(base, "raw", "vec")
+    prospects = normed.filter(F.col("key") % 10 == 0).select(
+        F.col("key").alias("tgt"), "vec", "naics", "lat", "lon"
+    )
+    clients = normed.filter(F.col("key") % 10 != 0).select(
+        F.col("key").alias("src"), "vec", "naics", "lat", "lon"
+    )
+
+    def pairs(nb):
+        df = hybrid_topk(
+            prospects, clients, "tgt", "src", k=15, threshold=0.0, n_blocks=nb
+        )
+        return {(r.tgt, r.src, round(r.score, 9)) for r in df.collect()}
+
+    assert pairs(1) == pairs(3) and len(pairs(1)) > 0
