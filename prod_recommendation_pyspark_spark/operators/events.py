@@ -128,3 +128,49 @@ def asof_join(
         F.col(f"__match.{c}").alias(f"asof_{c}") for c in right_cols
     ]
     return filled.select(*out_cols)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    granule: int = 3600,
+) -> DataFrame:
+    """Interval-containment join (``start <= point < end`` per key)
+    WITHOUT a nested-loop join: intervals explode into the fixed-size
+    time granules they cover, points map to their single granule, and
+    the join is a plain equi-join on (key, granule) + a residual
+    containment filter — the classic bucketed range join.
+
+    Each (point, interval) pair can meet in at most one granule (the
+    point's), so no dedup is needed.  Pick ``granule`` near the median
+    interval length: too small explodes intervals into many rows, too
+    large fills buckets with non-matching pairs for the residual
+    filter.  One shuffle on (key, granule); at 100 TB both sides can be
+    pre-bucketed on the same key to make it co-located.
+
+    ``point_col``/``start_col``/``end_col`` are numeric (e.g. epoch
+    seconds); ``end`` is exclusive.
+    """
+    g = F.lit(granule).cast("long")
+    iv = intervals.withColumn(
+        "__g",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / g),
+                F.floor((F.col(end_col) - 1) / g),
+            )
+        ),
+    )
+    pt = points.withColumn("__g", F.floor(F.col(point_col) / g))
+    return (
+        pt.join(iv, [key, "__g"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__g")
+    )

@@ -215,3 +215,60 @@ def json_props_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "range_join_purchases_sessions",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE event_type = 'click'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered),
+    iv AS (
+        SELECT user_id,
+               CAST(floor(epoch(min(ts))) AS BIGINT)        AS window_start,
+               CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS window_end
+        FROM sess GROUP BY user_id, sid),
+    p AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id, iv.window_start, iv.window_end
+    FROM p JOIN iv ON p.user_id = iv.user_id
+                  AND p.sec >= iv.window_start AND p.sec < iv.window_end
+    ORDER BY purchase_id, window_start
+    """,
+)
+def range_join_purchases_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: purchases matched into the same user's
+    click-session intervals (30-min gap sessions) via granule-explode +
+    equi-join + residual containment — no nested-loop join.  Oracle is
+    the plain inequality join over the gaps-and-islands sessions."""
+    from prod_recommendation_pyspark_spark.operators.events import (
+        range_join_bucketed,
+        session_window_agg,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    sessions = session_window_agg(
+        clicks, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("__n")]
+    ).select("user_id", "window_start", "window_end")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    return (
+        range_join_bucketed(
+            purchases, sessions, "user_id", "sec", "window_start", "window_end"
+        )
+        .select("purchase_id", "user_id", "window_start", "window_end")
+        .orderBy("purchase_id", "window_start")
+    )

@@ -93,3 +93,43 @@ def test_salted_agg_empty(spark):
         [F.sum("pv").alias("v")],
     )
     assert out.count() == 0
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    """Granule-bucketed range join must equal the naive conditional
+    join, including intervals spanning many granules and boundary
+    points (start inclusive, end exclusive)."""
+    from prod_recommendation_pyspark_spark.operators.events import (
+        range_join_bucketed,
+    )
+
+    intervals = spark.createDataFrame(
+        [
+            (1, 0, 10),        # short
+            (1, 5, 7200),      # spans 2 granules (granule=3600)
+            (2, 3600, 3601),   # exactly one second on a boundary
+            (2, 100, 100),     # empty (start == end)
+        ],
+        "k long, s long, e long",
+    )
+    points = spark.createDataFrame(
+        [(i, k, p) for i, (k, p) in enumerate(
+            [(1, 0), (1, 9), (1, 10), (1, 5), (1, 7199), (1, 7200),
+             (2, 3600), (2, 3601), (2, 100), (9, 5)]
+        )],
+        "pid long, k long, p long",
+    )
+    bucketed = {
+        (r.pid, r.s, r.e)
+        for r in range_join_bucketed(points, intervals, "k", "p", "s", "e").collect()
+    }
+    naive = {
+        (r.pid, r.s, r.e)
+        for r in points.join(
+            intervals, on=[points.k == intervals.k], how="inner"
+        )
+        .filter((F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+        .select("pid", "s", "e")
+        .collect()
+    }
+    assert bucketed == naive and len(bucketed) > 0
