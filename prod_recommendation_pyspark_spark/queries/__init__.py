@@ -19,3 +19,4 @@ from prod_recommendation_pyspark_spark.queries import similarity  # noqa: F401,E
 from prod_recommendation_pyspark_spark.queries import recommender  # noqa: F401,E402
 from prod_recommendation_pyspark_spark.queries import llm_pipeline  # noqa: F401,E402
 from prod_recommendation_pyspark_spark.queries import events  # noqa: F401,E402
+from prod_recommendation_pyspark_spark.queries import analytic  # noqa: F401,E402

@@ -1,0 +1,369 @@
+"""Deep analytic query surface — TPC-H-class shapes beyond the
+reference's own pipeline (SURVEY.md §2.3-2.8 extensions).
+
+The reference exercises only single-hop equi-joins and flat groupBy
+aggregates; a complete engine must also cover multi-hop join chains,
+semi-join subqueries, correlated scalar subqueries, outer-join
+distributions, disjunctive join predicates, and the regex/date/array
+scalar surfaces.  Every query here is value-oracled against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.queries.registry import register
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+
+# --- TPC-H Q5 shape: 6-way join chain with region filter --------------------
+@register(
+    "q5_regional_supplier_revenue",
+    sql="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop join-chain completeness (the reference never chains
+    more than two joins — SURVEY §2.3).  Six tables, one local-supplier
+    equality (c_nationkey = s_nationkey) on top of the key chain.
+
+    Scale: nation/region broadcast; the orders date filter pushes into
+    the parquet scan so the fact-side shuffle carries one year, not
+    seven; AQE reorders the customer/supplier joins by runtime size."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.table("customer")
+        .join(
+            cat.table("orders").filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(cat.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cat.table("supplier"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(cat.table("nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# --- TPC-H Q4 shape: EXISTS subquery → left-semi join -----------------------
+@register(
+    "q4_exists_order_priority",
+    sql="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-subquery shape planned as a left-semi join: the probe side
+    never materializes lineitem payload columns, and the lineitem filter
+    (l_quantity >= 45) is pushed below the join so the semi-join build
+    input is ~12% of the table."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    big_lines = cat.table("lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(big_lines, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- TPC-H Q13 shape: outer join with non-key predicate → distribution ------
+@register(
+    "q13_order_count_distribution",
+    sql="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join with an extra NON-KEY join predicate (the filter
+    must ride the join condition, not a WHERE — a WHERE would turn the
+    outer join inner) + two-level aggregation producing a histogram.
+    count(o_orderkey) counts non-null matches only, so no-order
+    customers land in the c_count=0 bucket — null-semantics parity with
+    the oracle is the point of the test."""
+    cat = Catalog(spark, sf_dir)
+    cust, orders = cat.table("customer"), cat.table("orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --- TPC-H Q17 shape: correlated scalar subquery → agg-join decorrelation ---
+@register(
+    "q17_below_avg_quantity_revenue",
+    sql="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly_revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, hand-decorrelated the way Catalyst
+    would: the per-part avg is a separate aggregate joined back on the
+    correlation key.  At scale this is one extra shuffle over a
+    pre-aggregated (partkey, avg) table instead of a per-row subquery;
+    the brand filter prunes the probe side before the join."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(cat.table("part").filter(F.col("p_brand") == "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_revenue"))
+    )
+
+
+# --- TPC-H Q19 shape: disjunctive join predicate ----------------------------
+@register(
+    "q19_disjunctive_predicate_revenue",
+    sql="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_type = 'SMALL'  AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_type = 'MEDIUM' AND p.p_size BETWEEN 11 AND 25
+           AND l.l_quantity BETWEEN 10 AND 25)
+       OR (p.p_type = 'LARGE'  AND p.p_size BETWEEN 26 AND 50
+           AND l.l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-conjuncts join predicate (TPC-H Q19's shape).  Catalyst
+    extracts the common p_partkey equi-condition so this still plans as
+    a hash join (not a nested-loop), with the disjunction applied as a
+    post-join filter; the per-side implied predicates are pushed to the
+    scans."""
+    cat = Catalog(spark, sf_dir)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 10) & q.between(1, 15))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(11, 25) & q.between(10, 25))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(26, 50) & q.between(20, 35))
+    )
+    return (
+        cat.table("lineitem")
+        .join(F.broadcast(cat.table("part")), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- HAVING (post-aggregation filter) ---------------------------------------
+@register(
+    "having_nation_balance_stats",
+    sql="""
+    SELECT c_nationkey, count(*) AS n_customers,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING avg(c_acctbal) > 4400 AND count(*) > 10
+    ORDER BY c_nationkey
+    """,
+)
+def having_nation_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter referencing two different
+    aggregates — planned as Filter over HashAggregate (no second
+    shuffle); scale-free thresholds so the query is meaningful at any
+    sf."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.avg("c_acctbal").alias("_raw_avg"),
+        )
+        .filter((F.col("_raw_avg") > 4400) & (F.col("n_customers") > 10))
+        .drop("_raw_avg")
+        .orderBy("c_nationkey")
+    )
+
+
+# --- Regex / extended string surface ----------------------------------------
+@register(
+    "regex_string_surface_part",
+    sql="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '^(\\w+)', 1)            AS first_word,
+           regexp_replace(p_name, ' ', '_', 'g')           AS name_snake,
+           len(string_split(p_name, ' '))                  AS n_words,
+           (p_type LIKE '%ALL%')                           AS like_all,
+           starts_with(p_brand, 'Brand#1')                 AS brand1x,
+           strpos(p_name, 'e')                             AS first_e,
+           left(p_name, 4)                                 AS name_left4,
+           right(p_name, 3)                                AS name_right3,
+           repeat(p_brand, 2)                              AS brand_twice,
+           replace(p_type, 'SMALL', 'S')                   AS type_abbrev,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def regex_string_surface_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + extended string surface (the reference uses no regex at
+    all — SURVEY §2.8).  All native Catalyst expressions in one
+    codegen'd projection; the same semantics expressed in DuckDB's
+    dialect (regexp_replace needs the explicit 'g' flag there, split →
+    string_split, instr → strpos) keep the oracle honest about corner
+    semantics like 1-based strpos and LIKE escaping."""
+    part = Catalog(spark, sf_dir).table("part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.col("p_type").like("%ALL%").alias("like_all"),
+        F.startswith(F.col("p_brand"), F.lit("Brand#1")).alias("brand1x"),
+        F.instr("p_name", "e").alias("first_e"),
+        F.substring("p_name", 1, 4).alias("name_left4"),
+        F.substring("p_name", -3, 3).alias("name_right3"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.replace(F.col("p_type"), F.lit("SMALL"), F.lit("S")).alias("type_abbrev"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    ).orderBy("p_partkey")
+
+
+# --- Date / timestamp function surface --------------------------------------
+@register(
+    "date_functions_orders",
+    sql="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS order_year,
+           month(o_orderdate)                                  AS order_month,
+           quarter(o_orderdate)                                AS order_quarter,
+           dayofmonth(o_orderdate)                             AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE)      AS month_start,
+           date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE))                AS days_since_epoch,
+           CAST(o_orderdate AS DATE) + 30                      AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE))                 AS month_end
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/timestamp scalar surface (the reference does all date math
+    driver-side with strptime — SURVEY F7; here it is columnar and
+    codegen'd): extraction, truncation, arithmetic, month boundaries."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.last_day(d).alias("month_end"),
+    ).orderBy("o_orderkey")
+
+
+# --- Array aggregation + lambda surface -------------------------------------
+@register(
+    "array_agg_nation_segments",
+    sql="""
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment))                    AS segments,
+           len(list_sort(list(DISTINCT c_mktsegment)))               AS n_segments,
+           list_transform(list_sort(list(DISTINCT c_mktsegment)),
+                          s -> lower(s))                             AS segments_lower
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def array_agg_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + higher-order lambda surface: collect_set →
+    deterministic sort_array, size, and a transform() lambda — the
+    building blocks the LLM-pipeline shingle/signature operators are
+    made of, oracle-checked here on plain strings (DuckDB list_*
+    equivalents)."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    segs = F.sort_array(F.collect_set("c_mktsegment"))
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(segs.alias("segments"))
+        .select(
+            "c_nationkey",
+            "segments",
+            F.size("segments").alias("n_segments"),
+            F.transform("segments", lambda s: F.lower(s)).alias("segments_lower"),
+        )
+        .orderBy("c_nationkey")
+    )
