@@ -272,3 +272,50 @@ def range_join_purchases_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("purchase_id", "user_id", "window_start", "window_end")
         .orderBy("purchase_id", "window_start")
     )
+
+
+@register(
+    "click_view_interval_join",
+    sql="""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id AS click_user, ts AS click_ts
+        FROM events WHERE event_type = 'click'),
+    views AS (
+        SELECT event_id AS view_id, user_id AS view_user, ts AS view_ts
+        FROM events WHERE event_type = 'view')
+    SELECT c.click_id, c.click_user,
+           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_us,
+           v.view_id,
+           CAST(epoch_us(v.view_ts) AS BIGINT) AS view_us
+    FROM clicks c JOIN views v
+      ON c.click_user = v.view_user
+     AND v.view_ts <= c.click_ts
+     AND v.view_ts >  c.click_ts - INTERVAL 1 HOUR
+    ORDER BY click_id, view_id
+    """,
+)
+def click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream attribution join
+    (streaming/joins.py::streaming_click_attribution — the SAME
+    function body runs here on batch inputs, so this oracle check
+    covers the streaming operator's join semantics; the streaming
+    pytest covers its incremental execution).  Each click matches every
+    same-user view in the trailing 1-hour window."""
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        split_clicks_views,
+        streaming_click_attribution,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks, views = split_clicks_views(ev)
+    return (
+        streaming_click_attribution(clicks, views, horizon="1 hour")
+        .select(
+            "click_id",
+            "click_user",
+            F.unix_micros("click_ts").alias("click_us"),
+            "view_id",
+            F.unix_micros("view_ts").alias("view_us"),
+        )
+        .orderBy("click_id", "view_id")
+    )

@@ -1,0 +1,81 @@
+"""Stream-stream join + streaming deduplication (SURVEY.md §2.12
+stretch; absent from the reference, which is batch-only).
+
+Two staples of a streaming training-data pipeline:
+
+- ``streaming_click_attribution``: watermarked stream-stream interval
+  join — each click is attributed to the same user's view no older
+  than ``horizon``.  Both sides carry watermarks so Spark can bound
+  the join state: a buffered view row is dropped once the click-side
+  watermark passes ``view.ts + horizon``; symmetric for clicks.
+  Without the time-range conjunct the state store would grow without
+  bound — the interval is what makes the join feasible on an infinite
+  stream.
+
+- ``streaming_dedup_events``: ``dropDuplicatesWithinWatermark`` on the
+  event id — the streaming twin of operators/dedup.py::exact_dedup.
+  State holds one entry per key seen within the watermark horizon and
+  is evicted as the watermark advances (exactly-once per key within
+  the horizon; at-least-once beyond it, which downstream exact dedup
+  mops up in the batch layer).
+
+Scale notes (1000 executors): both operators shuffle by the join /
+dedup key once, state is partitioned with the shuffle, and the
+watermark is the only knob bounding memory — size it to the real
+out-of-orderness (p99 event lateness), not to a guess.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def split_clicks_views(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Project the two event-type substreams used by the attribution
+    join.  Columns are prefixed per side so the joined row is
+    unambiguous (the reference renames with toDF after join — here the
+    rename happens before, so the join condition is self-documenting).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    return clicks, views
+
+
+def streaming_click_attribution(
+    clicks: DataFrame,
+    views: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Inner stream-stream join: click ↔ same-user view with
+    ``view_ts ∈ (click_ts - horizon, click_ts]``.  Works unchanged on
+    batch DataFrames (same logical plan, no state) — the parity test
+    runs it both ways."""
+    c = clicks.withWatermark("click_ts", watermark)
+    v = views.withWatermark("view_ts", watermark)
+    return c.join(
+        v,
+        (F.col("click_user") == F.col("view_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") > F.col("click_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("click_id", "click_user", "click_ts", "view_id", "view_ts")
+
+
+def streaming_dedup_events(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked streaming dedup: first arrival per key wins; state
+    for a key is dropped once the watermark passes its event time."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
