@@ -48,6 +48,14 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # Warm the FULL Python-worker pool first: sf0.001 warmup queries
+    # touch only a few partitions, so without this the first pandas-UDF
+    # query at the real sf pays ~0.5s x 32 one-time worker spawns
+    # (pandas/pyarrow imports) inside its timed section.
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     for name in names:  # warmup: codegen + Arrow init, tiny data
         try:
             QUERIES[name](spark, warmup_dir).count()

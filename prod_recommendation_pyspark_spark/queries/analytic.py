@@ -367,3 +367,52 @@ def array_agg_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --- Approximate aggregates (sketches) with oracle-checked error bounds -----
+@register(
+    "approx_sketches_orders",
+    sql="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)              AS exact_custs,
+           round(median(o_totalprice), 2)         AS exact_p50,
+           TRUE                                   AS hll_within_10pct,
+           TRUE                                   AS p50_within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def approx_sketches_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the only way COUNT(DISTINCT) and percentiles
+    scale to 100 TB (exact distinct needs a full shuffle of the key;
+    HLL++ and the quantile sketch are single-pass, mergeable, constant
+    memory).  The sketches' outputs can't be value-compared to an exact
+    oracle, so the query emits the EXACT values (oracled) plus booleans
+    asserting the sketch landed within its error bound — HLL++ at
+    rsd=0.02 within 10%, approx median within 5% — so the oracle run
+    still fails if a sketch degrades."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_custs"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("exact_p50"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("_hll"),
+            F.percentile_approx("o_totalprice", 0.5).alias("_ap50"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_custs",
+            "exact_p50",
+            (
+                F.abs(F.col("_hll") - F.col("exact_custs"))
+                <= 0.10 * F.col("exact_custs")
+            ).alias("hll_within_10pct"),
+            (
+                F.abs(F.col("_ap50") - F.col("exact_p50"))
+                <= 0.05 * F.col("exact_p50")
+            ).alias("p50_within_5pct"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -38,3 +38,25 @@ def write_parquet(
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed (optionally sorted) parquet table — the shuffle
+    amortizer for repeated joins/aggregations on the same key.  Two
+    tables bucketed by the same columns into the same bucket count
+    join WITHOUT an Exchange on either side (and without the sort, if
+    ``sort_cols`` match); at 100 TB that converts every recurring
+    fact-fact join on the bucket key from a full shuffle into a local
+    zip of pre-hashed files.  Bucketing requires the table catalog
+    (``saveAsTable``), not a bare path write."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -178,3 +178,43 @@ def test_salted_agg_equals_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed by the join key into the same bucket count
+    must join with zero Exchange operators (the 100 TB shuffle
+    amortizer); result must equal the plain join."""
+    from prod_recommendation_pyspark_spark.sources.writers import write_bucketed
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    write_bucketed(cust, "bt_customer", 8, ["c_custkey"], sort_cols=["c_custkey"])
+    write_bucketed(orders, "bt_orders", 8, ["o_custkey"], sort_cols=["o_custkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bc = spark.table("bt_customer")
+        bo = spark.table("bt_orders")
+        joined = bc.join(bo, bc.c_custkey == bo.o_custkey).groupBy(
+            "c_mktsegment"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("tot"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the groupBy shuffles once; the join itself must not
+        assert "SortMergeJoin" in plan
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges <= 1, plan
+        got = {
+            (r.c_mktsegment, r.n, round(r.tot, 2)) for r in joined.collect()
+        }
+        want = {
+            (r.c_mktsegment, r.n, round(r.tot, 2))
+            for r in cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("tot"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
