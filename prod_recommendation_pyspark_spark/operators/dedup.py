@@ -346,3 +346,75 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node repeatedly adopts the smallest label among
+    itself and its neighbors until a fixpoint.  Returns (node,
+    component) where component = min node id in the component.
+
+    This is the clustering step of near-dup dedup: LSH+verify emits
+    PAIRS; picking one canonical doc per duplicate GROUP needs the
+    transitive closure (a~b, b~c => keep one of {a,b,c}).
+
+    Scale: each round is one join + one groupBy (two shuffles on the
+    node id) over the edge list, and rounds = graph diameter.  Near-dup
+    graphs are dense small cliques (diameter ~2-3), so this beats the
+    log-n alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") in practice; for
+    adversarial long-chain graphs swap the loop body, keeping the
+    convergence harness.  Labels persist per round (referenced twice:
+    propagation + convergence count) and unpersist after the round.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("component"))
+    prev = labels.persist()
+    prev.count()
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.select(F.col("u").alias("nu"), F.col("v").alias("nv"))
+                .join(
+                    labels.select(
+                        F.col("u").alias("lu"), F.col("component").alias("lc")
+                    ),
+                    F.col("nv") == F.col("lu"),
+                )
+                .groupBy("nu")
+                .agg(F.min("lc").alias("nbr_min"))
+            )
+            # old + new component side by side: convergence check and
+            # propagation share one plan, no labels self-join
+            prop = (
+                labels.join(neighbor_min, labels.u == F.col("nu"), "left")
+                .select(
+                    "u",
+                    F.col("component").alias("old_component"),
+                    F.least(
+                        "component", F.coalesce("nbr_min", "component")
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = prop.filter(
+                F.col("component") != F.col("old_component")
+            ).count()
+            prev.unpersist()
+            prev = prop
+            labels = prop.select("u", "component")
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()

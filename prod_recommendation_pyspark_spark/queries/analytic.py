@@ -416,3 +416,113 @@ def approx_sketches_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- Unpivot / melt (wide -> long reshape) ----------------------------------
+@register(
+    "unpivot_lineitem_measures",
+    sql="""
+    SELECT l_orderkey, l_linenumber, metric, round(val, 4) AS val
+    FROM (UNPIVOT (SELECT l_orderkey, l_linenumber,
+                          l_quantity, l_extendedprice, l_discount, l_tax
+                   FROM lineitem WHERE l_orderkey % 100 = 0)
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME metric VALUE val)
+    ORDER BY l_orderkey, l_linenumber, metric
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt — inverse of the pivot query):
+    four measure columns become (metric, val) rows.  Expand is a
+    narrow map-side operator — 4× rows, zero shuffle; the ORDER BY is
+    only for the deterministic compare."""
+    li = Catalog(spark, sf_dir).table("lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "metric",
+            "val",
+        )
+        .select(
+            "l_orderkey", "l_linenumber", "metric", F.round("val", 4).alias("val")
+        )
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )
+
+
+# --- GROUPING SETS with grouping() indicators --------------------------------
+@register(
+    "grouping_sets_customer",
+    sql="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(grouping(c_nationkey) AS INT)  AS g_nation,
+           CAST(grouping(c_mktsegment) AS INT) AS g_segment,
+           count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
+    ORDER BY g_nation, g_segment, c_nationkey, c_mktsegment
+    """,
+)
+def grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattices — two
+    disjoint single-column sets plus the grand total) with grouping()
+    null-vs-group disambiguation.  One shuffle; Spark expands the sets
+    map-side before the exchange."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    return (
+        cust.groupingSets(
+            [["c_nationkey"], ["c_mktsegment"], []],
+            "c_nationkey",
+            "c_mktsegment",
+        )
+        .agg(
+            F.grouping("c_nationkey").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("g_nation", "g_segment", "c_nationkey", "c_mktsegment")
+    )
+
+
+# --- Time-range window frame (RANGE BETWEEN interval) ------------------------
+@register(
+    "range_frame_user_activity",
+    sql="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           round(sum(value) OVER w, 4)  AS trailing_hour_value,
+           count(*) OVER w              AS trailing_hour_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def range_frame_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based frame, not row-count): per
+    user, the trailing-hour running total — frames differ from ROWS
+    wherever events share a timestamp or gap irregularly.  One shuffle
+    on user_id; the frame scan is a single ordered pass per
+    partition."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("sec"),
+            F.round(F.sum("value").over(w), 4).alias("trailing_hour_value"),
+            F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
+        )
+        .orderBy("event_id")
+    )

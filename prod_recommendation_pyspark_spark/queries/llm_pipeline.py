@@ -294,3 +294,56 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_samples", F.round("rms", 4).alias("rms")
     ).orderBy("media_id")
+
+
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    edges AS (SELECT id_a, id_b
+              FROM common
+              JOIN sizes sa ON common.id_a = sa.doc_id
+              JOIN sizes sb ON common.id_b = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION
+                    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT doc_id, component, doc_id = component AS is_canonical
+    FROM comp ORDER BY doc_id
+    """
+
+
+@register("near_dup_clusters", sql=_CLUSTERS_SQL)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup DECISION table: LSH candidates →
+    exact-Jaccard verify (≥0.8) → connected components (transitive
+    closure: a~b, b~c puts {a,b,c} in one group) → canonical = min
+    doc_id per component.  Docs with no near-dup are absent (nothing
+    to decide).  Oracle = DuckDB recursive-CTE transitive closure over
+    the brute-force Jaccard pairs.
+
+    This is the operator a 100 TB pipeline actually runs to DROP
+    duplicates: anti-join the corpus against rows with
+    is_canonical=false."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    cands = lsh_candidate_pairs(
+        docs, "doc_id", "text", shingle_words=3, n_hashes=64, bands=16
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    ).select("id_a", "id_b")
+    cc = connected_components(verified, "id_a", "id_b")
+    return cc.select(
+        F.col("u").alias("doc_id"),
+        "component",
+        (F.col("u") == F.col("component")).alias("is_canonical"),
+    ).orderBy("doc_id")

@@ -181,3 +181,27 @@ def test_embedding_near_dup_candidates_path(spark):
     )
     key = lambda df: {(r.id_a, r.id_b, round(r.cosine, 9)) for r in df.collect()}
     assert key(brute) == key(via_cands) and brute.count() > 0
+
+
+def test_connected_components_shapes(spark):
+    """Chain, clique, pair, and self-loop all resolve to min-id
+    components; chain exercises multi-round propagation."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain: diameter 4
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21),                            # pair
+         (30, 30)],                           # self-loop
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.u, r.component)
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20), (30, 30)}
+    assert got == want
