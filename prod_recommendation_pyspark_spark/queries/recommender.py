@@ -289,7 +289,11 @@ def als_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonnegative scores) are pytest properties."""
     usage = _usage(spark, sf_dir)
     rated = percent_rank_ratings(usage, "custkey", "partkey", "quantity")
-    acc = accumulated_volume(rated, "custkey", "partkey", "rating", out_col="acc")
+    # persist: the dense-id maps, the ALS input, AND the map joins in
+    # recommend_topn all hang off this plan — uncached it executes ~5x
+    acc = accumulated_volume(
+        rated, "custkey", "partkey", "rating", out_col="acc"
+    ).persist()
     als_input, user_map, item_map = dense_id_ratings(acc, "custkey", "partkey", "acc")
     model = train_als(als_input.cache(), ALSConfig())
     recs = recommend_topn(model, 10, user_map, item_map)
