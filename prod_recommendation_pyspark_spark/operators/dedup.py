@@ -176,7 +176,8 @@ def ngram_jaccard_pairs(
         # MinHash+LSH pipeline) re-executes per reference.  At 100 TB
         # this materialization is the natural stage boundary between
         # candidate generation and verification; the pair set is tiny
-        # relative to the corpus.
+        # relative to the corpus.  The cache backs the returned plan —
+        # caller owns its lifetime (LRU-evicted under pressure).
         candidates = candidates.select("id_a", "id_b").persist()
         a = a.join(
             candidates.select("id_a").distinct(), "id_a", "left_semi"
@@ -353,6 +354,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation: every node repeatedly adopts the smallest label among
@@ -371,7 +373,20 @@ def connected_components(
     adversarial long-chain graphs swap the loop body, keeping the
     convergence harness.  Labels persist per round (referenced twice:
     propagation + convergence count) and unpersist after the round.
+
+    If the loop exhausts ``max_iter`` without reaching a fixpoint the
+    labels are PARTIAL (some nodes still carry a non-minimal label) —
+    ``strict=True`` (default) raises rather than silently returning
+    wrong canonical docs downstream; ``strict=False`` logs a warning
+    and returns the partial labels.
+
+    Cache lifetime: the final round's persisted labels back the
+    RETURNED plan (unpersisting here would lazily re-run every
+    iteration) — the caller owns the cache; blocks are LRU-evicted
+    under memory pressure.
     """
+    import warnings
+
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -382,6 +397,7 @@ def connected_components(
     prev = labels.persist()
     prev.count()
     try:
+        changed = 0
         for _ in range(max_iter):
             neighbor_min = (
                 sym.select(F.col("u").alias("nu"), F.col("v").alias("nv"))
@@ -415,6 +431,15 @@ def connected_components(
             labels = prop.select("u", "component")
             if changed == 0:
                 break
+        if changed != 0:
+            msg = (
+                f"connected_components did not converge in {max_iter} "
+                f"iterations ({changed} labels still changing) — labels "
+                "are partial; raise max_iter (graph diameter exceeds it)"
+            )
+            if strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
         return labels
     finally:
         sym.unpersist()

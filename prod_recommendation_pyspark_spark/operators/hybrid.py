@@ -38,6 +38,11 @@ from prod_recommendation_pyspark_spark.operators.geo import (
 )
 from prod_recommendation_pyspark_spark.operators.naics import naics_hops_score
 from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
+from prod_recommendation_pyspark_spark.operators.similarity import (
+    DEFAULT_MAX_BLOCK_BYTES,
+    _auto_n_blocks,
+    _block_slice,
+)
 
 DEFAULT_W_HOPS = 0.399  # search_ranking_peers.py:608
 DEFAULT_W_HAVS = 0.001  # search_ranking_peers.py:609
@@ -100,6 +105,9 @@ def hybrid_topk_crossjoin(
                 w_havs,
             ),
         )
+        # NaN parity with the kernel (which drops NaN via >= threshold):
+        # SQL would rank NaN first desc — drop it here too
+        .filter(~F.isnan("score"))
         .filter(F.col("score") >= threshold)
         .select(left_id, right_id, "score")
     )
@@ -120,22 +128,35 @@ def hybrid_topk(
     w_hops: float = DEFAULT_W_HOPS,
     w_havs: float = DEFAULT_W_HAVS,
     left_chunk: int = 512,
-    n_blocks: int = 1,
+    n_blocks: int | None = None,
+    block_mod_col: str | None = None,
+    max_block_bytes: int = DEFAULT_MAX_BLOCK_BYTES,
 ) -> DataFrame:
     """Blocked-broadcast hybrid top-K.  ``left_chunk`` bounds the
     (chunk × m × 6) prefix-comparison tensor so worker memory stays
     flat regardless of Arrow batch size.
 
-    ``n_blocks > 1`` slices the right side into deterministic modulo
-    blocks on ``right_id`` — the reference's MIN_BATCH loop
-    (search_ranking_peers.py:489-494,606) on its original (hybrid)
-    path — runs the kernel per block and re-ranks the union with one
-    windowed top-K; exact for any block count."""
+    ``n_blocks=None`` (default) sizes blocks from the right side's
+    memory geometry — an unbounded right side can no longer be
+    silently collected whole.  ``n_blocks > 1`` slices the right side
+    into deterministic **pmod** blocks on ``block_mod_col`` (default
+    ``right_id``; pmod so signed xxhash64-style keys are not dropped)
+    — the reference's MIN_BATCH loop (search_ranking_peers.py:
+    489-494,606) on its original (hybrid) path — runs the kernel per
+    block and re-ranks the union with one windowed top-K; exact for
+    any block count."""
+    if n_blocks is None:
+        # ~40 B/row of aux (naics bytes + 2 doubles + id) on top of the
+        # vector block
+        n_blocks = _auto_n_blocks(
+            right, vec_col, max_block_bytes, row_overhead=40
+        )
     if n_blocks > 1:
+        mod_col = block_mod_col or right_id
         parts = [
             hybrid_topk(
                 left,
-                right.filter((F.col(right_id) % n_blocks) == b),
+                _block_slice(right, mod_col, n_blocks, b),
                 left_id,
                 right_id,
                 vec_col,
@@ -181,10 +202,13 @@ def hybrid_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # one contiguous conversion per Arrow batch, sliced per chunk
+            lvec_all = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            lids_all = pdf[left_id].to_numpy()
             for s in range(0, len(pdf), left_chunk):
                 chunk = pdf.iloc[s : s + left_chunk]
-                lids = chunk[left_id].to_numpy()
-                lvec = np.array(chunk[vec_col].tolist(), dtype=np.float64)
+                lids = lids_all[s : s + left_chunk]
+                lvec = lvec_all[s : s + left_chunk]
                 cos = lvec @ mat_t  # (b, m)
 
                 # NAICS hops: prefix depth via cumulative char equality
@@ -217,16 +241,21 @@ def hybrid_topk(
                     part = np.argpartition(-score, kk - 1, axis=1)[:, :kk]
                 else:
                     part = np.broadcast_to(np.arange(m), (score.shape[0], m)).copy()
-                out = []
-                for i in range(score.shape[0]):
-                    cand = part[i]
-                    sc = score[i, cand]
-                    order = np.lexsort((ids[cand], -sc))
-                    for j in order:
-                        if sc[j] >= threshold:
-                            out.append((lids[i], ids[cand[j]], sc[j]))
-                yield pd.DataFrame(out, columns=[left_id, right_id, "score"]).astype(
-                    {left_id: "int64", right_id: "int64", "score": "float64"}
+                # vectorized emit (no per-row Python loop): order each
+                # row by (score desc, right_id asc), then one mask
+                sc = np.take_along_axis(score, part, axis=1)  # (b, kk)
+                cid = ids[part]
+                order = np.lexsort((cid, -sc), axis=-1)
+                sc = np.take_along_axis(sc, order, axis=1)
+                cid = np.take_along_axis(cid, order, axis=1)
+                keep = sc >= threshold  # NaN fails, dropped
+                lrep = np.broadcast_to(lids[:, None], sc.shape)
+                yield pd.DataFrame(
+                    {
+                        left_id: lrep[keep].astype("int64"),
+                        right_id: cid[keep].astype("int64"),
+                        "score": sc[keep].astype("float64"),
+                    }
                 )
 
     return left.select(left_id, vec_col, naics_col, lat_col, lon_col).mapInPandas(

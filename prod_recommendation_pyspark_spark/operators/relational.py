@@ -60,6 +60,12 @@ def dense_ids(
     ``offset + local_rank`` IS the global rank for any boundary
     placement.  The keys are persisted between the counts pass and the
     id pass so the sampled range boundaries are identical in both.
+
+    Cache lifetime: the persisted key set backs the RETURNED plan, so
+    it stays cached after return — the caller owns it (consume the
+    result, then ``spark.catalog.clearCache()`` if running many
+    queries in one session; blocks are MEMORY_AND_DISK and evicted
+    LRU, so creep is bounded either way).
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

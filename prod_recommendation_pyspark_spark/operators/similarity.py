@@ -94,11 +94,57 @@ def cosine_topk_crossjoin(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    scored = pairs.withColumn("score", dot).drop("__lvec", "__rvec")
+    # NaN parity with the kernel: SQL orders NaN above all doubles (a
+    # NaN score would pass any threshold and rank FIRST desc); the
+    # numpy kernel drops NaN (``s >= thr`` is False).  One contract:
+    # NaN scores are dropped in both paths.
+    scored = (
+        pairs.withColumn("score", dot)
+        .drop("__lvec", "__rvec")
+        .filter(~F.isnan("score"))
+    )
     if threshold is not None:
         scored = scored.filter(F.col("score") >= threshold)
     return windowed_topk(
         scored, left_id, [F.col("score").desc(), F.col(right_id)], k
+    )
+
+
+#: Per-executor broadcast cap for one right-side block (bytes).
+DEFAULT_MAX_BLOCK_BYTES = 256 * 1024 * 1024
+
+
+def _auto_n_blocks(
+    right: DataFrame,
+    vec_col: str,
+    max_block_bytes: int,
+    bytes_per_elem: int = 8,
+    row_overhead: int = 0,
+) -> int:
+    """Block count from the right side's memory geometry: one tiny
+    aggregate (count + dim) sizes the broadcast so each block stays
+    under ``max_block_bytes`` regardless of input size — the
+    reference's manual MIN_BATCH knob (search_ranking_peers.py:606)
+    made automatic."""
+    stats = right.select(
+        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
+    ).first()
+    n_rows, dim = (stats["n"] or 0), (stats["d"] or 1)
+    block_bytes = n_rows * (dim * bytes_per_elem + row_overhead)
+    return int(max(1, -(-block_bytes // max_block_bytes)))
+
+
+def _block_slice(right: DataFrame, mod_col: str, n_blocks: int, b: int) -> DataFrame:
+    """Deterministic modulo slice b of n_blocks.  ``pmod`` (not ``%``):
+    Spark's ``%`` keeps the dividend's sign, so signed block keys (e.g.
+    ``xxhash64`` ids) would match NO slice in 0..n_blocks-1 and be
+    silently dropped from every block.  Null keys land in slice 0
+    (pmod(null) is null, which would likewise vanish)."""
+    return right.filter(
+        F.coalesce(
+            F.pmod(F.col(mod_col).cast("long"), F.lit(n_blocks)), F.lit(0)
+        )
+        == b
     )
 
 
@@ -111,17 +157,23 @@ def cosine_topk(
     k: int = 10,
     threshold: float | None = None,
     exclude_self: bool = False,
-    n_blocks: int = 1,
+    n_blocks: int | None = None,
     block_mod_col: str | None = None,
+    max_block_bytes: int = DEFAULT_MAX_BLOCK_BYTES,
 ) -> DataFrame:
     """Blocked-broadcast cosine top-K (the scale path).
 
-    ``n_blocks > 1`` slices the right side into deterministic modulo
-    blocks on ``right_id`` (replacing the reference's seeded
-    ``randomSplit`` batching, :489-494/U2), runs the kernel per block,
-    unions, and re-ranks — each executor only ever holds one block.
-    Inputs must be L2-normalized ``array<float|double>``.
+    ``n_blocks=None`` (the default) sizes blocks automatically from the
+    right side's memory geometry — no caller can silently collect an
+    unbounded right side to the driver.  ``n_blocks > 1`` slices the
+    right side into deterministic pmod blocks on ``right_id``
+    (replacing the reference's seeded ``randomSplit`` batching,
+    :489-494/U2), runs the kernel per block, unions, and re-ranks —
+    each executor only ever holds one block.  Inputs must be
+    L2-normalized ``array<float|double>``.
     """
+    if n_blocks is None:
+        n_blocks = _auto_n_blocks(right, vec_col, max_block_bytes)
     if n_blocks <= 1:
         out = _cosine_topk_one_block(
             left, right, left_id, right_id, vec_col, k, threshold, exclude_self
@@ -131,7 +183,7 @@ def cosine_topk(
     mod_col = block_mod_col or right_id
     parts = []
     for b in range(n_blocks):
-        blk = right.filter((F.col(mod_col) % n_blocks) == b)
+        blk = _block_slice(right, mod_col, n_blocks, b)
         parts.append(
             _cosine_topk_one_block(
                 left, blk, left_id, right_id, vec_col, k, threshold, exclude_self
@@ -182,19 +234,22 @@ def _cosine_topk_one_block(
                 part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
             else:
                 part = np.broadcast_to(np.arange(m), (scores.shape[0], m)).copy()
-            rows_out = []
-            for i in range(scores.shape[0]):
-                cand = part[i]
-                sc = scores[i, cand]
-                # deterministic order: score desc, right_id asc
-                order = np.lexsort((ids[cand], -sc))
-                for j in order:
-                    s = sc[j]
-                    if s >= thr and s != -np.inf:
-                        rows_out.append((lids[i], ids[cand[j]], s))
+            # vectorized emit: per-row (score desc, right_id asc) order,
+            # then one boolean mask — no Python loop over rows
+            sc = np.take_along_axis(scores, part, axis=1)  # (b, kk)
+            cid = ids[part]  # (b, kk)
+            order = np.lexsort((cid, -sc), axis=-1)
+            sc = np.take_along_axis(sc, order, axis=1)
+            cid = np.take_along_axis(cid, order, axis=1)
+            keep = (sc >= thr) & (sc != -np.inf)  # NaN fails >=, dropped
+            lrep = np.broadcast_to(lids[:, None], sc.shape)
             yield pd.DataFrame(
-                rows_out, columns=[left_id, right_id, "score"]
-            ).astype({left_id: "int64", right_id: "int64", "score": "float64"})
+                {
+                    left_id: lrep[keep].astype("int64"),
+                    right_id: cid[keep].astype("int64"),
+                    "score": sc[keep].astype("float64"),
+                }
+            )
 
     return left.select(left_id, vec_col).mapInPandas(
         kernel, schema=f"{left_id} long, {right_id} long, score double"
@@ -469,22 +524,11 @@ def cosine_topk_auto(
     max_block_bytes: int = 256 * 1024 * 1024,
     block_mod_col: str | None = None,
 ) -> DataFrame:
-    """``cosine_topk`` with automatic block sizing — the reference's
-    manual ``MIN_BATCH`` knob (search_ranking_peers.py:606, 'from 5 to
-    52') generalized to the memory geometry SURVEY §7 names: the right
-    side is split into ``ceil(rows × dim × 8B / max_block_bytes)``
-    deterministic modulo blocks so each executor's broadcast stays
-    under the cap regardless of input size.
-
-    Costs one tiny aggregate on the right side (count + dim) before
-    planning; the result is exact for any block count (per-block exact
-    top-K, then one windowed re-rank)."""
-    stats = right.select(
-        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
-    ).first()
-    n_rows, dim = (stats["n"] or 0), (stats["d"] or 1)
-    block_bytes = n_rows * dim * 8
-    n_blocks = max(1, -(-block_bytes // max_block_bytes))
+    """Back-compat alias: auto block sizing is now ``cosine_topk``'s
+    default (``n_blocks=None``) — see ``_auto_n_blocks``.  Costs one
+    tiny aggregate on the right side (count + dim) before planning; the
+    result is exact for any block count (per-block exact top-K, then
+    one windowed re-rank)."""
     return cosine_topk(
         left,
         right,
@@ -494,6 +538,7 @@ def cosine_topk_auto(
         k=k,
         threshold=threshold,
         exclude_self=exclude_self,
-        n_blocks=int(n_blocks),
+        n_blocks=None,
         block_mod_col=block_mod_col,
+        max_block_bytes=max_block_bytes,
     )

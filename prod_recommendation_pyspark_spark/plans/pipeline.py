@@ -63,7 +63,9 @@ class PeerSearchConfig:
     w_jpmc: float = 0.05
     numeric_features: tuple = ("annual_revenue_log", "company_age", "employees", "public_flag")
     jpmc_divisions: tuple = ()  # explicit one-hot values; empty → skip OHE
-    n_blocks: int = 1  # MIN_BATCH generalized (search_ranking_peers.py:606)
+    # MIN_BATCH generalized (search_ranking_peers.py:606); None = size
+    # blocks automatically from the client side's memory geometry
+    n_blocks: int | None = None
 
 
 def _stage1_features(firmo: DataFrame, cfg: PeerSearchConfig) -> DataFrame:
@@ -129,6 +131,9 @@ def run_peer_search(
         threshold=cfg.threshold,
         w_hops=cfg.w_hops,
         w_havs=cfg.w_havs,
+        # forwarded (round-1 silent no-op); ids are signed xxhash64, so
+        # block slicing relies on hybrid_topk's pmod
+        n_blocks=cfg.n_blocks,
     )
     tgt_attrs = rename_with_prefix(
         left.drop("vec", "raw_vec", "__side"), "tgt_"

@@ -339,10 +339,10 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_nation_segments",
     sql="""
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment))                    AS segments,
-           len(list_sort(list(DISTINCT c_mktsegment)))               AS n_segments,
-           list_transform(list_sort(list(DISTINCT c_mktsegment)),
-                          s -> lower(s))                             AS segments_lower
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|')  AS segments,
+           len(list_sort(list(DISTINCT c_mktsegment)))                   AS n_segments,
+           array_to_string(list_transform(list_sort(list(DISTINCT c_mktsegment)),
+                          s -> lower(s)), '|')                           AS segments_lower
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
@@ -353,17 +353,23 @@ def array_agg_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic sort_array, size, and a transform() lambda — the
     building blocks the LLM-pipeline shingle/signature operators are
     made of, oracle-checked here on plain strings (DuckDB list_*
-    equivalents)."""
+    equivalents).
+
+    The arrays are joined to '|'-delimited strings in the OUTPUT
+    projection only (the agg/lambda surface is still exercised on real
+    arrays) — the driver's pandas canonicalizer cannot hash list cells."""
     cust = Catalog(spark, sf_dir).table("customer")
     segs = F.sort_array(F.collect_set("c_mktsegment"))
     return (
         cust.groupBy("c_nationkey")
-        .agg(segs.alias("segments"))
+        .agg(segs.alias("segs"))
         .select(
             "c_nationkey",
-            "segments",
-            F.size("segments").alias("n_segments"),
-            F.transform("segments", lambda s: F.lower(s)).alias("segments_lower"),
+            F.array_join("segs", "|").alias("segments"),
+            F.size("segs").alias("n_segments"),
+            F.array_join(
+                F.transform("segs", lambda s: F.lower(s)), "|"
+            ).alias("segments_lower"),
         )
         .orderBy("c_nationkey")
     )

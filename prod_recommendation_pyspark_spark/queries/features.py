@@ -238,8 +238,8 @@ def one_hot_segment_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                    min(c_acctbal) OVER () AS mn, max(c_acctbal) OVER () AS mx
             FROM customer))
     SELECT c_custkey,
-           [round(coalesce(bal_s, 0.0) * 0.8, 6),
-            round(coalesce(log_bal, 0.0) * 0.2, 6)] AS features
+           round(coalesce(bal_s, 0.0) * 0.8, 6)   AS f0,
+           round(coalesce(log_bal, 0.0) * 0.2, 6) AS f1
     FROM scaled
     ORDER BY c_custkey
     """,
@@ -248,7 +248,12 @@ def assemble_weighted_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 — weighted feature assembly into a native array<double>
     (VectorAssembler + per-feature weight multiplies,
     search_ranking_peers.py:442-455), the input contract of the
-    similarity engine (§2.10)."""
+    similarity engine (§2.10).
+
+    The array is built and then unpacked to scalar ``f0``/``f1`` output
+    columns: the driver's pandas canonicalizer cannot hash Python
+    lists (the round-1 red row), and element-wise scalars are the
+    stronger check anyway — the assembly order is part of the value."""
     cust = Catalog(spark, sf_dir).table("customer")
     scaled = min_max_scale(cust, ["c_acctbal"], suffix="_s")
     scaled = log10_floor(scaled, "c_acctbal", "log_bal")
@@ -263,5 +268,6 @@ def assemble_weighted_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assembled.select(
         "c_custkey",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        F.round(F.col("features")[0], 6).alias("f0"),
+        F.round(F.col("features")[1], 6).alias("f1"),
     ).orderBy("c_custkey")

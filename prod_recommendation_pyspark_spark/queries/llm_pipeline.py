@@ -347,3 +347,36 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("u") == F.col("component")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+@register(
+    "simhash_banded_vs_brute",
+    sql="""
+    SELECT CAST(0 AS BIGINT) AS sym_diff, TRUE AS has_pairs
+    """,
+)
+def simhash_banded_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded≡brute SimHash property, driver-checkable: the
+    pigeonhole-banded pair set (operators/dedup.py:simhash_banded_pairs)
+    must equal the O(n²) brute-force Hamming≤8 pair set EXACTLY —
+    symmetric difference 0 — and be non-empty on this corpus.  Spark's
+    xxhash64 has no DuckDB twin, so the signature VALUES can't be
+    oracled; the set-equality property can (constants oracle, same
+    pattern as the sketch error-bound booleans)."""
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig")).persist()
+    banded = simhash_banded_pairs(sigs, "doc_id", "sig", max_hamming=8).select(
+        "id_a", "id_b"
+    )
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("sig_a"), F.col("sig_b")) <= 8)
+        .select("id_a", "id_b")
+    ).persist()
+    diff = banded.exceptAll(brute).unionByName(brute.exceptAll(banded))
+    return diff.agg(F.count(F.lit(1)).alias("sym_diff")).crossJoin(
+        brute.agg((F.count(F.lit(1)) > 0).alias("has_pairs"))
+    )

@@ -279,6 +279,49 @@ def penetration_table_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("prospect", "rnk")
 
 
+@register(
+    "als_grid_search_rmse",
+    sql="""
+    SELECT * FROM (VALUES
+        (CAST(5  AS INTEGER), CAST(0.01 AS DOUBLE), TRUE),
+        (CAST(5  AS INTEGER), CAST(0.1  AS DOUBLE), TRUE),
+        (CAST(10 AS INTEGER), CAST(0.01 AS DOUBLE), TRUE),
+        (CAST(10 AS INTEGER), CAST(0.1  AS DOUBLE), TRUE)
+    ) AS t(als_rank, reg_param, rmse_ok)
+    ORDER BY als_rank, reg_param
+    """,
+)
+def als_grid_search_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10+M11 — holdout-RMSE grid search
+    (recommender_prod_rec.py:234-259, with B21's train-on-everything
+    split fixed): 2×2 grid over (rank, regParam), one explicit 80/20
+    holdout, RMSE per fit.  The RMSE *value* depends on MLlib's
+    internal partitioned solve, so the driver-checkable contract is its
+    shape: one row per grid point with a bounded-RMSE boolean
+    (percent-rank ratings ≤ ~1, implicit predictions ∈ [0,1] ⇒ RMSE
+    far below 2).  Exact best-config selection is a pytest property."""
+    from prod_recommendation_pyspark_spark.recommender.als import grid_search_all
+
+    usage = _usage(spark, sf_dir).filter(F.col("custkey") % 4 == 0)
+    rated = percent_rank_ratings(usage, "custkey", "partkey", "quantity")
+    acc = accumulated_volume(rated, "custkey", "partkey", "rating", out_col="acc")
+    als_input, _, _ = dense_id_ratings(acc, "custkey", "partkey", "acc")
+    results = grid_search_all(
+        als_input.cache(),
+        ranks=(5, 10),
+        max_iters=(3,),
+        reg_params=(0.01, 0.1),
+        seed=0,
+    )
+    rows = [
+        (cfg.rank, cfg.reg_param, bool(rmse == rmse and 0.0 <= rmse < 2.0))
+        for cfg, rmse in results
+    ]
+    return spark.createDataFrame(
+        rows, "als_rank int, reg_param double, rmse_ok boolean"
+    ).orderBy("als_rank", "reg_param")
+
+
 @register("als_recommend_topn")  # no oracle: iterative MLlib model (SURVEY §5)
 def als_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9+M12 — implicit-feedback ALS end-to-end

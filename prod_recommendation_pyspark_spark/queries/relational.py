@@ -586,3 +586,84 @@ def percentiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- S1/S5/S6/S7: sink → source round-trip, driver-checkable ---------------
+@register(
+    "sink_roundtrip_nation",
+    sql="""
+    SELECT n_nationkey,
+           n_name      AS name_csv,
+           n_name      AS name_parquet,
+           n_name      AS name_json,
+           n_regionkey AS region_pipe
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def sink_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6/S7 sinks + S1/S2/S3 readers as one driver-checkable
+    round-trip: write ``nation`` through the CSV, parquet, JSON, and
+    pipe-CSV paths (sources/writers.py:16-41), read each back with the
+    matching reader, and join all four on the key — any write/read
+    asymmetry (quoting, type coercion, header handling) breaks the
+    value hash against the plain ``nation`` oracle.
+
+    The scratch dir lives under the repo and is rewritten per run
+    (mode=overwrite); ``single_file`` exercises the reference's
+    coalesce(1) report shape (search_ranking_peers.py:168-173)."""
+    import os
+
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        read_csv,
+        read_json,
+        read_parquet,
+        read_pipe_csv,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        write_csv,
+        write_json,
+        write_parquet,
+    )
+
+    nation = Catalog(spark, sf_dir).table("nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".tmp_roundtrip")
+    write_csv(nation, f"{base}/nation_csv", single_file=True)
+    write_parquet(nation, f"{base}/nation_parquet")
+    write_json(nation, f"{base}/nation_json")
+    # S5 variant: pipe-delimited (the reference's native format)
+    nation.write.mode("overwrite").option("delimiter", "|").option(
+        "header", True
+    ).csv(f"{base}/nation_pipe")
+
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    # S2 reader: schema-on-read strings, repaired by cast (the
+    # reference's pattern at search_ranking_peers.py:346-348)
+    csv_back = read_csv(spark, f"{base}/nation_csv", infer_schema=False).select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    pq_back = read_parquet(spark, f"{base}/nation_parquet")
+    js_back = read_json(spark, f"{base}/nation_json", schema=schema)
+    pipe_back = read_pipe_csv(spark, f"{base}/nation_pipe")  # all-string (S1)
+    return (
+        csv_back.select("n_nationkey", F.col("n_name").alias("name_csv"))
+        .join(
+            pq_back.select("n_nationkey", F.col("n_name").alias("name_parquet")),
+            "n_nationkey",
+        )
+        .join(
+            js_back.select("n_nationkey", F.col("n_name").alias("name_json")),
+            "n_nationkey",
+        )
+        .join(
+            pipe_back.select(
+                F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                F.col("n_regionkey").cast("long").alias("region_pipe"),
+            ),
+            "n_nationkey",
+        )
+        .orderBy("n_nationkey")
+    )

@@ -89,6 +89,29 @@ def evaluate_rmse(model: ALSModel, test: DataFrame) -> float:
     return float(evaluator.evaluate(preds))
 
 
+def grid_search_all(
+    ratings: DataFrame,
+    ranks: list[int] = (10, 15),
+    max_iters: list[int] = (5,),
+    reg_params: list[float] = (0.001, 0.01),
+    train_fraction: float = 0.8,
+    seed: int = 0,
+) -> list[tuple[ALSConfig, float]]:
+    """M11 core — fit × evaluate every grid point on one explicit
+    holdout split; returns [(config, rmse)] in grid order.  The split
+    is cached once: each fit iterates the train side max_iter times."""
+    train, test = ratings.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
+    train = train.cache()
+    test = test.cache()
+    results = []
+    for r in ranks:
+        for mi in max_iters:
+            for rp in reg_params:
+                cfg = ALSConfig(rank=r, max_iter=mi, reg_param=rp, seed=seed)
+                results.append((cfg, evaluate_rmse(train_als(train, cfg), test)))
+    return results
+
+
 def grid_search(
     ratings: DataFrame,
     ranks: list[int] = (10, 15),
@@ -101,18 +124,10 @@ def grid_search(
     (recommender_prod_rec.py:243-259) with an explicit holdout
     (B21: its randomSplit([1.0, 0.0]) trains on everything).
     Returns (best config, best RMSE)."""
-    train, test = ratings.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
-    train = train.cache()
-    test = test.cache()
-    best_cfg, best_rmse = None, float("inf")
-    for r in ranks:
-        for mi in max_iters:
-            for rp in reg_params:
-                cfg = ALSConfig(rank=r, max_iter=mi, reg_param=rp, seed=seed)
-                rmse = evaluate_rmse(train_als(train, cfg), test)
-                if rmse < best_rmse:
-                    best_cfg, best_rmse = cfg, rmse
-    return best_cfg, best_rmse
+    results = grid_search_all(
+        ratings, ranks, max_iters, reg_params, train_fraction, seed
+    )
+    return min(results, key=lambda cr: cr[1])
 
 
 def recommend_topn(

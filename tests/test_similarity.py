@@ -151,3 +151,52 @@ def test_auto_blocking_matches_single_block(spark):
         max_block_bytes=8 * 1024,
     )
     assert _pairs(single) == _pairs(auto)
+
+
+def test_blocked_kernel_with_negative_ids(spark):
+    """pmod slicing: signed block keys (e.g. xxhash64 ids) must land in
+    exactly one block — Spark's `%` keeps the dividend's sign, so a
+    `% n_blocks == b` filter over b in 0..n-1 silently drops every
+    negative id (the round-1 advisory's high finding)."""
+    norm = _normalized(spark)
+    left = norm.select(F.col("vec_id").alias("tgt_id"), "vec")
+    right = norm.select((F.col("vec_id") - 1000).alias("nbr_id"), "vec")
+    one = cosine_topk(
+        left, right, "tgt_id", "nbr_id", "vec", k=5, n_blocks=1
+    )
+    four = cosine_topk(
+        left, right, "tgt_id", "nbr_id", "vec", k=5, n_blocks=4
+    )
+    assert _pairs(one) == _pairs(four)
+    # negative ids actually appear in the output (the regression shape)
+    assert any(n < 0 for _, n, _ in _pairs(four))
+
+
+def test_nan_vector_parity_kernel_vs_crossjoin(spark):
+    """A NaN component yields a NaN cosine; both paths must DROP the
+    pair (SQL would otherwise rank NaN first desc while numpy drops it
+    — the round-1 advisory's divergence)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.6, 0.8]),
+        (3, [float("nan"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    left = df.select(F.col("id").alias("tgt_id"), "vec")
+    right = df.select(F.col("id").alias("nbr_id"), "vec")
+    kern = cosine_topk(
+        left, right, "tgt_id", "nbr_id", "vec", k=3, threshold=-10.0,
+        exclude_self=True, n_blocks=1,
+    )
+    base = cosine_topk_crossjoin(
+        left, right, "tgt_id", "nbr_id", "vec", k=3, threshold=-10.0,
+        exclude_self=True,
+    )
+    kp, bp = _pairs(kern), _pairs(base)
+    assert kp == bp
+    # no NaN-scored pair survives in either path
+    import math as _math
+
+    assert not any(_math.isnan(s) for _, _, s in kp | bp)
+    # id 3 (NaN vec) produces no pairs at all
+    assert not any(t == 3 for t, _, _ in kp)
