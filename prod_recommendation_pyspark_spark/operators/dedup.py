@@ -371,8 +371,9 @@ def connected_components(
     log-n alternating large-star/small-star algorithm (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") in practice; for
     adversarial long-chain graphs swap the loop body, keeping the
-    convergence harness.  Labels persist per round (referenced twice:
-    propagation + convergence count) and unpersist after the round.
+    convergence harness.  Labels are localCheckpoint-ed per round
+    (referenced twice: propagation + convergence count) — materialized
+    AND lineage-truncated, see the loop-body comment.
 
     If the loop exhausts ``max_iter`` without reaching a fixpoint the
     labels are PARTIAL (some nodes still carry a non-minimal label) —
@@ -411,7 +412,17 @@ def connected_components(
                 .agg(F.min("lc").alias("nbr_min"))
             )
             # old + new component side by side: convergence check and
-            # propagation share one plan, no labels self-join
+            # propagation share one plan, no labels self-join.
+            # localCheckpoint (not persist): each round's plan would
+            # otherwise NEST the previous round's — by iteration k the
+            # logical plan holds O(2^k) operator nodes and Catalyst
+            # re-analyzes all of them every round even though execution
+            # hits the cache (the round-1 audit showed a 10k-Exchange
+            # plan text here).  Checkpointing materializes AND truncates
+            # lineage, so planning stays O(1) per round.  On a real
+            # cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+            # ``.checkpoint()`` for fault tolerance; localCheckpoint
+            # blocks are cleaned by the ContextCleaner when dereferenced.
             prop = (
                 labels.join(neighbor_min, labels.u == F.col("nu"), "left")
                 .select(
@@ -421,7 +432,7 @@ def connected_components(
                         "component", F.coalesce("nbr_min", "component")
                     ).alias("component"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = prop.filter(
                 F.col("component") != F.col("old_component")

@@ -319,3 +319,33 @@ def click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "view_id")
     )
+
+
+@register(
+    "watermark_dedup_events",
+    sql="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def watermark_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked streaming dedup
+    (streaming/joins.py::streaming_dedup_events — the SAME function
+    body; withWatermark is a no-op in batch, so the semantics under
+    check are 'exactly one survivor per key').  WHICH duplicate row
+    survives is arrival-order-dependent in both modes, so the
+    driver-checkable contract is the surviving KEY SET — projected to
+    the dedup keys it must equal DISTINCT(keys) exactly.  The
+    incremental/state-eviction behavior is covered by the streaming
+    pytest."""
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_dedup_events,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        streaming_dedup_events(ev, keys=["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )

@@ -75,7 +75,14 @@ def streaming_dedup_events(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked streaming dedup: first arrival per key wins; state
-    for a key is dropped once the watermark passes its event time."""
+    for a key is dropped once the watermark passes its event time.
+
+    On a batch DataFrame (``dropDuplicatesWithinWatermark`` is
+    streaming-only) this degrades to plain ``dropDuplicates`` — the
+    same one-survivor-per-key contract with an unbounded horizon,
+    which is what a batch replay of the stream means."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys or ["event_id"])
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
