@@ -13,7 +13,7 @@ are the in-plan equivalents.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -24,36 +24,37 @@ def string_index(
     by descending frequency, ties broken by value; ``handleInvalid=
     'keep'`` → nulls get index = #labels).
 
-    Implemented as: distinct-count the labels (tiny), window-rank them,
-    broadcast-join back.  One shuffle on the label column (cheap — it
-    is the *distinct* set), broadcast join to the fact side, no fit.
+    Implemented as: distinct-count the labels (one shuffle on the
+    *distinct* label set), rank the label dictionary DRIVER-SIDE —
+    exactly what MLlib's ``StringIndexer.fit`` does, and the dictionary
+    is broadcast-sized by contract since we broadcast-join it back —
+    then broadcast-join indices onto the fact side.  No fit object, no
+    global window (a single-partition sort, even of a tiny table,
+    would trip the WindowExec fact-table alarm).
     """
     out_col = out_col or f"{col}_idx"
-    labels = (
+    spark = df.sparkSession
+    freq_rows = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("__freq"))
-        .withColumn(
-            out_col,
-            (
-                F.row_number().over(
-                    Window.orderBy(F.col("__freq").desc(), F.col(col))
-                )
-                - 1
-            ).cast("double"),
-        )
-        .drop("__freq")
+        .collect()
     )
+    ordered = sorted(freq_rows, key=lambda r: (-r["__freq"], r[col]))
+    label_rows = [(r[col], float(i)) for i, r in enumerate(ordered)]
+    n_labels = float(len(label_rows))
+    labels = spark.createDataFrame(
+        label_rows or [("", 0.0)],
+        schema=f"`{col}` string, `{out_col}` double",
+    )
+    if not label_rows:
+        labels = labels.limit(0)
     joined = df.join(F.broadcast(labels), on=col, how="left")
     if keep_invalid:
-        # 'keep' assigns index = #labels to null/unseen. The label count
-        # rides in as a broadcast 1-row cross join — no global window
-        # (which would single-partition the fact table), no action.
-        n_df = labels.agg(F.count(F.lit(1)).cast("double").alias("__n_labels"))
-        joined = (
-            joined.crossJoin(F.broadcast(n_df))
-            .withColumn(out_col, F.coalesce(F.col(out_col), F.col("__n_labels")))
-            .drop("__n_labels")
+        # 'keep' assigns index = #labels to null/unseen (known
+        # driver-side now — no crossJoin needed)
+        joined = joined.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(n_labels))
         )
     return joined
 

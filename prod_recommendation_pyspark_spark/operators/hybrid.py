@@ -145,33 +145,46 @@ def hybrid_topk(
     489-494,606) on its original (hybrid) path — runs the kernel per
     block and re-ranks the union with one windowed top-K; exact for
     any block count."""
+    mod_col = block_mod_col or right_id
+    proj = None
     if n_blocks is None:
-        # ~40 B/row of aux (naics bytes + 2 doubles + id) on top of the
-        # vector block
-        n_blocks = _auto_n_blocks(
-            right, vec_col, max_block_bytes, row_overhead=40
+        # persist the projected right side: the auto probe and the
+        # (eager) per-block collects below share one materialization
+        # instead of re-running the upstream plan per action.
+        # ~40 B/row of aux (naics bytes + 2 doubles + id) on top of
+        # the vector block.
+        cols = list(
+            dict.fromkeys([right_id, vec_col, naics_col, lat_col, lon_col, mod_col])
         )
+        proj = right.select(*cols).persist()
+        n_blocks = _auto_n_blocks(
+            proj, vec_col, max_block_bytes, row_overhead=40
+        )
+        right = proj
     if n_blocks > 1:
-        mod_col = block_mod_col or right_id
-        parts = [
-            hybrid_topk(
-                left,
-                _block_slice(right, mod_col, n_blocks, b),
-                left_id,
-                right_id,
-                vec_col,
-                naics_col,
-                lat_col,
-                lon_col,
-                k,
-                threshold,
-                w_hops,
-                w_havs,
-                left_chunk,
-                n_blocks=1,
-            )
-            for b in range(n_blocks)
-        ]
+        try:
+            parts = [
+                hybrid_topk(
+                    left,
+                    _block_slice(right, mod_col, n_blocks, b),
+                    left_id,
+                    right_id,
+                    vec_col,
+                    naics_col,
+                    lat_col,
+                    lon_col,
+                    k,
+                    threshold,
+                    w_hops,
+                    w_havs,
+                    left_chunk,
+                    n_blocks=1,
+                )
+                for b in range(n_blocks)
+            ]
+        finally:
+            if proj is not None:
+                proj.unpersist()  # the recursive calls collect()ed eagerly
         allc = parts[0]
         for p in parts[1:]:
             allc = allc.unionByName(p)
@@ -180,6 +193,8 @@ def hybrid_topk(
         )
     spark = left.sparkSession
     rows = right.select(right_id, vec_col, naics_col, lat_col, lon_col).collect()
+    if proj is not None:
+        proj.unpersist()  # collect above was the cache's last reader
     if not rows:
         return spark.createDataFrame([], f"{left_id} long, {right_id} long, score double")
     r_ids = np.array([r[0] for r in rows], dtype=np.int64)

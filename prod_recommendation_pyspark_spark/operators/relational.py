@@ -76,16 +76,22 @@ def dense_ids(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    offsets = counts.withColumn(
-        "__off",
-        F.coalesce(
-            F.sum("__cnt").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("__pid", "__off")
+    # Exclusive prefix sum over ONE ROW PER PARTITION: ≤ parallelism
+    # rows of metadata, computed driver-side (same footprint as the
+    # range-boundary sampling repartitionByRange already does) — no
+    # global window at all, so the WindowExec single-partition alarm
+    # stays a true fact-table signal.  The collect also materializes
+    # ``keyed``, pinning the sampled range boundaries for the id pass.
+    counts = (
+        keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect()
+    )
+    running, off_rows = 0, []
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        off_rows.append((row["__pid"], running))
+        running += row["__cnt"]
+    offsets = spark.createDataFrame(
+        off_rows or [(0, 0)], "__pid int, __off long"
+    )
     w = Window.partitionBy("__pid").orderBy(key)
     return (
         keyed.withColumn("__local", F.row_number().over(w) - 1)

@@ -172,27 +172,42 @@ def cosine_topk(
     each executor only ever holds one block.  Inputs must be
     L2-normalized ``array<float|double>``.
     """
-    if n_blocks is None:
-        n_blocks = _auto_n_blocks(right, vec_col, max_block_bytes)
-    if n_blocks <= 1:
-        out = _cosine_topk_one_block(
-            left, right, left_id, right_id, vec_col, k, threshold, exclude_self
-        )
-        # kernel already emits exact top-k per left id
-        return out
     mod_col = block_mod_col or right_id
-    parts = []
-    for b in range(n_blocks):
-        blk = _block_slice(right, mod_col, n_blocks, b)
-        parts.append(
-            _cosine_topk_one_block(
-                left, blk, left_id, right_id, vec_col, k, threshold, exclude_self
+    proj = None
+    if n_blocks is None:
+        # the probe and the per-block collect(s) both execute the right
+        # side's plan — persist the (projected, small by contract) side
+        # once so auto-blocking costs a cache read, not a re-execution
+        # of a potentially codegen-heavy upstream plan
+        cols = list(dict.fromkeys([right_id, vec_col, mod_col]))
+        proj = right.select(*cols).persist()
+        n_blocks = _auto_n_blocks(proj, vec_col, max_block_bytes)
+        right = proj
+    try:
+        if n_blocks <= 1:
+            # kernel already emits exact top-k per left id
+            return _cosine_topk_one_block(
+                left, right, left_id, right_id, vec_col, k, threshold, exclude_self
             )
+        parts = []
+        for b in range(n_blocks):
+            blk = _block_slice(right, mod_col, n_blocks, b)
+            parts.append(
+                _cosine_topk_one_block(
+                    left, blk, left_id, right_id, vec_col, k, threshold, exclude_self
+                )
+            )
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        return windowed_topk(
+            allc, left_id, [F.col("score").desc(), F.col(right_id)], k
         )
-    allc = parts[0]
-    for p in parts[1:]:
-        allc = allc.unionByName(p)
-    return windowed_topk(allc, left_id, [F.col("score").desc(), F.col(right_id)], k)
+    finally:
+        if proj is not None:
+            # every collect above was eager — the cache has served its
+            # purpose by the time we return
+            proj.unpersist()
 
 
 def _cosine_topk_one_block(

@@ -667,3 +667,45 @@ def sink_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_nationkey")
     )
+
+
+# --- Skew-salted two-stage aggregation, driver-checkable -------------------
+@register(
+    "salted_agg_returnflag",
+    sql="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           count(*)                       AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted aggregation (operators/relational.py::salted_agg)
+    on a genuinely hot grouping key — ``l_returnflag`` has 3 values
+    over the whole fact table, exactly the shape where one reducer
+    would otherwise absorb ~a third of 100 TB.  Stage 1 aggregates on
+    (key, pmod-salt) spreading each hot key over 16 reducers; stage 2
+    merges partials.  The salt is a deterministic row hash, so the
+    result is bit-identical to the plain GROUP BY oracle."""
+    from prod_recommendation_pyspark_spark.operators.relational import salted_agg
+
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        aggs=[
+            F.sum("l_quantity").alias("pq"),
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("l_extendedprice").alias("pp"),
+        ],
+        final_aggs=[
+            F.round(F.sum("pq"), 2).alias("sum_qty"),
+            F.sum("pc").alias("n_rows"),
+            F.round(F.sum("pp"), 2).alias("sum_price"),
+        ],
+    ).orderBy("l_returnflag")

@@ -129,3 +129,23 @@ def test_hybrid_blocked_equals_single_block(spark):
         return {(r.tgt, r.src, round(r.score, 9)) for r in df.collect()}
 
     assert pairs(1) == pairs(3) and len(pairs(1)) > 0
+
+
+def test_peer_search_n_blocks_forwarded_over_signed_ids(spark, firmo):
+    """cfg.n_blocks must actually reach hybrid_topk (round-1 advisory:
+    it was a silent no-op) AND blocked slicing must survive the
+    pipeline's SIGNED xxhash64 ids (pmod, not %) — blocked and
+    single-block peer sets must be identical."""
+    prospects = firmo.filter(F.xxhash64("eci") % 10 == 0)
+    clients = firmo.subtract(prospects)
+
+    def peers(nb):
+        cfg = PeerSearchConfig(topk=5, n_blocks=nb)
+        df = run_peer_search(spark, prospects, clients, cfg)
+        return {
+            (r.tgt_eci, r.src_eci, round(r.score, 9))
+            for r in df.select("tgt_eci", "src_eci", "score").collect()
+        }
+
+    one, three = peers(1), peers(3)
+    assert one == three and len(one) > 0
