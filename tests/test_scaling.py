@@ -1,0 +1,54 @@
+"""Scaler operator properties: the agg+broadcast-join rewrite must keep
+``Window.partitionBy`` semantics — including null group keys forming
+their OWN group (a plain equi-join would drop them) — and constant
+columns must map to 0.0."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.features.scaling import (
+    min_max_scale,
+    standard_scale,
+)
+
+
+def test_minmax_null_group_keys_scale_within_their_group(spark):
+    rows = [
+        ("a", 0.0), ("a", 10.0),
+        (None, 5.0), (None, 15.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = {
+        (r["g"], r["x"]): r["x_scaled"]
+        for r in min_max_scale(df, ["x"], partition_by=["g"]).collect()
+    }
+    assert out[("a", 0.0)] == 0.0 and out[("a", 10.0)] == 1.0
+    # null keys are ONE group (window semantics), not dropped/NaN
+    assert out[(None, 5.0)] == 0.0 and out[(None, 15.0)] == 1.0
+
+
+def test_minmax_constant_column_is_zero(spark):
+    df = spark.createDataFrame([(1, 7.0), (2, 7.0)], "id long, x double")
+    vals = [r["x_scaled"] for r in min_max_scale(df, ["x"]).collect()]
+    assert vals == [0.0, 0.0]
+
+
+def test_standard_scale_global_matches_manual(spark):
+    import statistics
+
+    xs = [1.0, 2.0, 3.0, 4.0, 10.0]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = sorted(r["x_z"] for r in standard_scale(df, ["x"]).collect())
+    mu, sd = statistics.mean(xs), statistics.stdev(xs)
+    want = sorted((x - mu) / sd for x in xs)
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+
+
+def test_no_global_window_in_scaler_plan(spark):
+    """The round-1 regression: the scaler must NOT plan a
+    no-partition WindowExec (single-partitions the fact table)."""
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    plan = min_max_scale(df, ["x"])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
