@@ -207,3 +207,23 @@ def salted_agg(
     salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def modulo_split(
+    df: DataFrame, key_col: str, n_buckets: int = 10, train_buckets: int = 8,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test split by key arithmetic: bucket =
+    ``pmod(key, n_buckets)``; buckets < ``train_buckets`` → 'train',
+    rest → 'test'.  The scalable, reproducible replacement for
+    ``randomSplit`` (U2): membership is a pure row-local function of
+    the key — no sampling pass, no seed-vs-partitioning
+    nondeterminism, stable across reruns AND across engines (the exact
+    property the DuckDB oracle checks).  For keys with structure
+    (sequential ids), hash first; plain modulo is used where
+    cross-engine reproducibility matters more than mixing."""
+    bucket = F.pmod(F.col(key_col).cast("long"), F.lit(n_buckets))
+    return df.withColumn(
+        split_col,
+        F.when(bucket < train_buckets, F.lit("train")).otherwise(F.lit("test")),
+    )

@@ -557,3 +557,47 @@ def cosine_topk_auto(
         block_mod_col=block_mod_col,
         max_block_bytes=max_block_bytes,
     )
+
+
+def sign_lsh_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[float]]],
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs that share a sign-LSH bucket in
+    ANY table — the self-join sibling of ``ann_lsh_topk``'s
+    query-vs-corpus probing, feeding the near-dup verifiers
+    (``dedup.embedding_near_dup_pairs(candidates=...)``).
+
+    One signature projection (pure Catalyst), one shuffle on
+    (table, bucket), pair-dedup across tables.  At 100 TB write the
+    signature table bucketed by (tbl, sig) and this becomes a
+    partition-local self-join per bucket."""
+    dvec = F.col(vec_col).cast("array<double>")
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        *[
+            hyperplane_signature(dvec, t).alias(f"__sig{i}")
+            for i, t in enumerate(tables)
+        ],
+    )
+    banded = sigs.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("tbl"), F.col(f"__sig{i}").alias("sig"))
+                    for i in range(len(tables))
+                ]
+            )
+        ).alias("__k"),
+    ).select("__id", F.col("__k.tbl").alias("__tbl"), F.col("__k.sig").alias("__sig"))
+    a = banded.select(F.col("__id").alias("id_a"), "__tbl", "__sig")
+    b = banded.select(F.col("__id").alias("id_b"), "__tbl", "__sig")
+    return (
+        a.join(b, ["__tbl", "__sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

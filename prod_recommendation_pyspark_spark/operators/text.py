@@ -112,3 +112,100 @@ def text_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         language_id(c).alias("lang_pred"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / BM25 term scoring — corpus-level text analysis
+# ---------------------------------------------------------------------------
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, term, tf) for lowercased whitespace terms.  One explode +
+    one shuffle on (doc, term).  At 100 TB this is the canonical
+    token-level fan-out: ~tokens-per-doc × rows, aggregated map-side
+    before the shuffle by partial HashAggregate."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc, term, tf, df, tfidf) — smooth idf ``ln((N+1)/(df+1)) + 1``
+    (scikit-learn's formulation: strictly positive, no div-by-zero).
+
+    Shuffle shape: one on (doc, term) for tf, one on term for document
+    frequency; the corpus size N rides in as a broadcast single row.
+    ``min_df`` prunes the long tail of hapax terms BEFORE the join back
+    — at 100 TB that is most of the vocabulary."""
+    tf = term_frequencies(df, id_col, text_col)
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + F.lit(1.0)
+            ),
+        )
+        .select(id_col, "term", "tf", "df", "tfidf")
+    )
+
+
+def bm25(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_df: int = 1,
+) -> DataFrame:
+    """(doc, term, bm25) — Okapi BM25 term scores.
+
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+    The corpus aggregate (N, avgdl) is a broadcast single row; the
+    per-document length table is one row PER DOC — joined on the doc
+    key with no broadcast hint (AQE broadcasts it locally when small;
+    at 100 TB it is a co-partitioned shuffle join, which is correct)."""
+    tf = term_frequencies(df, id_col, text_col)
+    docfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = doclen.select(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    idf = F.log(
+        1.0 + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(docfreq, "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("bm25", idf * tf_norm)
+        .select(id_col, "term", "tf", "df", "dl", "bm25")
+    )

@@ -380,3 +380,214 @@ def simhash_banded_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.agg(F.count(F.lit(1)).alias("sym_diff")).crossJoin(
         brute.agg((F.count(F.lit(1)) > 0).alias("has_pairs"))
     )
+
+
+# --- Corpus-level term scoring: TF-IDF / BM25 -------------------------------
+
+_TOKENS_SQL = """
+    toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+        WHERE t.term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    corpus AS (SELECT count(*) AS n FROM documents)
+"""
+
+
+@register(
+    "tfidf_top_terms_documents",
+    sql=f"""
+    WITH {_TOKENS_SQL},
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df,
+               tf.tf * (ln((c.n + 1.0) / (d.df + 1.0)) + 1.0) AS tfidf
+        FROM tf JOIN docfreq d USING (term) CROSS JOIN corpus c
+        WHERE d.df >= 2),
+    ranked AS (
+        SELECT doc_id, term, tf, df, round(tfidf, 5) AS tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+    SELECT doc_id, term, tf, df, tfidf
+    FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF (smooth idf, scikit formulation) over the corpus — the
+    classic keyword-extraction / quality-weighting primitive.  Top-3
+    terms per document by score (row_number, term tiebreak).  Two
+    shuffles: (doc, term) and term; corpus size broadcast."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+    from prod_recommendation_pyspark_spark.operators.text import tfidf
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    scored = tfidf(docs, "doc_id", "text", min_df=2)
+    top = windowed_topk(
+        scored, "doc_id", [F.col("tfidf").desc(), F.col("term")], 3,
+    )
+    return top.select(
+        "doc_id", "term", "tf", "df", F.round("tfidf", 5).alias("tfidf")
+    ).orderBy("doc_id", "term")
+
+
+@register(
+    "bm25_top_terms_documents",
+    sql=f"""
+    WITH {_TOKENS_SQL},
+    doclen AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df, l.dl,
+               ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS bm25
+        FROM tf JOIN docfreq d USING (term)
+                JOIN doclen l USING (doc_id)
+                CROSS JOIN stats s
+        WHERE d.df >= 2),
+    ranked AS (
+        SELECT doc_id, term, round(bm25, 5) AS bm25,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY bm25 DESC, term) AS rn
+        FROM scored)
+    SELECT doc_id, term, bm25
+    FROM ranked WHERE rn <= 3
+    ORDER BY doc_id, term
+    """,
+)
+def bm25_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-3 terms per document — the
+    retrieval-grade sibling of TF-IDF; length-normalized so boilerplate
+    long docs don't dominate.  Note the per-doc length table joins on
+    the doc key WITHOUT a broadcast hint — it is corpus-sized."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+    from prod_recommendation_pyspark_spark.operators.text import bm25
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    scored = bm25(docs, "doc_id", "text", k1=1.2, b=0.75, min_df=2)
+    top = windowed_topk(
+        scored, "doc_id", [F.col("bm25").desc(), F.col("term")], 3,
+    )
+    return top.select(
+        "doc_id", "term", F.round("bm25", 5).alias("bm25")
+    ).orderBy("doc_id", "term")
+
+
+# --- K-means (Lloyd) — one oracle-checkable step ----------------------------
+@register(
+    "kmeans_one_step_embeddings",
+    sql="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id % 13 = 0),
+    assign AS (
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_distance(e.v, c.cv), c.cluster) AS rn
+            FROM e CROSS JOIN cent c)
+        WHERE rn = 1),
+    means AS (
+        SELECT a.cluster, t.i AS pos, avg(e.v[t.i + 1]) AS m
+        FROM assign a JOIN e USING (vec_id) CROSS JOIN range(64) t(i)
+        GROUP BY a.cluster, t.i)
+    SELECT cluster, CAST(pos AS INTEGER) AS pos, round(m, 6) AS mean_val
+    FROM means
+    ORDER BY cluster, pos
+    """,
+)
+def kmeans_one_step_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd step (assign → per-cluster element-wise mean), fully
+    value-oracled: centroids are the deterministic vec_id%13 corpus
+    sample (same seeding as the IVF index), assignment is nearest
+    squared-L2 with lowest-cluster tiebreak, and the updated centroids
+    are emitted in LONG form (cluster, pos, mean) so every element is a
+    driver-hashable scalar.  Multi-iteration convergence (inertia
+    non-increasing, lineage-truncated rounds) is property-tested in
+    pytest — the iterative loop itself is not SQL-expressible."""
+    from prod_recommendation_pyspark_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_update,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("cluster"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    assigned = kmeans_assign(emb, "vec_id", "embedding", centroids)
+    means = kmeans_update(assigned, emb, "vec_id", "embedding", dim=64)
+    return (
+        means.select(
+            "cluster", F.posexplode("vec").alias("pos", "mean_val")
+        )
+        .select("cluster", "pos", F.round("mean_val", 6).alias("mean_val"))
+        .orderBy("cluster", "pos")
+    )
+
+
+# --- Embedding near-dup, SCALE PATH: LSH-bucketed candidates ---------------
+from prod_recommendation_pyspark_spark.operators.similarity import (  # noqa: E402
+    random_hyperplane_tables,
+    sign_lsh_self_pairs,
+)
+from prod_recommendation_pyspark_spark.queries.similarity import (  # noqa: E402
+    _sig_sql,
+)
+
+_ND_TABLES = random_hyperplane_tables(64, 5, 6, seed=11)
+_ND_SIGS_SQL = ",\n          ".join(
+    f"{_sig_sql(t)} AS sig{i}" for i, t in enumerate(_ND_TABLES)
+)
+_ND_BANDED_SQL = "\n      UNION ALL ".join(
+    f"SELECT vec_id, {i} AS tbl, sig{i} AS sig FROM s" for i in range(len(_ND_TABLES))
+)
+
+
+@register(
+    "embedding_near_dup_lsh",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id,
+          {_ND_SIGS_SQL}
+          FROM e),
+    banded AS ({_ND_BANDED_SQL}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+    FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+              JOIN e eb ON cand.id_b = eb.vec_id
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with the SCALE path engaged: candidates come
+    from 6 seeded sign-LSH tables (5 planes each) via
+    ``sign_lsh_self_pairs`` — the all-pairs cross join never
+    materializes — then exact cosine verification ≥ 0.45 on candidates
+    only.  Fully deterministic (seeded hyperplane literals shared with
+    the SQL oracle), so the driver value-checks the ENTIRE scale path:
+    bucket assignment, candidate dedup across tables, and verified
+    scores.  Recall vs the brute pair set is asserted in pytest
+    (~0.86 at this corpus's low-cosine 'near' regime; for true
+    near-dups at cosine ≥ 0.9 the same machinery prunes far harder
+    with more planes — collision probability rises steeply with
+    similarity)."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    cands = sign_lsh_self_pairs(emb, "vec_id", "embedding", _ND_TABLES)
+    verified = embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")

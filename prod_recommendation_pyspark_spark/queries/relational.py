@@ -709,3 +709,38 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("pp"), 2).alias("sum_price"),
         ],
     ).orderBy("l_returnflag")
+
+
+# --- U2: deterministic split (randomSplit replacement), stratified counts ---
+@register(
+    "modulo_split_customer_strata",
+    sql="""
+    SELECT CASE WHEN c_custkey % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+           c_mktsegment AS segment,
+           count(*) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY split, segment
+    """,
+)
+def modulo_split_customer_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 made deterministic: key-arithmetic train/test split
+    (operators/relational.py::modulo_split — the engine's randomSplit
+    replacement, like the blocked kernels' pmod slices) with per-
+    stratum counts and means, proving the split is reproducible
+    cross-engine (the oracle recomputes membership from scratch)."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        modulo_split,
+    )
+
+    cust = Catalog(spark, sf_dir).table("customer")
+    return (
+        modulo_split(cust, "c_custkey", n_buckets=10, train_buckets=8)
+        .groupBy("split", F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .orderBy("split", "segment")
+    )

@@ -200,3 +200,36 @@ def test_nan_vector_parity_kernel_vs_crossjoin(spark):
     assert not any(_math.isnan(s) for _, _, s in kp | bp)
     # id 3 (NaN vec) produces no pairs at all
     assert not any(t == 3 for t, _, _ in kp)
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """The LSH-bucketed near-dup pair set must recover most of the
+    brute-force pair set at the same threshold (4 tables × 6 planes on
+    near-identical vectors ⇒ high bucket-collision probability)."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        random_hyperplane_tables,
+        sign_lsh_self_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45
+        ).collect()
+    }
+    tables = random_hyperplane_tables(64, 5, 6, seed=11)
+    cands = sign_lsh_self_pairs(emb, "vec_id", "embedding", tables)
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, candidates=cands
+        ).collect()
+    }
+    assert lsh <= brute  # candidates only prune, never invent
+    if brute:
+        recall = len(lsh & brute) / len(brute)
+        assert recall >= 0.6, f"LSH near-dup recall too low: {recall:.3f}"
