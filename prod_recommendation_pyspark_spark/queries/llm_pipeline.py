@@ -162,9 +162,7 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_stats_documents",
-    sql="""
+_TEXT_STATS_SQL = """
     WITH base AS (
       SELECT doc_id, text,
              length(text) AS n_chars,
@@ -195,9 +193,12 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'fr' END AS lang_pred,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
     FROM base
+    {where}
     ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("text_stats_documents", sql=_TEXT_STATS_SQL.format(where=""))
 def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass text analysis: char/token/BPE-token counts, punctuation
     and alpha ratios, composite quality score, stopword-voting language
@@ -591,3 +592,27 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "quality_filter_documents",
+    sql=_TEXT_STATS_SQL.format(
+        where="WHERE quality >= 0.5 AND lang_pred = 'en' "
+        "AND n_tokens BETWEEN 5 AND 10000"
+    ),
+)
+def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical curation filter chain over the text-stats
+    projection: quality floor + language gate + token-length bounds —
+    the shape every pretraining corpus pass runs before dedup.  Pure
+    filter over the one-pass stats projection (predicate on computed
+    columns; at scale the stats projection and filter fuse into the
+    scan's WholeStageCodegen), emitting the same driver-hashable stats
+    row for every SURVIVING document."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    stats = text_stats(docs, "text", "doc_id")
+    return stats.filter(
+        (F.col("quality") >= 0.5)
+        & (F.col("lang_pred") == "en")
+        & F.col("n_tokens").between(5, 10000)
+    ).orderBy("doc_id")

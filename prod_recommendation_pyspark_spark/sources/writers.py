@@ -60,3 +60,43 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sample_rows: int = 1000,
+    mode: str = "overwrite",
+) -> int:
+    """Size-aware parquet write: estimate the encoded bytes-per-row
+    from a small sample (written to an in-memory parquet buffer, so
+    the estimate includes the target format's encoding+compression),
+    then ``repartition(ceil(total / target_file_bytes))`` so output
+    files land near the target size.  Returns the file count used.
+
+    This is the small-files tool: a 1000-task job writing 5 MB files
+    turns a 100 TB table into ~20M objects that throttle every
+    subsequent scan's listing and open costs; compacting to
+    128-512 MB files is the standard fix.  The sample pass is one
+    ``limit(sample_rows)`` job; the write itself is the only full
+    pass.  (For repeated incremental compaction use a lakehouse
+    format's OPTIMIZE — this is the plain-parquet equivalent.)
+    """
+    import io
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_rows = df.count()
+    if n_rows == 0:
+        df.coalesce(1).write.mode(mode).parquet(path)
+        return 1
+    sample = df.limit(min(sample_rows, n_rows)).toPandas()
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pandas(sample), buf, compression="snappy")
+    bytes_per_row = max(buf.getbuffer().nbytes / max(len(sample), 1), 1.0)
+    n_files = max(1, math.ceil(n_rows * bytes_per_row / target_file_bytes))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

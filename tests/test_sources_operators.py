@@ -218,3 +218,23 @@ def test_bucketed_join_has_no_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bt_customer")
         spark.sql("DROP TABLE IF EXISTS bt_orders")
+
+
+def test_write_compacted_sizes_files(spark, tmp_path):
+    """write_compacted estimates encoded row width and picks the file
+    count; tiny target => many files, huge target => one file; data
+    round-trips either way."""
+    from prod_recommendation_pyspark_spark.sources.writers import write_compacted
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    n = li.count()
+
+    many_dir = str(tmp_path / "many")
+    n_many = write_compacted(li, many_dir, target_file_bytes=16 * 1024)
+    assert n_many > 1
+    assert spark.read.parquet(many_dir).count() == n
+
+    one_dir = str(tmp_path / "one")
+    n_one = write_compacted(li, one_dir, target_file_bytes=1 << 30)
+    assert n_one == 1
+    assert spark.read.parquet(one_dir).count() == n

@@ -89,3 +89,41 @@ def test_stream_join_bounds_state_with_interval(spark):
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "view_ts" in plan and "click_ts" in plan
     assert "<=" in plan
+
+
+def test_available_now_foreachbatch_idempotent_sink(spark, tmp_path):
+    """availableNow drains the source through the foreachBatch parquet
+    sink; a second run with the same checkpoint is a no-op (no
+    duplicate rows), and batch replay overwrites its own batch_id
+    partition instead of appending."""
+    from prod_recommendation_pyspark_spark.streaming.adapter import (
+        read_events_stream,
+    )
+    from prod_recommendation_pyspark_spark.streaming.sinks import (
+        idempotent_parquet_batch_writer,
+        run_available_now_to_parquet,
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stage_dir = _stage(1, "events_sink_")
+    stream = read_events_stream(spark, stage_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_available_now_to_parquet(stream, out, ckpt)
+    n_src = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_src
+    assert "batch_id" in first.columns
+
+    # rerun with the SAME checkpoint: source already consumed -> no-op
+    stream2 = read_events_stream(spark, stage_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    run_available_now_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == n_src
+
+    # simulate a batch REPLAY: rewriting batch 0 by hand must overwrite
+    # its partition, not append to it
+    batch0 = spark.read.parquet(out).filter("batch_id = 0").drop("batch_id")
+    idempotent_parquet_batch_writer(out)(batch0, 0)
+    assert spark.read.parquet(out).count() == n_src
