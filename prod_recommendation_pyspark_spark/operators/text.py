@@ -147,8 +147,14 @@ def tfidf(
     Shuffle shape: one on (doc, term) for tf, one on term for document
     frequency; the corpus size N rides in as a broadcast single row.
     ``min_df`` prunes the long tail of hapax terms BEFORE the join back
-    — at 100 TB that is most of the vocabulary."""
-    tf = term_frequencies(df, id_col, text_col)
+    — at 100 TB that is most of the vocabulary.
+
+    The tf table is persisted: document frequency and the score join
+    both hang off it, and without the cache each reference re-runs the
+    full tokenize+explode over the corpus (the plan audit showed the
+    scan duplicated per branch).  The cache backs the returned plan —
+    caller owns its lifetime (LRU-evicted under pressure)."""
+    tf = term_frequencies(df, id_col, text_col).persist()
     docfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -184,8 +190,12 @@ def bm25(
     The corpus aggregate (N, avgdl) is a broadcast single row; the
     per-document length table is one row PER DOC — joined on the doc
     key with no broadcast hint (AQE broadcasts it locally when small;
-    at 100 TB it is a co-partitioned shuffle join, which is correct)."""
-    tf = term_frequencies(df, id_col, text_col)
+    at 100 TB it is a co-partitioned shuffle join, which is correct).
+
+    tf is persisted: FOUR branches (score join, df, dl, corpus stats)
+    hang off it — uncached, each re-runs the corpus tokenization
+    (see :func:`tfidf`); caller owns the cache lifetime."""
+    tf = term_frequencies(df, id_col, text_col).persist()
     docfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -208,4 +218,53 @@ def bm25(
         .crossJoin(F.broadcast(stats))
         .withColumn("bm25", idf * tf_norm)
         .select(id_col, "term", "tf", "df", "dl", "bm25")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (hashing trick) — portable polynomial hash
+# ---------------------------------------------------------------------------
+
+#: Modulus for the portable term hash: prime, small enough that
+#: ``acc*31 + ord`` never overflows BIGINT between reductions.
+FEATURE_HASH_MOD = 1_000_003
+
+
+def portable_term_hash(term: Column) -> Column:
+    """Deterministic polynomial hash ``acc = (acc·31 + ascii) % p`` over
+    the term's characters.  Unlike ``xxhash64`` this is reproducible in
+    ANSI SQL (the DuckDB oracle folds the same recurrence), so the
+    whole hashing-trick pipeline is value-checkable cross-engine.  The
+    per-step mod keeps the accumulator bounded — BIGINT overflow is an
+    ERROR in strict engines, not a wraparound."""
+    chars = F.split(term, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % FEATURE_HASH_MOD,
+    )
+
+
+def feature_hash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashing-trick vectorization: (doc, bucket, weight) long-form
+    sparse features, bucket = portable_term_hash(term) % n_buckets,
+    weight = term count.  No vocabulary fit, no dictionary broadcast —
+    the classic fixed-width featurizer for unbounded vocabularies.
+    One explode + one shuffle on (doc, bucket); long form keeps every
+    value a driver-hashable scalar (assemble to arrays only at an ML
+    boundary)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("bucket", F.pmod(portable_term_hash(F.col("term")), F.lit(n_buckets)))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )

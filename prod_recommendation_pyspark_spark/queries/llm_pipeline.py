@@ -616,3 +616,39 @@ def quality_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("lang_pred") == "en")
         & F.col("n_tokens").between(5, 10000)
     ).orderBy("doc_id")
+
+
+@register(
+    "feature_hash_documents",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+        WHERE t.term <> ''),
+    hashed AS (
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_transform(string_split(term, ''), c -> ascii(c)),
+                   (acc, x) -> (acc * 31 + x) % 1000003) % 1024 AS BIGINT) AS bucket
+        FROM toks)
+    SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS weight
+    FROM hashed
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def feature_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (operators/text.py::feature_hash):
+    fixed-width sparse features with NO vocabulary fit — the standard
+    featurizer when the vocabulary is unbounded.  The term hash is a
+    portable polynomial recurrence ((acc·31 + ascii) % 1000003), so the
+    DuckDB oracle replays the exact same buckets — unlike xxhash64,
+    every stage of this pipeline is value-checked cross-engine.
+    Long-form (doc, bucket, weight) output keeps cells scalar."""
+    from prod_recommendation_pyspark_spark.operators.text import feature_hash
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    return feature_hash(docs, "doc_id", "text", n_buckets=1024).orderBy(
+        "doc_id", "bucket"
+    )
