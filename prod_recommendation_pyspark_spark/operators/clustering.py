@@ -106,8 +106,14 @@ def kmeans_fit(
     round).  Empty clusters keep their previous centroid (standard
     Lloyd fallback)."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
     spark = df.sparkSession
+    if dim_row is None:  # empty input: no assignments, no centroids
+        empty_assign = spark.createDataFrame(
+            [], f"{id_col} long, cluster int, __d2 double"
+        )
+        empty_cents = spark.createDataFrame([], "cluster int, vec array<double>")
+        return empty_assign, empty_cents
+    dim = int(dim_row["d"])
     cents = (
         df.orderBy(id_col)
         .limit(k)
