@@ -268,3 +268,127 @@ def feature_hash(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence prep: token-window chunking + budgeted packing
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token windows —
+    (doc, chunk_idx, start_token, chunk_text, n_chunk_tokens) — the
+    standard pretraining/RAG chunker.  Pure Catalyst: tokenize once,
+    ``sequence`` generates window starts, ``slice`` + ``array_join``
+    materialize each chunk.  No UDF, so it runs at scan speed and the
+    explode fan-out (≈ n_tokens / stride per doc) is the only cost.
+    Empty/whitespace docs yield no chunks."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = token_count(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start_token"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_token",
+            F.array_join(
+                F.slice("__toks", F.col("start_token") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("start_token"), F.lit(chunk_tokens)
+            ).alias("n_chunk_tokens"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Budgeted sequence packing, the Spark-friendly *fractional*
+    variant: shard deterministically by key, order within the shard by
+    key, pack_id = floor(exclusive-cumsum / budget) — every pack except
+    a shard's last holds ≥ ``budget`` tokens, documents may straddle a
+    pack boundary (the trainer's concat-then-split convention).
+
+    Scale shape: ONE shuffle (the per-shard window); shards bound
+    window partition size, and packing decisions never leave the
+    executor.  The exact next-fit variant (no straddling) is
+    ``pack_sequences_nextfit`` — same sharding, per-shard
+    applyInPandas."""
+    shard = F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn(
+            "cum_before", F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0))
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("cum_before") / F.lit(budget)).cast("long")
+        )
+    )
+
+
+def pack_sequences_nextfit(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Exact next-fit packing: docs never straddle packs — a doc that
+    would overflow the open pack starts a new one (oversized docs get
+    a pack of their own).  The running open-pack state is inherently
+    sequential, so it runs per shard in ``applyInPandas`` (Arrow-
+    batched; one shuffle on the shard key, greedy loop over a shard's
+    docs only).  Deterministic: shard = pmod(key), order by key."""
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        pack_ids, fill = [], 0
+        cur = 0
+        for n in pdf[n_tokens_col]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                cur += 1
+                fill = 0
+            pack_ids.append(cur)
+            fill += n
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf
+
+    from pyspark.sql import types as T
+
+    shard = F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+    with_shard = df.withColumn("shard", shard)
+    # fresh StructType — StructType.add MUTATES the instance, and
+    # df.schema hands back the DataFrame's cached schema object
+    schema = T.StructType(
+        list(with_shard.schema.fields) + [T.StructField("pack_id", T.LongType())]
+    )
+    return with_shard.groupBy("shard").applyInPandas(pack, schema=schema)

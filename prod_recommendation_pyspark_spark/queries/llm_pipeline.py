@@ -652,3 +652,86 @@ def feature_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feature_hash(docs, "doc_id", "text", n_buckets=1024).orderBy(
         "doc_id", "bucket"
     )
+
+
+# --- Sequence prep: chunking + packing --------------------------------------
+@register(
+    "chunk_documents_windows",
+    sql="""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+        WHERE trim(text) <> ''),
+    starts AS (
+        SELECT doc_id, toks, s.start_token
+        FROM d, unnest(range(0, len(toks), 96)) AS s(start_token))
+    SELECT doc_id,
+           CAST(start_token // 96 AS INTEGER)            AS chunk_idx,
+           CAST(start_token AS INTEGER)                  AS start_token,
+           array_to_string(toks[start_token + 1 : start_token + 128], ' ')
+                                                         AS chunk_text,
+           CAST(least(len(toks) - start_token, 128) AS INTEGER)
+                                                         AS n_chunk_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (128-token chunks, 32
+    overlap → stride 96) — the pretraining/RAG splitter, pure Catalyst
+    (tokenize once, ``sequence`` starts, ``slice`` + ``array_join``
+    per chunk).  Every output cell scalar; the oracle rebuilds the
+    same windows with DuckDB list slicing."""
+    from prod_recommendation_pyspark_spark.operators.text import chunk_documents
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=128, overlap=32)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "start_token",
+        "chunk_text",
+        "n_chunk_tokens",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "pack_sequences_fractional",
+    sql="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               doc_id % 16 AS shard,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY doc_id % 16 ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM d)
+    SELECT doc_id, n_tokens, shard, cum_before,
+           CAST(cum_before // 512 AS BIGINT) AS pack_id
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def pack_sequences_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted sequence packing, fractional variant (concat-then-split
+    trainer convention): deterministic shard, per-shard exclusive
+    running token total, pack = floor(cumsum / budget).  One shuffle;
+    the oracle recomputes shard, cumsum, and pack assignment from
+    scratch.  The exact next-fit variant (docs never straddle packs)
+    is applyInPandas-based and property-tested in pytest."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        pack_sequences,
+        token_count,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    out = pack_sequences(sized, "doc_id", "n_tokens", budget=512, n_shards=16)
+    return out.select(
+        "doc_id", "n_tokens", "shard", "cum_before", "pack_id"
+    ).orderBy("doc_id")

@@ -238,3 +238,41 @@ def test_write_compacted_sizes_files(spark, tmp_path):
     n_one = write_compacted(li, one_dir, target_file_bytes=1 << 30)
     assert n_one == 1
     assert spark.read.parquet(one_dir).count() == n
+
+
+def test_pack_sequences_nextfit_respects_budget(spark):
+    """Exact next-fit packing: no pack exceeds the budget unless it
+    holds a single oversized doc; order within a shard is preserved;
+    fractional and exact variants agree on shard assignment."""
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.text import (
+        pack_sequences,
+        pack_sequences_nextfit,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37, F.lit(300)) + 1).alias("n_tokens"),
+    )
+    budget = 256
+    exact = pack_sequences_nextfit(df, "doc_id", "n_tokens", budget=budget, n_shards=8)
+    rows = exact.collect()
+    assert len(rows) == 200
+
+    import collections
+
+    packs = collections.defaultdict(list)
+    for r in rows:
+        packs[(r["shard"], r["pack_id"])].append((r["doc_id"], r["n_tokens"]))
+    for (_, _), docs in packs.items():
+        total = sum(n for _, n in docs)
+        assert total <= budget or len(docs) == 1  # oversized doc alone
+    # next-fit never leaves a doc behind and keeps per-shard id order
+    for (_s, _p), docs in packs.items():
+        assert docs == sorted(docs)
+
+    frac = pack_sequences(df, "doc_id", "n_tokens", budget=budget, n_shards=8)
+    shard_map_exact = {r["doc_id"]: r["shard"] for r in rows}
+    for r in frac.collect():
+        assert shard_map_exact[r["doc_id"]] == r["shard"]
