@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def string_index(
@@ -43,12 +44,15 @@ def string_index(
     ordered = sorted(freq_rows, key=lambda r: (-r["__freq"], r[col]))
     label_rows = [(r[col], float(i)) for i, r in enumerate(ordered)]
     n_labels = float(len(label_rows))
-    labels = spark.createDataFrame(
-        label_rows or [("", 0.0)],
-        schema=f"`{col}` string, `{out_col}` double",
+    # schema mirrors the INPUT column's type — StringIndexer semantics
+    # apply to any orderable label type, not just strings
+    schema = T.StructType(
+        [
+            T.StructField(col, df.schema[col].dataType),
+            T.StructField(out_col, T.DoubleType()),
+        ]
     )
-    if not label_rows:
-        labels = labels.limit(0)
+    labels = spark.createDataFrame(label_rows, schema=schema)
     joined = df.join(F.broadcast(labels), on=col, how="left")
     if keep_invalid:
         # 'keep' assigns index = #labels to null/unseen (known

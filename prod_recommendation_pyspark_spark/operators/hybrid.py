@@ -192,9 +192,11 @@ def hybrid_topk(
             allc, left_id, [F.col("score").desc(), F.col(right_id)], k
         )
     spark = left.sparkSession
-    rows = right.select(right_id, vec_col, naics_col, lat_col, lon_col).collect()
-    if proj is not None:
-        proj.unpersist()  # collect above was the cache's last reader
+    try:
+        rows = right.select(right_id, vec_col, naics_col, lat_col, lon_col).collect()
+    finally:
+        if proj is not None:
+            proj.unpersist()  # collect was the cache's last reader (even on failure)
     if not rows:
         return spark.createDataFrame([], f"{left_id} long, {right_id} long, score double")
     r_ids = np.array([r[0] for r in rows], dtype=np.int64)

@@ -294,7 +294,13 @@ def chunk_documents(
     stride = chunk_tokens - overlap
     toks = tokens(F.col(text_col))
     n = token_count(F.col(text_col))
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # last useful start is < n - overlap: a start beyond that yields a
+    # chunk whose tokens all lie inside the previous chunk's coverage
+    # (pure-duplicate output — e.g. a 100-token doc at stride 96 must
+    # produce ONE chunk, not [0..100] plus the redundant [96..100])
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
+    )
     return (
         df.filter(n > 0)
         .select(

@@ -664,7 +664,7 @@ def feature_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE trim(text) <> ''),
     starts AS (
         SELECT doc_id, toks, s.start_token
-        FROM d, unnest(range(0, len(toks), 96)) AS s(start_token))
+        FROM d, unnest(range(0, greatest(len(toks) - 32, 1), 96)) AS s(start_token))
     SELECT doc_id,
            CAST(start_token // 96 AS INTEGER)            AS chunk_idx,
            CAST(start_token AS INTEGER)                  AS start_token,

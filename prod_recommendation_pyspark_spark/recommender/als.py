@@ -127,7 +127,13 @@ def grid_search(
     results = grid_search_all(
         ratings, ranks, max_iters, reg_params, train_fraction, seed
     )
-    return min(results, key=lambda cr: cr[1])
+    # skip NaN RMSEs (cold_start='drop' can empty the predictions on a
+    # degenerate split) — min() would otherwise keep a leading NaN;
+    # all-NaN/empty grid → (None, inf), the pre-refactor contract
+    valid = [(cfg, rmse) for cfg, rmse in results if rmse == rmse]
+    if not valid:
+        return None, float("inf")
+    return min(valid, key=lambda cr: cr[1])
 
 
 def recommend_topn(

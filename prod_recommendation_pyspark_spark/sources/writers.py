@@ -89,14 +89,20 @@ def write_compacted(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n_rows = df.count()
-    if n_rows == 0:
-        df.coalesce(1).write.mode(mode).parquet(path)
-        return 1
-    sample = df.limit(min(sample_rows, n_rows)).toPandas()
-    buf = io.BytesIO()
-    pq.write_table(pa.Table.from_pandas(sample), buf, compression="snappy")
-    bytes_per_row = max(buf.getbuffer().nbytes / max(len(sample), 1), 1.0)
-    n_files = max(1, math.ceil(n_rows * bytes_per_row / target_file_bytes))
-    df.repartition(n_files).write.mode(mode).parquet(path)
-    return n_files
+    # persist: count, sample, and the write all consume df — uncached,
+    # an expensive upstream plan would execute three times
+    df = df.persist()
+    try:
+        n_rows = df.count()
+        if n_rows == 0:
+            df.coalesce(1).write.mode(mode).parquet(path)
+            return 1
+        sample = df.limit(min(sample_rows, n_rows)).toPandas()
+        buf = io.BytesIO()
+        pq.write_table(pa.Table.from_pandas(sample), buf, compression="snappy")
+        bytes_per_row = max(buf.getbuffer().nbytes / max(len(sample), 1), 1.0)
+        n_files = max(1, math.ceil(n_rows * bytes_per_row / target_file_bytes))
+        df.repartition(n_files).write.mode(mode).parquet(path)
+        return n_files
+    finally:
+        df.unpersist()

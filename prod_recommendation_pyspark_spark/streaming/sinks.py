@@ -35,20 +35,19 @@ def idempotent_parquet_batch_writer(path: str):
     partition (idempotent), never duplicates it."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # per-WRITE dynamic overwrite (not the session conf): toggling
+        # the global setting races with concurrent writers sharing the
+        # session — a concurrently-restored 'static' would turn this
+        # overwrite into a full-sink truncation
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     return write_batch
 

@@ -276,3 +276,45 @@ def test_pack_sequences_nextfit_respects_budget(spark):
     shard_map_exact = {r["doc_id"]: r["shard"] for r in rows}
     for r in frac.collect():
         assert shard_map_exact[r["doc_id"]] == r["shard"]
+
+
+def test_chunk_documents_no_redundant_trailing_chunk(spark):
+    """A doc whose tokens already fit in the first chunk must produce
+    exactly ONE chunk — a trailing start inside the previous chunk's
+    coverage would emit pure-duplicate training text."""
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.text import chunk_documents
+
+    text_100 = " ".join(f"w{i}" for i in range(100))   # 100 tokens < 128
+    text_200 = " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, text_100), (2, text_200)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=128, overlap=32)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_doc[1] == 1          # 100 tokens: one chunk, no 4-token dup
+    assert per_doc[2] == 2          # 200 tokens: [0..128), [96..200)
+    # union of chunks still covers every token of doc 2
+    rows = out.filter(F.col("doc_id") == 2).orderBy("chunk_idx").collect()
+    covered = set()
+    for r in rows:
+        covered.update(range(r["start_token"],
+                             r["start_token"] + r["n_chunk_tokens"]))
+    assert covered == set(range(200))
+
+
+def test_string_index_non_string_column(spark):
+    """StringIndexer semantics on a NUMERIC label column — the label
+    table schema must mirror the input type (regression: the
+    driver-side rewrite hardcoded string)."""
+    from prod_recommendation_pyspark_spark.features.encode import string_index
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, None)], "id long, cat int"
+    )
+    out = {r["id"]: r["cat_idx"] for r in string_index(df, "cat").collect()}
+    assert out[1] == 0.0 and out[2] == 0.0    # most frequent label
+    assert out[3] == 1.0
+    assert out[4] == 2.0                       # null -> n_labels ('keep')
