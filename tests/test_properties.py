@@ -1,89 +1,107 @@
-"""Property-based tests (hypothesis) for operator invariants that the
-DuckDB oracle can't conveniently reach: randomized inputs instead of
-the fixed test tables.  Example counts are kept small — every example
-is a Spark job."""
+"""Hypothesis property tests for the sequence-prep and hashing
+operators: invariants over generated inputs, a handful of examples per
+test (each example is a real Spark job, so max_examples stays small —
+the value is edge-case generation, not volume)."""
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
+from hypothesis import given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
-PROP = settings(
-    max_examples=8,
-    deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture],
-)
-
-keys = st.lists(
-    st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=1, max_size=30
-)
+EXAMPLES = settings(max_examples=8, deadline=None)
 
 
-@PROP
-@given(ks=keys)
-def test_dense_ids_are_global_ranks(spark, ks):
-    from prod_recommendation_pyspark_spark.operators.relational import dense_ids
-
-    df = spark.createDataFrame([(k,) for k in ks], "k string")
-    got = {(r.k, r.idx) for r in dense_ids(df, "k", "idx", num_partitions=4).collect()}
-    want = {(k, i) for i, k in enumerate(sorted(set(ks)))}
-    assert got == want
-
-
-# Magnitudes are bounded away from the denormal range: the operator
-# (like DuckDB's list_cosine_similarity, its oracle twin) computes
-# sum(x^2) naively, and x^2 underflows below ~1e-154 — a documented
-# non-goal for embedding-range inputs.
-@PROP
+@EXAMPLES
 @given(
-    vec=st.lists(
-        st.one_of(
-            st.floats(min_value=1e-6, max_value=100),
-            st.floats(min_value=-100, max_value=-1e-6),
-            st.just(0.0),
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40)
+)
+def test_nextfit_packing_budget_invariant(spark, sizes):
+    """For ANY doc-size multiset: every pack's total ≤ budget unless it
+    is a single oversized doc, and every doc is packed exactly once."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        pack_sequences_nextfit,
+    )
+
+    budget = 256
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_tokens long"
+    )
+    rows = pack_sequences_nextfit(
+        df, "doc_id", "n_tokens", budget=budget, n_shards=4
+    ).collect()
+    assert len(rows) == len(sizes)
+    import collections
+
+    packs = collections.defaultdict(list)
+    for r in rows:
+        packs[(r["shard"], r["pack_id"])].append(int(r["n_tokens"]))
+    for docs in packs.values():
+        assert sum(docs) <= budget or len(docs) == 1
+
+
+@EXAMPLES
+@given(n_tokens=st.integers(min_value=1, max_value=600))
+def test_chunk_coverage_invariant(spark, n_tokens):
+    """For ANY doc length: chunks cover every token, no chunk is empty,
+    and no chunk is fully contained in the previous one (no
+    pure-duplicate output)."""
+    from prod_recommendation_pyspark_spark.operators.text import chunk_documents
+
+    chunk, overlap = 128, 32
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert rows, "non-empty doc must chunk"
+    covered = set()
+    prev_end = None
+    for r in rows:
+        start, width = r["start_token"], r["n_chunk_tokens"]
+        assert width > 0
+        if prev_end is not None:
+            assert start + width > prev_end  # contributes new tokens
+        prev_end = start + width
+        covered.update(range(start, start + width))
+    assert covered == set(range(n_tokens))
+
+
+@EXAMPLES
+@given(
+    terms=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=12,
         ),
         min_size=1,
-        max_size=8,
+        max_size=20,
     )
 )
-def test_l2_normalize_unit_norm(spark, vec):
-    import math
+def test_portable_term_hash_matches_python_reference(spark, terms):
+    """The Catalyst fold must equal the plain-Python recurrence for any
+    printable-ASCII term — the cross-engine portability contract the
+    feature-hash oracle relies on."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        FEATURE_HASH_MOD,
+        portable_term_hash,
+    )
 
-    from prod_recommendation_pyspark_spark.operators.similarity import l2_normalize
+    def ref(term: str) -> int:
+        acc = 0
+        for ch in term:
+            acc = (acc * 31 + ord(ch)) % FEATURE_HASH_MOD
+        return acc
 
-    df = spark.createDataFrame([(vec,)], "v array<double>")
-    out = l2_normalize(df, "v", "n").collect()[0]["n"]
-    norm = math.sqrt(sum(x * x for x in vec))
-    if norm == 0:
-        assert out == vec
-    else:
-        assert abs(math.sqrt(sum(x * x for x in out)) - 1.0) < 1e-9
-
-
-@PROP
-@given(texts=st.lists(st.text(alphabet="abc xyz.,!", min_size=0, max_size=40), min_size=1, max_size=10))
-def test_token_count_matches_python(spark, texts):
-    from prod_recommendation_pyspark_spark.operators.text import token_count
-
-    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
-    got = {r.i: r.n for r in df.select("i", token_count(F.col("t")).alias("n")).collect()}
-    for i, t in enumerate(texts):
-        want = len([w for w in t.strip().split() if w]) if t.strip() else 0
-        assert got[i] == want, (t, got[i], want)
-
-
-@PROP
-@given(texts=st.lists(st.text(alphabet="abcd efg", min_size=1, max_size=30), min_size=2, max_size=8))
-def test_simhash_identical_text_distance_zero(spark, texts):
-    from prod_recommendation_pyspark_spark.operators.dedup import hamming64, simhash
-
-    rows = [(i, t) for i, t in enumerate(texts + texts)]  # planted exact dups
-    df = spark.createDataFrame(rows, "i long, t string")
-    sigs = df.select("i", simhash(F.col("t")).alias("s")).collect()
-    by_text = {}
-    for r, (i, t) in zip(sorted(sigs, key=lambda r: r.i), rows):
-        by_text.setdefault(t, set()).add(r.s)
-    for t, ss in by_text.items():
-        assert len(ss) == 1, f"same text produced different signatures: {t!r}"
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["h"]
+        for r in df.select(
+            "term", portable_term_hash(F.col("term")).alias("h")
+        ).collect()
+    }
+    for t in terms:
+        assert got[t] == ref(t), t
