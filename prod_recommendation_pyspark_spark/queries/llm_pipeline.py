@@ -735,3 +735,71 @@ def pack_sequences_fractional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "shard", "cum_before", "pack_id"
     ).orderBy("doc_id")
+
+
+@register(
+    "stratified_sample_documents",
+    sql="""
+    WITH langs AS (
+        SELECT doc_id,
+               CASE WHEN hits_en = 0 AND hits_es = 0 AND hits_fr = 0 THEN 'und'
+                    WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                    WHEN hits_es >= hits_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> list_contains(['the','a','of','and','to','in','is'], x))) AS hits_en,
+                 len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> list_contains(['el','la','de','que','y','los','un'], x))) AS hits_es,
+                 len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> list_contains(['le','la','de','et','un','que','pour'], x))) AS hits_fr
+              FROM documents)),
+    keyed AS (
+        SELECT doc_id, lang_pred,
+               list_reduce(list_transform(string_split(CAST(doc_id AS VARCHAR), ''),
+                                          c -> ascii(c)),
+                           (acc, x) -> (acc * 31 + x) % 1000003) AS draw
+        FROM langs),
+    ranked AS (
+        SELECT doc_id, lang_pred, draw,
+               row_number() OVER (PARTITION BY lang_pred
+                                  ORDER BY draw, doc_id) AS sample_rank
+        FROM keyed)
+    SELECT lang_pred, doc_id, draw, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked WHERE sample_rank <= 20
+    ORDER BY lang_pred, sample_rank
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — up to 20 docs per
+    predicted language, 'randomly' drawn by ordering on the portable
+    polynomial hash of the doc id.  The standard curation subsample
+    (per-stratum quota), but REPRODUCIBLE and cross-engine-checkable:
+    unlike ``sample()``/``rand()``, the draw order is a pure function
+    of the key, so the oracle replays the exact same sample.  One
+    shuffle on the stratum; windowed top-N applies the quota."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+    from prod_recommendation_pyspark_spark.operators.text import (
+        language_id,
+        portable_term_hash,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    keyed = docs.select(
+        "doc_id",
+        language_id(F.col("text")).alias("lang_pred"),
+        portable_term_hash(F.col("doc_id").cast("string")).alias("draw"),
+    )
+    return (
+        windowed_topk(
+            keyed,
+            "lang_pred",
+            [F.col("draw"), F.col("doc_id")],
+            20,
+            rank_col="sample_rank",
+        )
+        .select("lang_pred", "doc_id", "draw", "sample_rank")
+        .orderBy("lang_pred", "sample_rank")
+    )
