@@ -12,27 +12,27 @@ emit ``(tgt_idx, src_idx, score)``.
 Spark-first re-design:
 
 * vectors are plain ``array<float>`` columns — no VectorUDT, no RDDs;
-* the right side ships to executors once as a NumPy broadcast (ids,
-  matrix, optional aux columns) — never to the driver-then-closure;
-* the left side streams through ``mapInPandas``: per Arrow batch one
-  BLAS matmul against the broadcast block(s), auxiliary scores blended
-  vectorized, exact per-row top-K with ``argpartition`` — so only
-  ``k`` candidates per left row ever leave the Python worker, and no
-  shuffle happens at all (the operator is a map);
-* when the right side exceeds ``max_broadcast_rows`` the caller blocks
-  it (``randomSplit``-free: deterministic modulo slices) and the
-  per-block top-K results are re-ranked with one windowed top-K —
+* the all-pairs product is a cogrouped BLOCK MATRIX PRODUCT: left rows
+  hash into chunks, right rows pmod into blocks, both sides replicate
+  onto the (chunk × block) grid through ordinary shuffles, and each
+  cogroup task runs one BLAS matmul + exact ``argpartition`` top-K —
+  only ``k`` candidates per left row ever leave the Python worker;
+* nothing transits the driver: no ``collect()``, no
+  ``sc.broadcast`` — on a 1000-executor cluster blocks move
+  executor→executor through the shuffle service, which is the
+  communication lower bound for a dense blocked product
+  (left×n_blocks + right×n_chunks bytes);
+* per-block top-K unions are re-ranked with one windowed top-K —
   the reference's MIN_BATCH loop (:489-494,606) generalized.
 
-Memory geometry (SURVEY §7 hard part 1): a broadcast block of
-``r`` rows × ``d`` float32 ≈ ``4rd`` bytes per executor. The default
-cap keeps blocks ≲ 256 MB — tune per cluster.
+Memory geometry (SURVEY §7 hard part 1): a right block of ``r`` rows
+× ``d`` float64 ≈ ``8rd`` bytes per cogroup task.  The default cap
+keeps blocks ≲ 256 MB — tune per cluster.
 """
 
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -134,18 +134,51 @@ def _auto_n_blocks(
     return int(max(1, -(-block_bytes // max_block_bytes)))
 
 
-def _block_slice(right: DataFrame, mod_col: str, n_blocks: int, b: int) -> DataFrame:
-    """Deterministic modulo slice b of n_blocks.  ``pmod`` (not ``%``):
-    Spark's ``%`` keeps the dividend's sign, so signed block keys (e.g.
-    ``xxhash64`` ids) would match NO slice in 0..n_blocks-1 and be
-    silently dropped from every block.  Null keys land in slice 0
-    (pmod(null) is null, which would likewise vanish)."""
-    return right.filter(
+def _replicate_grid(
+    left: DataFrame,
+    right: DataFrame,
+    chunk_key: str,
+    block_key: str,
+    n_blocks: int,
+    n_left_chunks: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Tag + replicate both sides onto the (left-chunk × right-block)
+    grid for a cogrouped block matmul: each left row goes to its hash
+    chunk ``__lc`` (xxhash64 of ``chunk_key``) replicated across all
+    ``n_blocks`` right blocks; each right row goes to its pmod block
+    ``__rb`` (of ``block_key``) replicated across all
+    ``n_left_chunks`` left chunks.  Shuffle volume is the
+    communication lower bound for a dense blocked product
+    (left×n_blocks + right×n_left_chunks) and NOTHING ever transits
+    the driver — the round-2 kernels collected every right block to
+    the driver and re-broadcast it from there, serializing the whole
+    right side through one NIC.
+
+    Callers must project the two sides onto DISJOINT column names
+    first (fresh aliases): a self-cogroup where both children share
+    an attribute silently drops the duplicated column from the right
+    group (Spark dedups the conflicting exprId)."""
+    chunk_of = F.pmod(F.xxhash64(F.col(chunk_key)), F.lit(n_left_chunks)).cast("int")
+    # pmod (not %): Spark's % keeps the dividend's sign, so signed
+    # block keys (e.g. xxhash64 ids) would match NO block in
+    # 0..n_blocks-1 and be silently dropped.  Null keys land in
+    # block 0 (pmod(null) is null, which would likewise vanish).
+    block_of = (
         F.coalesce(
-            F.pmod(F.col(mod_col).cast("long"), F.lit(n_blocks)), F.lit(0)
-        )
-        == b
+            F.pmod(F.col(block_key).cast("long"), F.lit(n_blocks)), F.lit(0)
+        ).cast("int")
     )
+    lrep = left.withColumn("__lc", chunk_of).withColumn(
+        "__rb", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    )
+    rrep = right.withColumn("__rb", block_of).withColumn(
+        "__lc", F.explode(F.sequence(F.lit(0), F.lit(n_left_chunks - 1)))
+    )
+    return lrep, rrep
+
+
+#: rows per in-kernel left slice — bounds the (slice × m) score tensor
+KERNEL_CHUNK_ROWS = 4096
 
 
 def cosine_topk(
@@ -160,88 +193,67 @@ def cosine_topk(
     n_blocks: int | None = None,
     block_mod_col: str | None = None,
     max_block_bytes: int = DEFAULT_MAX_BLOCK_BYTES,
+    n_left_chunks: int | None = None,
 ) -> DataFrame:
-    """Blocked-broadcast cosine top-K (the scale path).
+    """Blocked cosine top-K (the scale path) as a cogrouped block
+    matrix product — fully executor-side.
 
-    ``n_blocks=None`` (the default) sizes blocks automatically from the
-    right side's memory geometry — no caller can silently collect an
-    unbounded right side to the driver.  ``n_blocks > 1`` slices the
-    right side into deterministic pmod blocks on ``right_id``
-    (replacing the reference's seeded ``randomSplit`` batching,
-    :489-494/U2), runs the kernel per block, unions, and re-ranks —
-    each executor only ever holds one block.  Inputs must be
-    L2-normalized ``array<float|double>``.
+    The (left-chunk × right-block) grid is realized with two shuffles
+    (left replicated ``n_blocks``×, right replicated
+    ``n_left_chunks``×); each cogroup task runs one BLAS matmul per
+    ≤``KERNEL_CHUNK_ROWS`` left slice and emits exact per-row top-k
+    within its block; blocks > 1 are re-ranked with one windowed
+    top-K.  No ``collect()``/driver broadcast anywhere — at 1000
+    executors every block moves executor→executor through the
+    shuffle, never through the driver's NIC.
+
+    ``n_blocks=None`` (default) sizes right blocks from the side's
+    memory geometry (one tiny count+dim aggregate) so each cogroup
+    holds ≤ ``max_block_bytes`` of right matrix; ``n_left_chunks``
+    defaults to the cluster parallelism.  Inputs must be
+    L2-normalized ``array<float|double>``; results are exact for any
+    grid shape.
     """
-    mod_col = block_mod_col or right_id
-    proj = None
-    if n_blocks is None:
-        # the probe and the per-block collect(s) both execute the right
-        # side's plan — persist the (projected, small by contract) side
-        # once so auto-blocking costs a cache read, not a re-execution
-        # of a potentially codegen-heavy upstream plan
-        cols = list(dict.fromkeys([right_id, vec_col, mod_col]))
-        proj = right.select(*cols).persist()
-        n_blocks = _auto_n_blocks(proj, vec_col, max_block_bytes)
-        right = proj
-    try:
-        if n_blocks <= 1:
-            # kernel already emits exact top-k per left id
-            return _cosine_topk_one_block(
-                left, right, left_id, right_id, vec_col, k, threshold, exclude_self
-            )
-        parts = []
-        for b in range(n_blocks):
-            blk = _block_slice(right, mod_col, n_blocks, b)
-            parts.append(
-                _cosine_topk_one_block(
-                    left, blk, left_id, right_id, vec_col, k, threshold, exclude_self
-                )
-            )
-        allc = parts[0]
-        for p in parts[1:]:
-            allc = allc.unionByName(p)
-        return windowed_topk(
-            allc, left_id, [F.col("score").desc(), F.col(right_id)], k
-        )
-    finally:
-        if proj is not None:
-            # every collect above was eager — the cache has served its
-            # purpose by the time we return
-            proj.unpersist()
-
-
-def _cosine_topk_one_block(
-    left: DataFrame,
-    right: DataFrame,
-    left_id: str,
-    right_id: str,
-    vec_col: str,
-    k: int,
-    threshold: float | None,
-    exclude_self: bool,
-) -> DataFrame:
     spark = left.sparkSession
-    # One action on the (small, projected) right side: ids + matrix.
-    rows = right.select(right_id, vec_col).collect()
-    if not rows:
-        return spark.createDataFrame(
-            [], f"{left_id} long, {right_id} long, score double"
+    mod_col = block_mod_col or right_id
+    if n_blocks is None:
+        n_blocks = _auto_n_blocks(
+            right.select(right_id, vec_col), vec_col, max_block_bytes
         )
-    r_ids = np.array([r[0] for r in rows], dtype=np.int64)
-    r_mat = np.array([r[1] for r in rows], dtype=np.float64)  # (m, d)
-    bc = spark.sparkContext.broadcast((r_ids, r_mat.T.copy()))  # (d, m)
+    if n_left_chunks is None:
+        n_left_chunks = spark.sparkContext.defaultParallelism
     thr = -math.inf if threshold is None else threshold
+    # fresh side-specific aliases: see _replicate_grid's contract
+    lhs = left.select(
+        F.col(left_id).alias("__lid"), F.col(vec_col).alias("__lvec")
+    )
+    rhs = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(vec_col).alias("__rvec"),
+        F.col(mod_col).alias("__rmod"),
+    )
+    lrep, rrep = _replicate_grid(lhs, rhs, "__lid", "__rmod", n_blocks, n_left_chunks)
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat_t = bc.value
+    def kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                left_id: pd.Series(dtype="int64"),
+                right_id: pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            }
+        )
+        if l.empty or r.empty:
+            return empty
+        ids = r["__rid"].to_numpy(dtype=np.int64)
+        mat_t = np.array(r["__rvec"].tolist(), dtype=np.float64).T  # (d, m)
         m = ids.shape[0]
         kk = min(k, m)
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            lvec = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (b, d)
-            lids = pdf[left_id].to_numpy()
-            scores = lvec @ mat_t  # (b, m) — one BLAS call per Arrow batch
+        lids_all = l["__lid"].to_numpy()
+        lvec_all = np.array(l["__lvec"].tolist(), dtype=np.float64)  # (b, d)
+        outs = []
+        for s in range(0, len(l), KERNEL_CHUNK_ROWS):
+            lids = lids_all[s : s + KERNEL_CHUNK_ROWS]
+            scores = lvec_all[s : s + KERNEL_CHUNK_ROWS] @ mat_t  # one BLAS call
             if exclude_self:
                 scores[lids[:, None] == ids[None, :]] = -np.inf
             # exact top-k per row: argpartition O(m), then sort k items
@@ -257,18 +269,28 @@ def _cosine_topk_one_block(
             sc = np.take_along_axis(sc, order, axis=1)
             cid = np.take_along_axis(cid, order, axis=1)
             keep = (sc >= thr) & (sc != -np.inf)  # NaN fails >=, dropped
-            lrep = np.broadcast_to(lids[:, None], sc.shape)
-            yield pd.DataFrame(
-                {
-                    left_id: lrep[keep].astype("int64"),
-                    right_id: cid[keep].astype("int64"),
-                    "score": sc[keep].astype("float64"),
-                }
+            lrows = np.broadcast_to(lids[:, None], sc.shape)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        left_id: lrows[keep].astype("int64"),
+                        right_id: cid[keep].astype("int64"),
+                        "score": sc[keep].astype("float64"),
+                    }
+                )
             )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return left.select(left_id, vec_col).mapInPandas(
-        kernel, schema=f"{left_id} long, {right_id} long, score double"
+    out = (
+        lrep.groupBy("__lc", "__rb")
+        .cogroup(rrep.groupBy("__lc", "__rb"))
+        .applyInPandas(kernel, schema=f"{left_id} long, {right_id} long, score double")
     )
+    if n_blocks <= 1:
+        # each left row met the whole right side in its single group —
+        # the kernel's per-row top-k is already global
+        return out
+    return windowed_topk(out, left_id, [F.col("score").desc(), F.col(right_id)], k)
 
 
 # ---------------------------------------------------------------------------

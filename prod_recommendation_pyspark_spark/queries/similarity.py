@@ -53,12 +53,9 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     norm = l2_normalize(emb, "embedding", "vec")
-    # spread the streaming (left) side across cores: a few-MB parquet
-    # file is one input split, which would run the whole matmul kernel
-    # in a single task
-    left = norm.select(F.col("vec_id").alias("tgt_id"), "vec").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # no repartition needed: the cogrouped kernel's grid shuffle
+    # spreads left chunks across cores by itself
+    left = norm.select(F.col("vec_id").alias("tgt_id"), "vec")
     right = norm.select(F.col("vec_id").alias("nbr_id"), "vec")
     return (
         cosine_topk(
@@ -232,16 +229,13 @@ def peer_search_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     U2 for oracle determinism) → blocked hybrid top-15 (cos+hops+havs,
     th=0.0) → join attributes back (J1/J2).
 
-    The kernel never collects side data to the driver: naics/lat/lon
-    ride in the executor broadcast (fixing the reference's
-    driver-collected closure lists at :538-549)."""
+    The kernel never touches the driver: vectors and naics/lat/lon
+    side data move executor→executor through the cogroup shuffle
+    (fixing the reference's driver-collected closure lists at
+    :538-549)."""
     firmo = _firmographics(spark, sf_dir)
-    # spread the streaming (left) side: single-file reads arrive as one
-    # input split and would serialize the kernel on one core
-    prospects = (
-        firmo.filter(F.col("c_custkey") % 10 == 0)
-        .select(F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon")
-        .repartition(spark.sparkContext.defaultParallelism)
+    prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
     )
     clients = firmo.filter(F.col("c_custkey") % 10 != 0).select(
         F.col("c_custkey").alias("src_custkey"), "vec", "naics", "lat", "lon"
