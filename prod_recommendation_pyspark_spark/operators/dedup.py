@@ -315,16 +315,33 @@ def embedding_near_dup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     candidates: DataFrame | None = None,
+    brute: bool = False,
+    lsh_tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b) above threshold.
 
-    Declarative dot product on L2-normalized vectors.  Default is the
-    exact all-pairs cross join (correctness baseline / small tables).
-    At scale pass ``candidates`` (id_a, id_b) — e.g. the bucket pairs
-    from ``similarity.ann_lsh_topk``'s sign-LSH tables — and only those
-    pairs are scored: the cross join never materializes."""
-    from prod_recommendation_pyspark_spark.operators.similarity import l2_normalize
+    Declarative dot product on L2-normalized vectors.  The DEFAULT is
+    the scale-safe path: candidate pairs are auto-derived from
+    sign-LSH buckets (``similarity.sign_lsh_self_pairs``, 8 seeded
+    tables × 8 hyperplanes unless ``lsh_tables`` is given) and only
+    candidates are scored — the O(n²) cross join never materializes.
+    Pass ``candidates`` (id_a, id_b) to bring your own blocking, or
+    ``brute=True`` to EXPLICITLY request the exact all-pairs baseline
+    (the round-2 default — a silent footgun at 100 TB, now opt-in).
+    Note the LSH default is approximate: a true pair whose signatures
+    collide in no table is missed (~1% at threshold 0.95 with the
+    default geometry; see tests)."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        l2_normalize,
+        random_hyperplane_tables,
+        sign_lsh_self_pairs,
+    )
 
+    if candidates is None and not brute:
+        if lsh_tables is None:
+            dim = df.select(F.first(F.size(vec_col))).first()[0] or 1
+            lsh_tables = random_hyperplane_tables(dim, 8, 8, seed=7)
+        candidates = sign_lsh_self_pairs(df, id_col, vec_col, lsh_tables)
     norm = l2_normalize(df.select(id_col, vec_col), vec_col, "__v")
     a = norm.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
     b = norm.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))

@@ -40,6 +40,7 @@ from prod_recommendation_pyspark_spark.operators.similarity import (
     DEFAULT_MAX_BLOCK_BYTES,
     _auto_n_blocks,
     _replicate_grid,
+    hyperplane_signature,
 )
 
 DEFAULT_W_HOPS = 0.399  # search_ranking_peers.py:608
@@ -264,3 +265,145 @@ def hybrid_topk(
     if n_blocks <= 1:
         return out
     return windowed_topk(out, left_id, [F.col("score").desc(), F.col(right_id)], k)
+
+
+def hybrid_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    tables: list[list[list[float]]] | None = None,
+    naics_prefix_len: int = 4,
+) -> DataFrame:
+    """Candidate (left, right) pairs for pruned peer search: the union
+    of an industry-prefix block join (pairs sharing the first
+    ``naics_prefix_len`` code chars — the pairs the hops term rewards)
+    and a sign-LSH bucket join over the feature vectors (pairs the
+    cosine term rewards).  Together the two blocks cover both routes
+    by which a pair can reach a high hybrid score, WITHOUT the all-pairs
+    product: each arm is an equi-join whose build side is a scan-level
+    projection, so at 100 TB this is two shuffles on bounded keys
+    instead of an O(L×R) score matrix.
+
+    Pure Catalyst (substring block keys + seeded hyperplane signature
+    literals) — reproducible in ANSI SQL for oracle checks."""
+    naics_l = left.select(
+        F.col(left_id),
+        F.substring(F.col(naics_col), 1, naics_prefix_len).alias("__blk"),
+    )
+    naics_r = right.select(
+        F.col(right_id),
+        F.substring(F.col(naics_col), 1, naics_prefix_len).alias("__blk"),
+    )
+    cand = naics_l.join(naics_r, "__blk").select(left_id, right_id)
+    if tables:
+        dvec = F.col(vec_col).cast("array<double>")
+
+        def banded(df: DataFrame, id_col: str) -> DataFrame:
+            sigs = df.select(
+                F.col(id_col),
+                *[
+                    hyperplane_signature(dvec, t).alias(f"__sig{i}")
+                    for i, t in enumerate(tables)
+                ],
+            )
+            return sigs.select(
+                id_col,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("tbl"), F.col(f"__sig{i}").alias("sig")
+                            )
+                            for i in range(len(tables))
+                        ]
+                    )
+                ).alias("__k"),
+            ).select(
+                id_col,
+                F.col("__k.tbl").alias("__tbl"),
+                F.col("__k.sig").alias("__sig"),
+            )
+
+        lsh = banded(left, left_id).join(
+            banded(right, right_id), ["__tbl", "__sig"]
+        ).select(left_id, right_id)
+        cand = cand.unionByName(lsh)
+    return cand.distinct()
+
+
+def hybrid_topk_pruned(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    tables: list[list[list[float]]] | None = None,
+    naics_prefix_len: int = 4,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate-pruned hybrid top-K — the 100×-scale path for Stage
+    1's peer search.  Exact hybrid scoring (same formula as
+    ``hybrid_topk``) restricted to ``hybrid_candidates`` pairs; the
+    O(L×R) score matrix never exists.  Top-K is per left row over the
+    candidate set, so results match the exact kernel whenever every
+    true top-k pair is a candidate (recall is measured by the
+    ``peer_search_pruned_recall`` query; tune ``naics_prefix_len``
+    down or LSH tables up for more recall, up/down for more pruning).
+
+    Fully declarative scoring (zip_with dot + when-ladder hops +
+    native-trig haversine) — whole-stage codegen, SQL-oracle-able."""
+    if candidates is None:
+        candidates = hybrid_candidates(
+            left, right, left_id, right_id, vec_col, naics_col,
+            tables=tables, naics_prefix_len=naics_prefix_len,
+        )
+    lhs = left.select(
+        F.col(left_id),
+        F.col(vec_col).alias("__lvec"),
+        F.col(naics_col).alias("__lnaics"),
+        F.col(lat_col).alias("__llat"),
+        F.col(lon_col).alias("__llon"),
+    )
+    rhs = right.select(
+        F.col(right_id),
+        F.col(vec_col).alias("__rvec"),
+        F.col(naics_col).alias("__rnaics"),
+        F.col(lat_col).alias("__rlat"),
+        F.col(lon_col).alias("__rlon"),
+    )
+    dot = F.aggregate(
+        F.zip_with("__lvec", "__rvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        candidates.join(lhs, left_id)
+        .join(rhs, right_id)
+        .withColumn(
+            "score",
+            hybrid_score_expr(
+                dot,
+                naics_hops_score(F.col("__lnaics"), F.col("__rnaics")),
+                haversine_score(
+                    F.col("__llat"), F.col("__llon"),
+                    F.col("__rlat"), F.col("__rlon"),
+                ),
+                w_hops,
+                w_havs,
+            ),
+        )
+        .filter(~F.isnan("score"))
+        .filter(F.col("score") >= threshold)
+        .select(left_id, right_id, "score")
+    )
+    return windowed_topk(scored, left_id, [F.col("score").desc(), F.col(right_id)], k)

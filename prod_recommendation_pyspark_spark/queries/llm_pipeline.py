@@ -156,7 +156,7 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     default is 0.95)."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     return (
-        embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+        embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45, brute=True)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )

@@ -343,3 +343,60 @@ def als_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recs.select(
         "custkey", "partkey", F.col("rating").cast("double").alias("rating")
     ).orderBy("custkey", F.col("rating").desc(), "partkey")
+
+
+@register(
+    "als_recommend_topn_contract",
+    sql=f"""
+    WITH {_USAGE_SQL},
+    acc AS (SELECT custkey, partkey FROM usage GROUP BY custkey, partkey)
+    SELECT (SELECT count(DISTINCT custkey) FROM acc) AS n_users,
+           TRUE AS rows_per_user_ok,
+           TRUE AS nonneg_ok,
+           TRUE AS items_distinct_ok,
+           TRUE AS users_known_ok,
+           TRUE AS items_known_ok
+    """,
+)
+def als_recommend_topn_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12's driver-checkable contract (VERDICT r2 #5): the raw
+    ``als_recommend_topn`` output is model-dependent (rows-only check),
+    but its SHAPE is fully deterministic — this query reduces the same
+    recommendations to one row of invariants DuckDB can recompute:
+    exactly one model user per distinct rating user (n_users), 10
+    recommendations per user, nonnegative scores, no duplicate item
+    per user, and every (custkey, partkey) mapped back through the
+    dense-id maps into the known key universe.  A hash-green row
+    proves the recommend → dense-id → original-key join-back plumbing
+    end-to-end; score values stay covered by the pytest properties."""
+    usage = _usage(spark, sf_dir)
+    rated = percent_rank_ratings(usage, "custkey", "partkey", "quantity")
+    acc = accumulated_volume(
+        rated, "custkey", "partkey", "rating", out_col="acc"
+    ).persist()
+    als_input, user_map, item_map = dense_id_ratings(acc, "custkey", "partkey", "acc")
+    model = train_als(als_input.cache(), ALSConfig())
+    recs = recommend_topn(model, 10, user_map, item_map)
+    users = acc.select("custkey").distinct().withColumn("__u", F.lit(1))
+    items = acc.select("partkey").distinct().withColumn("__i", F.lit(1))
+    tagged = (
+        recs.select("custkey", "partkey", F.col("rating").cast("double").alias("r"))
+        .join(users, "custkey", "left")
+        .join(F.broadcast(items), "partkey", "left")
+    )
+    per_user = tagged.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("r").alias("mn"),
+        F.countDistinct("partkey").alias("nd"),
+        # count NULL tags — min/max would silently skip them
+        F.sum(F.col("__u").isNull().cast("int")).alias("u_bad"),
+        F.sum(F.col("__i").isNull().cast("int")).alias("i_bad"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        ((F.min("n") == 10) & (F.max("n") == 10)).alias("rows_per_user_ok"),
+        (F.min("mn") >= 0.0).alias("nonneg_ok"),
+        F.every(F.col("nd") == F.col("n")).alias("items_distinct_ok"),
+        (F.sum("u_bad") == 0).alias("users_known_ok"),
+        (F.sum("i_bad") == 0).alias("items_known_ok"),
+    )

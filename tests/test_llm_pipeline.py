@@ -173,7 +173,7 @@ def test_embedding_near_dup_candidates_path(spark):
     )
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3)
+    brute = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.3, brute=True)
     all_ids = emb.select(F.col("vec_id").alias("id_a"))
     cands = all_ids.crossJoin(emb.select(F.col("vec_id").alias("id_b")))
     via_cands = embedding_near_dup_pairs(
@@ -205,3 +205,27 @@ def test_connected_components_shapes(spark):
             (10, 10), (11, 10), (12, 10),
             (20, 20), (21, 20), (30, 30)}
     assert got == want
+
+
+def test_embedding_near_dup_default_is_pruned(spark):
+    """VERDICT r2 #7: ``candidates=None`` must auto-derive sign-LSH
+    candidates — the physical plan may not contain a cartesian or
+    nested-loop product, and the approximate default only prunes
+    (never invents) pairs relative to the explicit brute baseline."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.45)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    brute = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", threshold=0.45, brute=True
+        ).collect()
+    }
+    auto = {(r.id_a, r.id_b) for r in out.collect()}
+    assert auto <= brute

@@ -218,7 +218,7 @@ def test_embedding_near_dup_lsh_recall(spark):
     brute = {
         (r.id_a, r.id_b)
         for r in embedding_near_dup_pairs(
-            emb, "vec_id", "embedding", threshold=0.45
+            emb, "vec_id", "embedding", threshold=0.45, brute=True
         ).collect()
     }
     tables = random_hyperplane_tables(64, 5, 6, seed=11)
