@@ -38,9 +38,11 @@ from prod_recommendation_pyspark_spark.operators.naics import naics_hops_score
 from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
 from prod_recommendation_pyspark_spark.operators.similarity import (
     DEFAULT_MAX_BLOCK_BYTES,
-    _auto_n_blocks,
+    _grid_shape,
+    _probe_geometry,
     _replicate_grid,
     hyperplane_signature,
+    random_hyperplane_tables,
 )
 
 DEFAULT_W_HOPS = 0.399  # search_ranking_peers.py:608
@@ -136,8 +138,11 @@ def hybrid_topk(
     (chunk × m × 6) prefix-comparison tensor so worker memory stays
     flat regardless of Arrow batch size.
 
-    ``n_blocks=None`` (default) sizes blocks from the right side's
-    memory geometry.  The grid is realized as a cogrouped block
+    ``n_blocks=None`` / ``n_left_chunks=None`` (default) pick the grid
+    shape from both sides' memory geometry + cluster parallelism
+    (``similarity._grid_shape``: bounded per-task memory,
+    ~parallelism cells, approx-minimal shuffle volume; probed on
+    persisted projections).  The grid is realized as a cogrouped block
     product (``similarity._replicate_grid``): left rows hash into
     ``n_left_chunks`` chunks replicated across right blocks, right
     rows pmod into ``n_blocks`` blocks (on ``block_mod_col``, default
@@ -148,14 +153,6 @@ def hybrid_topk(
     any grid shape (blocks > 1 re-ranked by one windowed top-K)."""
     spark = left.sparkSession
     mod_col = block_mod_col or right_id
-    if n_blocks is None:
-        # ~40 B/row of aux (naics bytes + 2 doubles + id) on top of
-        # the vector block
-        n_blocks = _auto_n_blocks(
-            right.select(right_id, vec_col), vec_col, max_block_bytes, row_overhead=40
-        )
-    if n_left_chunks is None:
-        n_left_chunks = spark.sparkContext.defaultParallelism
     w_cos = 1.0 - w_hops - w_havs
     # fresh side-specific aliases: see _replicate_grid's contract
     lhs = left.select(
@@ -173,6 +170,27 @@ def hybrid_topk(
         F.col(lon_col).alias("__rlon"),
         F.col(mod_col).alias("__rmod"),
     )
+    if n_blocks is None or n_left_chunks is None:
+        # persist so the grid job re-reads the probe's projections
+        # from cache (round-2 persist, dropped in round 3); ~40 B/row
+        # of aux (naics bytes + 2 doubles + id) rides on each vector
+        lhs, rhs = lhs.persist(), rhs.persist()
+        l_rows, l_bytes = _probe_geometry(lhs, "__lvec", row_overhead=40)
+        r_rows, r_bytes = _probe_geometry(rhs, "__rvec", row_overhead=40)
+        par = spark.sparkContext.defaultParallelism
+        auto_b, auto_c = _grid_shape(
+            l_rows, l_bytes, r_rows, r_bytes, par, max_block_bytes
+        )
+        if n_blocks is None:
+            n_blocks = auto_b
+        if n_left_chunks is None:
+            if n_blocks == auto_b:
+                n_left_chunks = auto_c
+            else:
+                c_min = max(1, -(-l_bytes // max_block_bytes))
+                n_left_chunks = min(
+                    max(c_min, -(-par // n_blocks)), max(c_min, l_rows or 1)
+                )
     lrep, rrep = _replicate_grid(lhs, rhs, "__lid", "__rmod", n_blocks, n_left_chunks)
 
     def kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
@@ -196,15 +214,14 @@ def hybrid_topk(
         kk = min(k, m)
         rlat_r, rlon_r = np.radians(rlat), np.radians(rlon)
         r_bad = rnlen != 6
-        # one contiguous conversion per group, sliced per chunk so the
-        # (chunk × m × 6) prefix tensor stays bounded
-        lvec_all = np.array(l["__lvec"].tolist(), dtype=np.float64)
         lids_all = l["__lid"].to_numpy()
         outs = []
         for s in range(0, len(l), left_chunk):
             chunk = l.iloc[s : s + left_chunk]
             lids = lids_all[s : s + left_chunk]
-            lvec = lvec_all[s : s + left_chunk]
+            # densify per chunk, not whole-group: peak extra memory is
+            # one (left_chunk × d) float64 block + the prefix tensor
+            lvec = np.array(chunk["__lvec"].tolist(), dtype=np.float64)
             cos = lvec @ mat_t  # (b, m)
 
             # NAICS hops: prefix depth via cumulative char equality

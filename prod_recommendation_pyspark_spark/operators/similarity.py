@@ -19,9 +19,10 @@ Spark-first re-design:
   only ``k`` candidates per left row ever leave the Python worker;
 * nothing transits the driver: no ``collect()``, no
   ``sc.broadcast`` — on a 1000-executor cluster blocks move
-  executor→executor through the shuffle service, which is the
-  communication lower bound for a dense blocked product
-  (left×n_blocks + right×n_chunks bytes);
+  executor→executor through the shuffle service; total shuffle
+  volume is left×n_blocks + right×n_chunks bytes, and the grid
+  shape is chosen to (approximately) minimize that subject to
+  per-task memory caps and cluster parallelism (``_grid_shape``);
 * per-block top-K unions are re-ranked with one windowed top-K —
   the reference's MIN_BATCH loop (:489-494,606) generalized.
 
@@ -114,6 +115,25 @@ def cosine_topk_crossjoin(
 DEFAULT_MAX_BLOCK_BYTES = 256 * 1024 * 1024
 
 
+def _probe_geometry(
+    df: DataFrame,
+    vec_col: str,
+    bytes_per_elem: int = 8,
+    row_overhead: int = 0,
+) -> tuple[int, int]:
+    """(rows, approx bytes) of one side's dense matrix: one tiny
+    count+dim aggregate.  ``ignorenulls`` so a null first vector can't
+    poison the dim (size(null) is null under ANSI, -1 under legacy —
+    either would corrupt downstream sizing)."""
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col), ignorenulls=True).alias("d"),
+    ).first()
+    n_rows = stats["n"] or 0
+    dim = stats["d"] if stats["d"] and stats["d"] > 0 else 1
+    return n_rows, n_rows * (dim * bytes_per_elem + row_overhead)
+
+
 def _auto_n_blocks(
     right: DataFrame,
     vec_col: str,
@@ -122,16 +142,53 @@ def _auto_n_blocks(
     row_overhead: int = 0,
 ) -> int:
     """Block count from the right side's memory geometry: one tiny
-    aggregate (count + dim) sizes the broadcast so each block stays
-    under ``max_block_bytes`` regardless of input size — the
-    reference's manual MIN_BATCH knob (search_ranking_peers.py:606)
-    made automatic."""
-    stats = right.select(
-        F.count(F.lit(1)).alias("n"), F.first(F.size(vec_col)).alias("d")
-    ).first()
-    n_rows, dim = (stats["n"] or 0), (stats["d"] or 1)
-    block_bytes = n_rows * (dim * bytes_per_elem + row_overhead)
+    aggregate (count + dim) sizes the blocks so each stays under
+    ``max_block_bytes`` regardless of input size — the reference's
+    manual MIN_BATCH knob (search_ranking_peers.py:606) made
+    automatic."""
+    _, block_bytes = _probe_geometry(right, vec_col, bytes_per_elem, row_overhead)
     return int(max(1, -(-block_bytes // max_block_bytes)))
+
+
+def _grid_shape(
+    l_rows: int,
+    l_bytes: int,
+    r_rows: int,
+    r_bytes: int,
+    parallelism: int,
+    max_block_bytes: int,
+) -> tuple[int, int]:
+    """Pick (n_blocks, n_left_chunks) for the cogrouped block product.
+
+    Constraints, in priority order:
+
+    1. memory — each right block ≤ ``max_block_bytes`` and each left
+       chunk ≤ ``max_block_bytes`` (one cogroup task materializes one
+       chunk + one block);
+    2. utilization — at least ~``parallelism`` grid cells so every
+       core gets a task;
+    3. volume — shuffle bytes are ``l_bytes·n_blocks +
+       r_bytes·n_left_chunks``; among shapes satisfying 1-2 we take
+       the continuous minimizer ``n_blocks ≈ sqrt(P·R/L)`` /
+       ``n_left_chunks ≈ sqrt(P·L/R)``, so neither side is ever
+       replicated ~``parallelism``× when the other side is tiny (the
+       round-3 default pinned ``n_left_chunks = defaultParallelism``,
+       replicating the whole right side once per *core* on a large
+       cluster).
+
+    Chunk counts are additionally capped at the side's row count —
+    more chunks than rows only makes empty groups."""
+    b_min = max(1, -(-r_bytes // max_block_bytes))
+    c_min = max(1, -(-l_bytes // max_block_bytes))
+    if l_bytes > 0 and r_bytes > 0:
+        b_opt = math.sqrt(parallelism * r_bytes / l_bytes)
+    else:
+        b_opt = 1.0
+    n_blocks = max(b_min, math.ceil(b_opt))
+    n_blocks = min(n_blocks, max(b_min, r_rows or 1))
+    n_chunks = max(c_min, -(-parallelism // n_blocks))
+    n_chunks = min(n_chunks, max(c_min, l_rows or 1))
+    return n_blocks, n_chunks
 
 
 def _replicate_grid(
@@ -147,12 +204,13 @@ def _replicate_grid(
     chunk ``__lc`` (xxhash64 of ``chunk_key``) replicated across all
     ``n_blocks`` right blocks; each right row goes to its pmod block
     ``__rb`` (of ``block_key``) replicated across all
-    ``n_left_chunks`` left chunks.  Shuffle volume is the
-    communication lower bound for a dense blocked product
-    (left×n_blocks + right×n_left_chunks) and NOTHING ever transits
-    the driver — the round-2 kernels collected every right block to
-    the driver and re-broadcast it from there, serializing the whole
-    right side through one NIC.
+    ``n_left_chunks`` left chunks.  Shuffle volume is
+    left×n_blocks + right×n_left_chunks bytes (minimal for a dense
+    blocked product only when the grid shape is chosen well — see
+    ``_grid_shape``) and NOTHING ever transits the driver — the
+    round-2 kernels collected every right block to the driver and
+    re-broadcast it from there, serializing the whole right side
+    through one NIC.
 
     Callers must project the two sides onto DISJOINT column names
     first (fresh aliases): a self-cogroup where both children share
@@ -207,21 +265,18 @@ def cosine_topk(
     executors every block moves executor→executor through the
     shuffle, never through the driver's NIC.
 
-    ``n_blocks=None`` (default) sizes right blocks from the side's
-    memory geometry (one tiny count+dim aggregate) so each cogroup
-    holds ≤ ``max_block_bytes`` of right matrix; ``n_left_chunks``
-    defaults to the cluster parallelism.  Inputs must be
-    L2-normalized ``array<float|double>``; results are exact for any
-    grid shape.
+    ``n_blocks=None`` / ``n_left_chunks=None`` (default) pick the grid
+    shape from BOTH sides' memory geometry (one tiny count+dim
+    aggregate per side, computed on a persisted projection so the
+    upstream plan is not re-executed by the grid job): each cogroup
+    task holds ≤ ``max_block_bytes`` per side, the grid has ~cluster
+    parallelism cells, and the shuffle volume ``L·n_blocks +
+    R·n_left_chunks`` is approximately minimized (``_grid_shape``).
+    Inputs must be L2-normalized ``array<float|double>``; results are
+    exact for any grid shape.
     """
     spark = left.sparkSession
     mod_col = block_mod_col or right_id
-    if n_blocks is None:
-        n_blocks = _auto_n_blocks(
-            right.select(right_id, vec_col), vec_col, max_block_bytes
-        )
-    if n_left_chunks is None:
-        n_left_chunks = spark.sparkContext.defaultParallelism
     thr = -math.inf if threshold is None else threshold
     # fresh side-specific aliases: see _replicate_grid's contract
     lhs = left.select(
@@ -232,6 +287,27 @@ def cosine_topk(
         F.col(vec_col).alias("__rvec"),
         F.col(mod_col).alias("__rmod"),
     )
+    if n_blocks is None or n_left_chunks is None:
+        # persist the projections the probe executes — the grid job
+        # re-reads them from cache instead of re-running the upstream
+        # plan (the round-2 persist the round-3 rewrite dropped)
+        lhs, rhs = lhs.persist(), rhs.persist()
+        l_rows, l_bytes = _probe_geometry(lhs, "__lvec")
+        r_rows, r_bytes = _probe_geometry(rhs, "__rvec")
+        par = spark.sparkContext.defaultParallelism
+        auto_b, auto_c = _grid_shape(
+            l_rows, l_bytes, r_rows, r_bytes, par, max_block_bytes
+        )
+        if n_blocks is None:
+            n_blocks = auto_b
+        if n_left_chunks is None:
+            if n_blocks == auto_b:
+                n_left_chunks = auto_c
+            else:  # caller pinned n_blocks: chunks adapt to it
+                c_min = max(1, -(-l_bytes // max_block_bytes))
+                n_left_chunks = min(
+                    max(c_min, -(-par // n_blocks)), max(c_min, l_rows or 1)
+                )
     lrep, rrep = _replicate_grid(lhs, rhs, "__lid", "__rmod", n_blocks, n_left_chunks)
 
     def kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
@@ -249,11 +325,16 @@ def cosine_topk(
         m = ids.shape[0]
         kk = min(k, m)
         lids_all = l["__lid"].to_numpy()
-        lvec_all = np.array(l["__lvec"].tolist(), dtype=np.float64)  # (b, d)
         outs = []
         for s in range(0, len(l), KERNEL_CHUNK_ROWS):
             lids = lids_all[s : s + KERNEL_CHUNK_ROWS]
-            scores = lvec_all[s : s + KERNEL_CHUNK_ROWS] @ mat_t  # one BLAS call
+            # densify per slice, not whole-group: peak extra memory is
+            # one (KERNEL_CHUNK_ROWS × d) float64 block
+            lvec = np.array(
+                l["__lvec"].iloc[s : s + KERNEL_CHUNK_ROWS].tolist(),
+                dtype=np.float64,
+            )
+            scores = lvec @ mat_t  # one BLAS call
             if exclude_self:
                 scores[lids[:, None] == ids[None, :]] = -np.inf
             # exact top-k per row: argpartition O(m), then sort k items
