@@ -333,14 +333,19 @@ def embedding_near_dup_pairs(
     default geometry; see tests)."""
     from prod_recommendation_pyspark_spark.operators.similarity import (
         l2_normalize,
+        probe_dim,
         random_hyperplane_tables,
         sign_lsh_self_pairs,
     )
 
     if candidates is None and not brute:
         if lsh_tables is None:
-            dim = df.select(F.first(F.size(vec_col))).first()[0] or 1
-            lsh_tables = random_hyperplane_tables(dim, 8, 8, seed=7)
+            # probe_dim skips null/empty leading vectors and raises on
+            # an indeterminate dim — a dim-1 guess would collapse all
+            # signatures into one bucket (accidental O(n²))
+            lsh_tables = random_hyperplane_tables(
+                probe_dim(df, vec_col), 8, 8, seed=7
+            )
         candidates = sign_lsh_self_pairs(df, id_col, vec_col, lsh_tables)
     norm = l2_normalize(df.select(id_col, vec_col), vec_col, "__v")
     a = norm.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))

@@ -38,10 +38,12 @@ from prod_recommendation_pyspark_spark.operators.naics import naics_hops_score
 from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
 from prod_recommendation_pyspark_spark.operators.similarity import (
     DEFAULT_MAX_BLOCK_BYTES,
+    _chunks_for,
     _grid_shape,
     _probe_geometry,
     _replicate_grid,
     hyperplane_signature,
+    probe_dim,
     random_hyperplane_tables,
 )
 
@@ -141,8 +143,8 @@ def hybrid_topk(
     ``n_blocks=None`` / ``n_left_chunks=None`` (default) pick the grid
     shape from both sides' memory geometry + cluster parallelism
     (``similarity._grid_shape``: bounded per-task memory,
-    ~parallelism cells, approx-minimal shuffle volume; probed on
-    persisted projections).  The grid is realized as a cogrouped block
+    ~parallelism cells, approx-minimal shuffle volume; probed with
+    two tiny uncached jobs per side).  The grid is realized as a cogrouped block
     product (``similarity._replicate_grid``): left rows hash into
     ``n_left_chunks`` chunks replicated across right blocks, right
     rows pmod into ``n_blocks`` blocks (on ``block_mod_col``, default
@@ -171,10 +173,9 @@ def hybrid_topk(
         F.col(mod_col).alias("__rmod"),
     )
     if n_blocks is None or n_left_chunks is None:
-        # persist so the grid job re-reads the probe's projections
-        # from cache (round-2 persist, dropped in round 3); ~40 B/row
-        # of aux (naics bytes + 2 doubles + id) rides on each vector
-        lhs, rhs = lhs.persist(), rhs.persist()
+        # ~40 B/row of aux (naics bytes + 2 doubles + id) rides on
+        # each vector; probe jobs are tiny (count + limit-1 dim) and
+        # cache nothing — see similarity._probe_geometry
         l_rows, l_bytes = _probe_geometry(lhs, "__lvec", row_overhead=40)
         r_rows, r_bytes = _probe_geometry(rhs, "__rvec", row_overhead=40)
         par = spark.sparkContext.defaultParallelism
@@ -187,9 +188,8 @@ def hybrid_topk(
             if n_blocks == auto_b:
                 n_left_chunks = auto_c
             else:
-                c_min = max(1, -(-l_bytes // max_block_bytes))
-                n_left_chunks = min(
-                    max(c_min, -(-par // n_blocks)), max(c_min, l_rows or 1)
+                n_left_chunks = _chunks_for(
+                    n_blocks, l_rows, l_bytes, par, max_block_bytes
                 )
     lrep, rrep = _replicate_grid(lhs, rhs, "__lid", "__rmod", n_blocks, n_left_chunks)
 
@@ -284,6 +284,10 @@ def hybrid_topk(
     return windowed_topk(out, left_id, [F.col("score").desc(), F.col(right_id)], k)
 
 
+#: NAICS-arm skew guard: right rows per (prefix-block × sub-block) task
+DEFAULT_MAX_BLOCK_ROWS = 100_000
+
+
 def hybrid_candidates(
     left: DataFrame,
     right: DataFrame,
@@ -293,6 +297,7 @@ def hybrid_candidates(
     naics_col: str = "naics",
     tables: list[list[list[float]]] | None = None,
     naics_prefix_len: int = 4,
+    max_block_rows: int = DEFAULT_MAX_BLOCK_ROWS,
 ) -> DataFrame:
     """Candidate (left, right) pairs for pruned peer search: the union
     of an industry-prefix block join (pairs sharing the first
@@ -304,8 +309,24 @@ def hybrid_candidates(
     projection, so at 100 TB this is two shuffles on bounded keys
     instead of an O(L×R) score matrix.
 
+    ``tables=None`` derives 4 seeded sign-LSH tables × 8 planes from a
+    dim probe of the left vectors, so the cosine arm is ALWAYS on by
+    default — a pruned search without it silently loses every
+    cross-industry high-cosine peer.  Pass ``tables=[]`` to explicitly
+    request NAICS-only blocking.
+
+    Skew guard: one dominant NAICS prefix would otherwise become one
+    giant join bucket (a single straggler task computing |L|×|R| pairs
+    at scale).  Blocks whose right side exceeds ``max_block_rows`` are
+    salted — right rows hash into ceil(count/cap) sub-blocks, left
+    rows in that block fan out across them.  The per-prefix split
+    table is tiny (≤10⁴ NAICS prefixes) and broadcast; the candidate
+    SET is unchanged, only its task layout.
+
     Pure Catalyst (substring block keys + seeded hyperplane signature
     literals) — reproducible in ANSI SQL for oracle checks."""
+    if tables is None:
+        tables = random_hyperplane_tables(probe_dim(left, vec_col), 8, 4, seed=7)
     naics_l = left.select(
         F.col(left_id),
         F.substring(F.col(naics_col), 1, naics_prefix_len).alias("__blk"),
@@ -314,7 +335,21 @@ def hybrid_candidates(
         F.col(right_id),
         F.substring(F.col(naics_col), 1, naics_prefix_len).alias("__blk"),
     )
-    cand = naics_l.join(naics_r, "__blk").select(left_id, right_id)
+    splits = naics_r.groupBy("__blk").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)) / F.lit(max_block_rows)),
+        )
+        .cast("int")
+        .alias("__ns")
+    )
+    r_sub = naics_r.join(F.broadcast(splits), "__blk").withColumn(
+        "__sub", F.pmod(F.xxhash64(F.col(right_id)), F.col("__ns")).cast("int")
+    )
+    l_sub = naics_l.join(F.broadcast(splits), "__blk").withColumn(
+        "__sub", F.explode(F.sequence(F.lit(0), F.col("__ns") - 1))
+    )
+    cand = l_sub.join(r_sub, ["__blk", "__sub"]).select(left_id, right_id)
     if tables:
         dvec = F.col(vec_col).cast("array<double>")
 

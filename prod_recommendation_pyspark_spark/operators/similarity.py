@@ -121,17 +121,43 @@ def _probe_geometry(
     bytes_per_elem: int = 8,
     row_overhead: int = 0,
 ) -> tuple[int, int]:
-    """(rows, approx bytes) of one side's dense matrix: one tiny
-    count+dim aggregate.  ``ignorenulls`` so a null first vector can't
-    poison the dim (size(null) is null under ANSI, -1 under legacy —
-    either would corrupt downstream sizing)."""
-    stats = df.select(
-        F.count(F.lit(1)).alias("n"),
-        F.first(F.size(vec_col), ignorenulls=True).alias("d"),
-    ).first()
-    n_rows = stats["n"] or 0
-    dim = stats["d"] if stats["d"] and stats["d"] > 0 else 1
+    """(rows, approx bytes) of one side's dense matrix via two tiny
+    jobs: a column-pruned count and a limit-1 scan for the dim.  The
+    ``size > 0`` filter skips null vectors under BOTH ANSI (size(null)
+    is null → predicate false) and legacy (-1) semantics, so a null or
+    empty leading vector cannot poison the sizing.  Nothing is cached:
+    the upstream plan runs once more for the real job — callers with
+    an expensive upstream should persist their inputs themselves (the
+    round-4 design persisted both full sides on every call and never
+    released them, pinning executor storage for the app lifetime)."""
+    n_rows = df.count()
+    first_dim = (
+        df.select(F.size(vec_col).alias("__d"))
+        .filter(F.col("__d") > 0)
+        .limit(1)
+        .first()
+    )
+    dim = first_dim["__d"] if first_dim else 1
     return n_rows, n_rows * (dim * bytes_per_elem + row_overhead)
+
+
+def probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Dimension of the first VALID vector (limit-1 scan; null vectors
+    — ``size`` null under ANSI, -1 under legacy — and empty vectors
+    are skipped).  Raises when no row has a non-empty vector: silently
+    guessing a dim would hand LSH a dim-1 hyperplane set, collapsing
+    every signature into one giant bucket (accidental O(n²))."""
+    row = (
+        df.select(F.size(vec_col).alias("__d"))
+        .filter(F.col("__d") > 0)
+        .limit(1)
+        .first()
+    )
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dim: no non-empty '{vec_col}' values"
+        )
+    return row["__d"]
 
 
 def _auto_n_blocks(
@@ -179,16 +205,32 @@ def _grid_shape(
     Chunk counts are additionally capped at the side's row count —
     more chunks than rows only makes empty groups."""
     b_min = max(1, -(-r_bytes // max_block_bytes))
-    c_min = max(1, -(-l_bytes // max_block_bytes))
     if l_bytes > 0 and r_bytes > 0:
         b_opt = math.sqrt(parallelism * r_bytes / l_bytes)
     else:
         b_opt = 1.0
     n_blocks = max(b_min, math.ceil(b_opt))
+    # B > P buys no utilization (n_chunks ≥ 1 already fills the grid)
+    # and only over-replicates the left side — clamp at parallelism
+    n_blocks = min(n_blocks, max(b_min, parallelism))
     n_blocks = min(n_blocks, max(b_min, r_rows or 1))
+    return n_blocks, _chunks_for(n_blocks, l_rows, l_bytes, parallelism, max_block_bytes)
+
+
+def _chunks_for(
+    n_blocks: int,
+    l_rows: int,
+    l_bytes: int,
+    parallelism: int,
+    max_block_bytes: int,
+) -> int:
+    """Left-chunk count for a FIXED ``n_blocks`` (also the tail of
+    ``_grid_shape``): memory floor, enough grid cells to fill the
+    cluster, capped at the left row count (more chunks than rows only
+    makes empty groups)."""
+    c_min = max(1, -(-l_bytes // max_block_bytes))
     n_chunks = max(c_min, -(-parallelism // n_blocks))
-    n_chunks = min(n_chunks, max(c_min, l_rows or 1))
-    return n_blocks, n_chunks
+    return min(n_chunks, max(c_min, l_rows or 1))
 
 
 def _replicate_grid(
@@ -266,12 +308,13 @@ def cosine_topk(
     shuffle, never through the driver's NIC.
 
     ``n_blocks=None`` / ``n_left_chunks=None`` (default) pick the grid
-    shape from BOTH sides' memory geometry (one tiny count+dim
-    aggregate per side, computed on a persisted projection so the
-    upstream plan is not re-executed by the grid job): each cogroup
-    task holds ≤ ``max_block_bytes`` per side, the grid has ~cluster
-    parallelism cells, and the shuffle volume ``L·n_blocks +
-    R·n_left_chunks`` is approximately minimized (``_grid_shape``).
+    shape from BOTH sides' memory geometry (two tiny jobs per side —
+    a column-pruned count and a limit-1 dim scan; nothing persisted,
+    so callers with expensive upstream plans should cache their
+    inputs): each cogroup task holds ≤ ``max_block_bytes`` per side,
+    the grid has ~cluster parallelism cells, and the shuffle volume
+    ``L·n_blocks + R·n_left_chunks`` is approximately minimized
+    (``_grid_shape``).
     Inputs must be L2-normalized ``array<float|double>``; results are
     exact for any grid shape.
     """
@@ -288,10 +331,6 @@ def cosine_topk(
         F.col(mod_col).alias("__rmod"),
     )
     if n_blocks is None or n_left_chunks is None:
-        # persist the projections the probe executes — the grid job
-        # re-reads them from cache instead of re-running the upstream
-        # plan (the round-2 persist the round-3 rewrite dropped)
-        lhs, rhs = lhs.persist(), rhs.persist()
         l_rows, l_bytes = _probe_geometry(lhs, "__lvec")
         r_rows, r_bytes = _probe_geometry(rhs, "__rvec")
         par = spark.sparkContext.defaultParallelism
@@ -304,9 +343,8 @@ def cosine_topk(
             if n_blocks == auto_b:
                 n_left_chunks = auto_c
             else:  # caller pinned n_blocks: chunks adapt to it
-                c_min = max(1, -(-l_bytes // max_block_bytes))
-                n_left_chunks = min(
-                    max(c_min, -(-par // n_blocks)), max(c_min, l_rows or 1)
+                n_left_chunks = _chunks_for(
+                    n_blocks, l_rows, l_bytes, par, max_block_bytes
                 )
     lrep, rrep = _replicate_grid(lhs, rhs, "__lid", "__rmod", n_blocks, n_left_chunks)
 

@@ -19,6 +19,16 @@ from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.sources.catalog import Catalog
 
 
+def _epoch_us(col: str) -> F.Column:
+    """Epoch microseconds that tolerate both TIMESTAMP and
+    TIMESTAMP_NTZ inputs.  ``unix_micros`` only accepts TIMESTAMP, and
+    the events parquet reads as TIMESTAMP_NTZ under recent Spark; with
+    the session TZ pinned to UTC (session.py) the NTZ→TIMESTAMP cast
+    is value-preserving, so this matches DuckDB's ``epoch_us`` on the
+    same naive values."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 @register(
     "tumbling_hourly_events",
     sql="""
@@ -175,9 +185,9 @@ def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         F.col("event_id").alias("click_id"),
         "user_id",
-        F.unix_micros("ts").alias("click_us"),
+        _epoch_us("ts").alias("click_us"),
         F.col("asof_event_id").alias("view_id"),
-        F.unix_micros("asof_ts").alias("view_us"),
+        _epoch_us("asof_ts").alias("view_us"),
         F.round("asof_value", 4).alias("view_value"),
     ).orderBy("click_id")
 
@@ -313,9 +323,9 @@ def click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "click_id",
             "click_user",
-            F.unix_micros("click_ts").alias("click_us"),
+            _epoch_us("click_ts").alias("click_us"),
             "view_id",
-            F.unix_micros("view_ts").alias("view_us"),
+            _epoch_us("view_ts").alias("view_us"),
         )
         .orderBy("click_id", "view_id")
     )

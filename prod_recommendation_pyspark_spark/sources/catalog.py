@@ -54,6 +54,19 @@ class Catalog:
                 df = df.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
+            # Parquet µs timestamps with isAdjustedToUTC=false read as
+            # TIMESTAMP_NTZ under Spark 4, which many time functions
+            # (unix_micros, watermarks-with-interval-arith) reject.
+            # Session TZ is pinned to UTC (session.py) so the cast to
+            # TIMESTAMP is value-preserving and keeps every downstream
+            # operator on the plain-timestamp path DuckDB also uses.
+            from pyspark.sql import types as T
+
+            for field in df.schema.fields:
+                if isinstance(field.dataType, T.TimestampNTZType):
+                    df = df.withColumn(
+                        field.name, F.col(field.name).cast("timestamp")
+                    )
             self._cache[name] = df
         return self._cache[name]
 

@@ -20,26 +20,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/catalog.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over the events parquet (ns timestamps read
-    as long, converted to µs timestamps — same contract as the batch
-    Catalog)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    # integer div: float /1000 on ns longs loses sub-µs precision
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """File-source stream over the events parquet, schema-matched to
+    how the files actually store ``ts`` (same contract as the batch
+    Catalog): TIMESTAMP(NANOS) parquet is read nanos-as-long and
+    truncated to µs; µs parquet (NTZ) is read natively and cast to
+    TIMESTAMP (session TZ is UTC, so the cast is value-preserving)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+        probe = os.path.join(path, files[0])
+    ts_phys = str(pq.read_schema(probe).field("ts").type)
+    if ts_phys == "timestamp[ns]":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(path)
+        # integer div: float /1000 on ns longs loses sub-µs precision
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(_events_schema(T.TimestampNTZType())).parquet(path)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_windowed_counts(

@@ -1,0 +1,108 @@
+"""Guard-rail tests for the pruned hybrid peer search and the LSH dim
+probe (round-4 verdict items 5-7): a null leading vector must not
+poison LSH sizing, the default candidate generator must keep the
+cosine arm (cross-industry peers reachable), and the NAICS skew guard
+must change task layout only — never the candidate set."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.hybrid import (
+    hybrid_candidates,
+    hybrid_topk_pruned,
+)
+from prod_recommendation_pyspark_spark.operators.similarity import probe_dim
+
+
+def _firmo(spark, n=60, naics_of=None, vec_of=None):
+    naics_of = naics_of or (lambda i: f"52{i % 3}100")
+    vec_of = vec_of or (lambda i: [1.0, float(i % 7), 2.0])
+    rows = [
+        (i, naics_of(i), vec_of(i), float(i % 50), float(i % 80))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, naics string, vec array<double>, lat double, lon double"
+    )
+
+
+def test_probe_dim_skips_null_and_empty_leading_vectors(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, []), (2, [1.0, 2.0, 3.0, 4.0])],
+        "id long, vec array<double>",
+    )
+    assert probe_dim(df, "vec") == 4
+
+
+def test_probe_dim_raises_when_no_valid_vector(spark):
+    df = spark.createDataFrame([(0, None), (1, [])], "id long, vec array<double>")
+    with pytest.raises(ValueError, match="cannot infer"):
+        probe_dim(df, "vec")
+
+
+def test_embedding_near_dup_survives_null_first_vector(spark):
+    """Default (LSH) near-dup path with a null leading vector: the dim
+    probe must find the real dim and the known duplicate pair must
+    surface (a dim-1 fallback would collapse signatures instead)."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    base = [(i, [1.0 * (i % 5), 1.0, float(i)]) for i in range(1, 20)]
+    rows = [(0, None)] + base + [(99, [0.0, 1.0, 1.0]), (100, [0.0, 1.0, 1.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, "id", "vec", threshold=0.999).collect()
+    }
+    assert (99, 100) in got
+
+
+def test_pruned_default_keeps_cross_industry_cosine_arm(spark):
+    """tables=None must derive seeded LSH tables, so a high-cosine pair
+    in a DIFFERENT industry survives pruning (the round-4 default
+    silently degraded to NAICS-only blocking and lost such pairs)."""
+    # ids 0..9 industry A, 10..19 industry B; identical vectors across
+    # industries → every cross-industry pair has cosine 1
+    df = _firmo(
+        spark,
+        n=20,
+        naics_of=lambda i: "521000" if i < 10 else "639900",
+        vec_of=lambda i: [1.0, 2.0, 3.0],
+    )
+    left = df.select(F.col("id").alias("lid"), "naics", "vec", "lat", "lon")
+    right = df.select(F.col("id").alias("rid"), "naics", "vec", "lat", "lon")
+    out = hybrid_topk_pruned(
+        left, right, "lid", "rid", vec_col="vec", k=15, threshold=0.0
+    )
+    cross = [
+        r for r in out.collect() if (r.lid < 10) != (r.rid < 10)
+    ]
+    assert cross, "no cross-industry pair survived pruning with default tables"
+
+
+def test_skew_guard_preserves_candidate_set(spark):
+    """A dominant NAICS prefix split across sub-blocks must yield
+    EXACTLY the same candidate pairs as the unsplit join — the guard
+    changes task layout, not semantics."""
+    # 50 of 60 rows share one 4-digit prefix (dominant block)
+    df = _firmo(
+        spark, n=60, naics_of=lambda i: "521100" if i < 50 else f"60{i % 5}000"
+    )
+    left = df.select(F.col("id").alias("lid"), "naics", "vec")
+    right = df.select(F.col("id").alias("rid"), "naics", "vec")
+
+    def cand(cap):
+        return {
+            (r.lid, r.rid)
+            for r in hybrid_candidates(
+                left, right, "lid", "rid", vec_col="vec",
+                tables=[], max_block_rows=cap,
+            ).collect()
+        }
+
+    salted = cand(7)  # dominant block → ceil(50/7) = 8 sub-blocks
+    unsplit = cand(10**6)
+    assert salted == unsplit and len(unsplit) == 50 * 50 + 10 * 2
