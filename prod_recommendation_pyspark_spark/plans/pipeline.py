@@ -66,6 +66,10 @@ class PeerSearchConfig:
     # MIN_BATCH generalized (search_ranking_peers.py:606); None = size
     # blocks automatically from the client side's memory geometry
     n_blocks: int | None = None
+    # Long column to use as the kernel's pair id.  None → xxhash64(eci)
+    # (opaque string keys).  Passing a real numeric key makes the
+    # top-K tie-break reproducible outside Spark (oracle checks).
+    id_col: str | None = None
 
 
 def _stage1_features(firmo: DataFrame, cfg: PeerSearchConfig) -> DataFrame:
@@ -116,31 +120,49 @@ def run_peer_search(
     feats = _stage1_features(tagged, cfg)  # scale stats over BOTH sides, as the reference
     left = feats.filter(F.col("__side") == "t")
     right = feats.filter(F.col("__side") == "s")
-    lsel = left.select(F.col("eci").alias("tgt_eci"), "vec",
-                       F.col("L6").alias("naics"), "lat", "lon")
-    rsel = right.select(F.col("eci").alias("src_eci"), "vec",
-                        F.col("L6").alias("naics"), "lat", "lon")
+
+    def pair_id():
+        if cfg.id_col is not None:
+            return F.col(cfg.id_col).cast("long")
+        return F.xxhash64("eci")
+
+    lsel = left.select(
+        pair_id().alias("tgt_id"), "vec",
+        F.col("L6").alias("naics"), "lat", "lon",
+    )
+    rsel = right.select(
+        pair_id().alias("src_id"), "vec",
+        F.col("L6").alias("naics"), "lat", "lon",
+    )
     pairs = hybrid_topk(
-        lsel.withColumn("__id", F.xxhash64("tgt_eci")).drop("tgt_eci")
-        .withColumnRenamed("__id", "tgt_id"),
-        rsel.withColumn("__id", F.xxhash64("src_eci")).drop("src_eci")
-        .withColumnRenamed("__id", "src_id"),
+        lsel,
+        rsel,
         "tgt_id",
         "src_id",
         k=cfg.topk,
         threshold=cfg.threshold,
         w_hops=cfg.w_hops,
         w_havs=cfg.w_havs,
-        # forwarded (round-1 silent no-op); ids are signed xxhash64, so
-        # block slicing relies on hybrid_topk's pmod
+        # forwarded (round-1 silent no-op); ids may be signed
+        # (xxhash64), so block slicing relies on hybrid_topk's pmod
         n_blocks=cfg.n_blocks,
     )
     tgt_attrs = rename_with_prefix(
         left.drop("vec", "raw_vec", "__side"), "tgt_"
-    ).withColumn("tgt_id", F.xxhash64("tgt_eci"))
+    )
     src_attrs = rename_with_prefix(
         right.drop("vec", "raw_vec", "__side"), "src_"
-    ).withColumn("src_id", F.xxhash64("src_eci"))
+    )
+    if cfg.id_col is not None:
+        tgt_attrs = tgt_attrs.withColumn(
+            "tgt_id", F.col(f"tgt_{cfg.id_col}").cast("long")
+        )
+        src_attrs = src_attrs.withColumn(
+            "src_id", F.col(f"src_{cfg.id_col}").cast("long")
+        )
+    else:
+        tgt_attrs = tgt_attrs.withColumn("tgt_id", F.xxhash64("tgt_eci"))
+        src_attrs = src_attrs.withColumn("src_id", F.xxhash64("src_eci"))
     return (
         pairs.join(tgt_attrs, "tgt_id", "left")  # J1
         .join(F.broadcast(src_attrs), "src_id", "left")  # J2: broadcast hint
@@ -160,15 +182,29 @@ def run_prod_rec(
     pup: DataFrame,
     eci_map: DataFrame,
     cfg: ProdRecConfig | None = None,
+    freeze_ratings: bool = False,
 ) -> DataFrame:
     """Stage 2 — implicit-feedback product recommendation
     (recommender_prod_rec.py recomposed): remap keys (J4), percent-rank
     normalize (W1), roll up volume (A2), dense ids (J5), ALS (M9),
-    top-N per client flattened (M12/D3)."""
+    top-N per client flattened (M12/D3).
+
+    ``freeze_ratings=True`` stops after the deterministic ratings hop
+    and emits the accumulated implicit ratings as the product table
+    (coname, product, rating) — the same shape Stage 3 consumes, minus
+    the (seeded but platform-variant) ALS factorization.  This is the
+    contract the end-to-end oracle query pins down; ALS itself is
+    covered by its own property/contract checks."""
     cfg = cfg or ProdRecConfig()
     remapped = key_remap(pup, eci_map, "eci", "cid")
     rated = percent_rank_ratings(remapped, "cid", "sku", "primary_intensity_value")
     acc = accumulated_volume(rated, "cid", "sku", "rating", out_col="acc")
+    if freeze_ratings:
+        return acc.select(
+            F.col("cid").alias("coname"),
+            F.col("sku").alias("product"),
+            F.col("acc").alias("rating"),
+        )
     als_input, user_map, item_map = dense_id_ratings(acc, "cid", "sku", "acc")
     model = train_als(als_input.cache(), cfg.als)
     return recommend_topn(model, cfg.top_n, user_map, item_map)

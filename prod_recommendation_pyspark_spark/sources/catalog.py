@@ -62,11 +62,18 @@ class Catalog:
             # operator on the plain-timestamp path DuckDB also uses.
             from pyspark.sql import types as T
 
-            for field in df.schema.fields:
-                if isinstance(field.dataType, T.TimestampNTZType):
-                    df = df.withColumn(
-                        field.name, F.col(field.name).cast("timestamp")
-                    )
+            ntz = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.TimestampNTZType)
+            ]
+            if ntz:
+                # the cast interprets naive values in the SESSION TZ —
+                # pin it so a driver-built plain session (which skips
+                # our tuned factory) gets the same instants
+                self.spark.conf.set("spark.sql.session.timeZone", "UTC")
+            for c in ntz:
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 

@@ -1,0 +1,97 @@
+"""Real-codec multimodal decode (round-4 verdict item 8): the
+fake=False path must decode genuine standard formats.  Netpbm images
+and RIFF/WAV audio need zero optional deps, so these tests always run;
+the PIL-format test skips when PIL is absent."""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import wave as wave_mod
+
+import pytest
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.multimodal import (
+    _PILImage,
+    decode_wav,
+    extract_audio_features,
+    extract_image_features,
+)
+
+
+def _ppm_bytes(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    h, w = len(pixels), len(pixels[0])
+    body = bytes(v for row in pixels for px in row for v in px)
+    return f"P6\n# test image\n{w} {h}\n255\n".encode() + body
+
+
+def _wav_bytes(samples: list[int], framerate: int = 8000) -> bytes:
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _media_df(spark, payloads: list[bytes], media_type: str):
+    rows = [(i, p, media_type, 0, 0) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, media_type string, width int, height int",
+    )
+
+
+def test_real_ppm_image_features(spark):
+    # 1×2 image: black and pure-white pixels → known stats
+    img = _ppm_bytes([[(0, 0, 0), (255, 255, 255)]])
+    df = _media_df(spark, [img], "image/x-portable-pixmap")
+    rows = extract_image_features(df, n_features=8, fake=False).collect()
+    feats = rows[0]["features"]
+    mean, std, mn, mx, h, w, ch, total = feats
+    assert (mean, mn, mx) == (127.5, 0.0, 255.0)
+    assert (h, w, ch) == (1.0, 2.0, 3.0)
+    assert total == 3 * 255.0
+    assert abs(std - 127.5) < 1e-9
+
+
+def test_real_wav_audio_features(spark):
+    # full-scale square wave → RMS 1.0 (±1/32768 asymmetry)
+    square = [32767, -32768] * 50
+    silent = [0] * 100
+    df = _media_df(spark, [_wav_bytes(square), _wav_bytes(silent)], "audio/wav")
+    out = {
+        r["media_id"]: r
+        for r in extract_audio_features(df, fake=False).collect()
+    }
+    assert out[0]["n_samples"] == 100 and out[1]["n_samples"] == 100
+    assert abs(out[0]["rms"] - 1.0) < 1e-3
+    assert out[1]["rms"] == 0.0
+
+
+def test_decode_wav_roundtrip_values():
+    samples = [0, 16384, -16384, 32767]
+    arr = decode_wav(_wav_bytes(samples))
+    assert len(arr) == 4
+    assert abs(arr[1] - 0.5) < 1e-4 and abs(arr[2] + 0.5) < 1e-4
+
+
+def test_unknown_payload_raises(spark):
+    df = _media_df(spark, [b"\x89PNG\r\n not really"], "image/png")
+    if _PILImage is not None:
+        pytest.skip("PIL present: PNG goes down the real PIL path instead")
+    with pytest.raises(Exception, match="no codec|NotImplemented"):
+        extract_image_features(df, fake=False).collect()
+
+
+@pytest.mark.skipif(_PILImage is None, reason="PIL not installed")
+def test_real_pil_image_features(spark):
+    buf = io.BytesIO()
+    _PILImage.new("RGB", (2, 1), color=(10, 20, 30)).save(buf, format="PNG")
+    df = _media_df(spark, [buf.getvalue()], "image/png")
+    rows = extract_image_features(df, n_features=8, fake=False).collect()
+    mean = rows[0]["features"][0]
+    assert abs(mean - (10 + 20 + 30) / 3) < 1e-9
