@@ -185,6 +185,50 @@ def sample_frames(
     )
 
 
+def _encode_netpbm(img: np.ndarray) -> bytes:
+    """Inverse of ``_decode_netpbm`` for 8-bit images: P5 for (h, w),
+    P6 for (h, w, 3)."""
+    h, w = img.shape[0], img.shape[1]
+    magic = b"P5" if img.ndim == 2 else b"P6"
+    body = np.clip(np.rint(img), 0, 255).astype(np.uint8).tobytes()
+    return magic + f"\n{w} {h}\n255\n".encode() + body
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Nearest-neighbour resize to (width, height), re-encoded as a
+    netpbm payload — the SURVEY's resize stage with the same
+    decode-path contract as the feature extractors (real netpbm/PIL
+    decode, or the deterministic sha256 stub block).  Pure numpy
+    index-sampling per Arrow batch; at scale the batch bound is the
+    decoded-frame footprint, exactly as ``extract_image_features``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                img = _decode_bytes(bytes(payload), fake)
+                src_h, src_w = img.shape[0], img.shape[1]
+                rows = (np.arange(height) * src_h) // height
+                cols = (np.arange(width) * src_w) // width
+                resized = img[rows][:, cols]
+                out.append(_encode_netpbm(resized))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel,
+        schema="media_id long, payload binary, width int, height int",
+    )
+
+
 def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Per-payload (n_samples, rms) via mapInPandas.  ``fake=True``
     computes the RMS of the sha256-digest 'waveform' with the payload

@@ -114,6 +114,13 @@ def run_peer_search(
     table: tgt_*/src_* attribute pairs + score, ≤ topk rows per
     prospect."""
     cfg = cfg or PeerSearchConfig()
+    # The feature frame below feeds four plan branches (both kernel
+    # sides + both attribute join-backs) and the kernel's geometry
+    # probes; Spark re-executes an unmaterialized subplan per branch.
+    # At survey scale, persist() the PROSPECT/CLIENT inputs (cheap,
+    # pre-feature columns) before calling — deliberately not done here
+    # so the operator itself never pins executor storage it cannot
+    # release (round-4 advisory).
     tagged = prospects.withColumn("__side", F.lit("t")).unionByName(
         clients.withColumn("__side", F.lit("s"))
     )

@@ -297,6 +297,47 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "multimodal_resize_grid",
+    sql="""
+    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+    px AS (SELECT media_id,
+           CAST(concat('0x', substring(hx, 1, 2)) AS INTEGER) AS b0,
+           CAST(concat('0x', substring(hx, 9, 2)) AS INTEGER) AS b4,
+           CAST(concat('0x', substring(hx, 33, 2)) AS INTEGER) AS b16,
+           CAST(concat('0x', substring(hx, 41, 2)) AS INTEGER) AS b20
+           FROM h)
+    SELECT media_id,
+           round((b0 + b4 + b16 + b20) / 4.0, 4) AS px_mean,
+           CAST(least(b0, b4, b16, b20) AS DOUBLE) AS px_min,
+           CAST(greatest(b0, b4, b16, b20) AS DOUBLE) AS px_max
+    FROM px ORDER BY media_id
+    """,
+)
+def multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage end-to-end: stub-decode the 4×8 digest block →
+    nearest-neighbour resize to 2×2 → re-encode as netpbm → REAL
+    netpbm decode → stats.  Nearest-neighbour keeps digest bytes
+    {0, 4, 16, 20} ((row*4)//2 row, (col*8)//2 col sampling), so the
+    oracle recomputes exactly those hex pairs in SQL — the resize
+    arithmetic, the netpbm round-trip, and the Arrow plumbing are all
+    under the value hash."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = attach_fake_payload(docs, "doc_id", "text")
+    resized = resize_images(media, width=2, height=2, fake=True)
+    feats = extract_image_features(resized, n_features=8, fake=False)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1), 4).alias("px_mean"),
+        F.element_at("features", 3).alias("px_min"),
+        F.element_at("features", 4).alias("px_max"),
+    ).orderBy("media_id")
+
+
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     edges AS (SELECT id_a, id_b

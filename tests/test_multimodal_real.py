@@ -87,6 +87,45 @@ def test_unknown_payload_raises(spark):
         extract_image_features(df, fake=False).collect()
 
 
+def test_resize_real_ppm_nearest_neighbour(spark):
+    """2×2 quadrant image → 4×4: every 2×2 quadrant must stay uniform
+    under nearest-neighbour, and the output must round-trip through the
+    netpbm decoder."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        _decode_netpbm,
+        resize_images,
+    )
+
+    img = _ppm_bytes(
+        [
+            [(255, 0, 0), (0, 255, 0)],
+            [(0, 0, 255), (255, 255, 255)],
+        ]
+    )
+    df = _media_df(spark, [img], "image/x-portable-pixmap")
+    row = resize_images(df, width=4, height=4, fake=False).collect()[0]
+    assert (row["width"], row["height"]) == (4, 4)
+    out = _decode_netpbm(bytes(row["payload"]))
+    assert out.shape == (4, 4, 3)
+    assert tuple(out[0, 0]) == (255.0, 0.0, 0.0)
+    assert tuple(out[0, 3]) == (0.0, 255.0, 0.0)
+    assert tuple(out[3, 0]) == (0.0, 0.0, 255.0)
+    assert (out[0, 0] == out[1, 1]).all()  # quadrant uniform
+
+
+def test_resize_fake_block_deterministic(spark):
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        _decode_netpbm,
+        resize_images,
+    )
+
+    df = _media_df(spark, [b"whatever", b"whatever"], "image/fake")
+    rows = resize_images(df, width=2, height=2, fake=True).collect()
+    imgs = [_decode_netpbm(bytes(r["payload"])) for r in rows]
+    assert imgs[0].shape == (2, 2)
+    assert (imgs[0] == imgs[1]).all()  # same payload → same resize
+
+
 @pytest.mark.skipif(_PILImage is None, reason="PIL not installed")
 def test_real_pil_image_features(spark):
     buf = io.BytesIO()
