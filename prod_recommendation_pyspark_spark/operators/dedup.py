@@ -342,11 +342,17 @@ def embedding_near_dup_pairs(
         if lsh_tables is None:
             # probe_dim skips null/empty leading vectors and raises on
             # an indeterminate dim — a dim-1 guess would collapse all
-            # signatures into one bucket (accidental O(n²))
-            lsh_tables = random_hyperplane_tables(
-                probe_dim(df, vec_col), 8, 8, seed=7
-            )
-        candidates = sign_lsh_self_pairs(df, id_col, vec_col, lsh_tables)
+            # signatures into one bucket (accidental O(n²)).  An EMPTY
+            # relation (dim None) takes the brute path, whose cross
+            # join over zero rows is free and yields the correct
+            # empty result with the right column types.
+            dim = probe_dim(df, vec_col)
+            if dim is None:
+                brute = True
+            else:
+                lsh_tables = random_hyperplane_tables(dim, 8, 8, seed=7)
+        if not brute:
+            candidates = sign_lsh_self_pairs(df, id_col, vec_col, lsh_tables)
     norm = l2_normalize(df.select(id_col, vec_col), vec_col, "__v")
     a = norm.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
     b = norm.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))

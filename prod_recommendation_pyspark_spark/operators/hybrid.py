@@ -326,7 +326,10 @@ def hybrid_candidates(
     Pure Catalyst (substring block keys + seeded hyperplane signature
     literals) — reproducible in ANSI SQL for oracle checks."""
     if tables is None:
-        tables = random_hyperplane_tables(probe_dim(left, vec_col), 8, 4, seed=7)
+        dim = probe_dim(left, vec_col)
+        # empty left relation → no queries → the NAICS arm alone
+        # already yields the correct empty candidate set
+        tables = [] if dim is None else random_hyperplane_tables(dim, 8, 4, seed=7)
     naics_l = left.select(
         F.col(left_id),
         F.substring(F.col(naics_col), 1, naics_prefix_len).alias("__blk"),

@@ -187,7 +187,21 @@ def sample_frames(
 
 def _encode_netpbm(img: np.ndarray) -> bytes:
     """Inverse of ``_decode_netpbm`` for 8-bit images: P5 for (h, w),
-    P6 for (h, w, 3)."""
+    P6 for (h, w, 3).  RGBA drops its alpha plane (the netpbm family
+    has no alpha); other channel counts and >8-bit sample ranges raise
+    instead of writing a payload whose header contradicts its body."""
+    if img.ndim == 3 and img.shape[2] == 4:
+        img = img[:, :, :3]
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise NotImplementedError(
+            f"cannot netpbm-encode {img.shape[2]}-channel image"
+        )
+    if img.ndim not in (2, 3):
+        raise NotImplementedError(f"cannot netpbm-encode ndim={img.ndim}")
+    if img.size and np.rint(img).max() > 255:
+        raise NotImplementedError(
+            "only 8-bit netpbm re-encode is supported (16-bit source?)"
+        )
     h, w = img.shape[0], img.shape[1]
     magic = b"P5" if img.ndim == 2 else b"P6"
     body = np.clip(np.rint(img), 0, 255).astype(np.uint8).tobytes()
@@ -248,7 +262,10 @@ def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 else:
                     wave_arr = decode_wav(raw)
                     n_samples.append(len(wave_arr))
-                rms.append(float(np.sqrt((wave_arr**2).mean())))
+                # a valid zero-frame WAV has no samples: rms 0, not NaN
+                rms.append(
+                    float(np.sqrt((wave_arr**2).mean())) if wave_arr.size else 0.0
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

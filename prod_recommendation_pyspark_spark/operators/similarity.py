@@ -131,33 +131,36 @@ def _probe_geometry(
     round-4 design persisted both full sides on every call and never
     released them, pinning executor storage for the app lifetime)."""
     n_rows = df.count()
-    first_dim = (
-        df.select(F.size(vec_col).alias("__d"))
-        .filter(F.col("__d") > 0)
-        .limit(1)
-        .first()
-    )
-    dim = first_dim["__d"] if first_dim else 1
+    dim = probe_dim(df, vec_col, default=1)
     return n_rows, n_rows * (dim * bytes_per_elem + row_overhead)
 
 
-def probe_dim(df: DataFrame, vec_col: str) -> int:
+def probe_dim(
+    df: DataFrame, vec_col: str, default: int | None = None
+) -> int | None:
     """Dimension of the first VALID vector (limit-1 scan; null vectors
     — ``size`` null under ANSI, -1 under legacy — and empty vectors
-    are skipped).  Raises when no row has a non-empty vector: silently
-    guessing a dim would hand LSH a dim-1 hyperplane set, collapsing
-    every signature into one giant bucket (accidental O(n²))."""
+    are skipped).  When no valid vector exists: return ``default`` if
+    given; else ``None`` for an EMPTY relation (an empty input has a
+    well-defined empty answer downstream); else raise — silently
+    guessing a dim over real rows would hand LSH a dim-1 hyperplane
+    set, collapsing every signature into one giant bucket (accidental
+    O(n²))."""
     row = (
         df.select(F.size(vec_col).alias("__d"))
         .filter(F.col("__d") > 0)
         .limit(1)
         .first()
     )
-    if row is None:
-        raise ValueError(
-            f"cannot infer vector dim: no non-empty '{vec_col}' values"
-        )
-    return row["__d"]
+    if row is not None:
+        return row["__d"]
+    if default is not None:
+        return default
+    if df.isEmpty():
+        return None
+    raise ValueError(
+        f"cannot infer vector dim: no non-empty '{vec_col}' values"
+    )
 
 
 def _auto_n_blocks(

@@ -72,10 +72,14 @@ class PeerSearchConfig:
     id_col: str | None = None
 
 
-def _stage1_features(firmo: DataFrame, cfg: PeerSearchConfig) -> DataFrame:
+def _stage1_features(
+    firmo: DataFrame, cfg: PeerSearchConfig
+) -> tuple[DataFrame, int]:
     """Feature engineering of SURVEY §3.1: filter → dedup by cid →
     impute → log-floor revenue → min-max scale → weight → assemble →
-    L2-normalize.  All one lazy plan (plus the impute medians fit)."""
+    L2-normalize.  All one lazy plan (plus the impute medians fit).
+    Returns ``(df, vector_dim)`` — the dim is known statically from
+    the config, so kernel sizing never needs to probe the data."""
     base = (
         firmo.filter(F.col("coname") != "RST")  # P2 search_ranking_peers.py:344
         .filter(F.col("international") == 0)  # :345
@@ -100,7 +104,8 @@ def _stage1_features(firmo: DataFrame, cfg: PeerSearchConfig) -> DataFrame:
         (F.coalesce(F.col(c).cast("double"), F.lit(0.0)) * weights.get(c, 1.0))
         for c in feature_cols
     ])
-    return l2_normalize(base.withColumn("raw_vec", vec), "raw_vec", "vec")
+    normed = l2_normalize(base.withColumn("raw_vec", vec), "raw_vec", "vec")
+    return normed, len(feature_cols)
 
 
 def run_peer_search(
@@ -115,18 +120,43 @@ def run_peer_search(
     prospect."""
     cfg = cfg or PeerSearchConfig()
     # The feature frame below feeds four plan branches (both kernel
-    # sides + both attribute join-backs) and the kernel's geometry
-    # probes; Spark re-executes an unmaterialized subplan per branch.
-    # At survey scale, persist() the PROSPECT/CLIENT inputs (cheap,
-    # pre-feature columns) before calling — deliberately not done here
-    # so the operator itself never pins executor storage it cannot
-    # release (round-4 advisory).
+    # sides + both attribute join-backs); Spark re-executes an
+    # unmaterialized subplan per branch.  The kernel's grid shape is
+    # computed HERE analytically (dim is static; row counts are one
+    # cheap grouped count) and pinned, so hybrid_topk runs zero probe
+    # jobs and the feature plan is never re-executed for sizing.  The
+    # operator itself persists nothing (round-4 advisory) — at survey
+    # scale, persist() the prospect/client inputs before calling.
     tagged = prospects.withColumn("__side", F.lit("t")).unionByName(
         clients.withColumn("__side", F.lit("s"))
     )
-    feats = _stage1_features(tagged, cfg)  # scale stats over BOTH sides, as the reference
+    feats, dim = _stage1_features(tagged, cfg)  # scale stats over BOTH sides
     left = feats.filter(F.col("__side") == "t")
     right = feats.filter(F.col("__side") == "s")
+
+    n_blocks, n_left_chunks = cfg.n_blocks, None
+    if n_blocks is None:
+        from prod_recommendation_pyspark_spark.operators.similarity import (
+            DEFAULT_MAX_BLOCK_BYTES,
+            _grid_shape,
+        )
+
+        counts = {
+            r["__side"]: r["cnt"]
+            for r in feats.groupBy("__side")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        l_rows, r_rows = counts.get("t", 0), counts.get("s", 0)
+        row_bytes = dim * 8 + 40  # vector + naics/lat/lon/id aux
+        n_blocks, n_left_chunks = _grid_shape(
+            l_rows,
+            l_rows * row_bytes,
+            r_rows,
+            r_rows * row_bytes,
+            spark.sparkContext.defaultParallelism,
+            DEFAULT_MAX_BLOCK_BYTES,
+        )
 
     def pair_id():
         if cfg.id_col is not None:
@@ -150,9 +180,10 @@ def run_peer_search(
         threshold=cfg.threshold,
         w_hops=cfg.w_hops,
         w_havs=cfg.w_havs,
-        # forwarded (round-1 silent no-op); ids may be signed
-        # (xxhash64), so block slicing relies on hybrid_topk's pmod
-        n_blocks=cfg.n_blocks,
+        # pinned: ids may be signed (xxhash64), so block slicing
+        # relies on hybrid_topk's pmod
+        n_blocks=n_blocks,
+        n_left_chunks=n_left_chunks,
     )
     tgt_attrs = rename_with_prefix(
         left.drop("vec", "raw_vec", "__side"), "tgt_"

@@ -20,12 +20,12 @@ from prod_recommendation_pyspark_spark.sources.catalog import Catalog
 
 
 def _epoch_us(col: str) -> F.Column:
-    """Epoch microseconds that tolerate both TIMESTAMP and
-    TIMESTAMP_NTZ inputs.  ``unix_micros`` only accepts TIMESTAMP, and
-    the events parquet reads as TIMESTAMP_NTZ under recent Spark; with
-    the session TZ pinned to UTC (session.py) the NTZ→TIMESTAMP cast
-    is value-preserving, so this matches DuckDB's ``epoch_us`` on the
-    same naive values."""
+    """Epoch microseconds tolerant of TIMESTAMP_NTZ inputs.  Tables
+    read through the Catalog already arrive as TIMESTAMP (it converts
+    NTZ timezone-independently at scan time), making the cast here a
+    no-op on that path; it stays as a guard for callers that hand
+    these query bodies DataFrames built outside the Catalog (session
+    TZ is UTC in our factory, so the cast is value-preserving there)."""
     return F.unix_micros(F.col(col).cast("timestamp"))
 
 

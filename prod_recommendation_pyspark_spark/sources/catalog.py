@@ -57,29 +57,34 @@ class Catalog:
             # Parquet µs timestamps with isAdjustedToUTC=false read as
             # TIMESTAMP_NTZ under Spark 4, which many time functions
             # (unix_micros, watermarks-with-interval-arith) reject.
-            # Session TZ is pinned to UTC (session.py) so the cast to
-            # TIMESTAMP is value-preserving and keeps every downstream
-            # operator on the plain-timestamp path DuckDB also uses.
+            # Convert naive→instant TIMEZONE-INDEPENDENTLY: the NTZ
+            # delta from the NTZ epoch is a pure wall-clock count of
+            # microseconds, so the resulting instant equals DuckDB's
+            # naive-as-UTC reading under ANY session timezone (a plain
+            # cast would shift by the session TZ, and pinning the
+            # session TZ here would be a global side effect).
             from pyspark.sql import types as T
 
-            ntz = [
-                f.name
-                for f in df.schema.fields
-                if isinstance(f.dataType, T.TimestampNTZType)
-            ]
-            if ntz:
-                # the cast interprets naive values in the SESSION TZ —
-                # pin it so a driver-built plain session (which skips
-                # our tuned factory) gets the same instants
-                self.spark.conf.set("spark.sql.session.timeZone", "UTC")
-            for c in ntz:
-                df = df.withColumn(c, F.col(c).cast("timestamp"))
+            for f in df.schema.fields:
+                if isinstance(f.dataType, T.TimestampNTZType):
+                    df = df.withColumn(f.name, _ntz_as_utc_instant(f.name))
             self._cache[name] = df
         return self._cache[name]
 
     def register_all(self, names=TESTDATA_TABLES) -> None:
         for name in names:
             self.table(name).createOrReplaceTempView(name)
+
+
+def _ntz_as_utc_instant(col: str) -> F.Column:
+    """TIMESTAMP_NTZ → TIMESTAMP holding the same wall-clock reading
+    as a UTC instant, independent of ``spark.sql.session.timeZone``."""
+    return F.timestamp_micros(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    )
 
 
 def _nano_timestamp_cols(path: str) -> list[str]:

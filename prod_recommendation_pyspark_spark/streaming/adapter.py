@@ -37,24 +37,39 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over the events parquet, schema-matched to
     how the files actually store ``ts`` (same contract as the batch
     Catalog): TIMESTAMP(NANOS) parquet is read nanos-as-long and
-    truncated to µs; µs parquet (NTZ) is read natively and cast to
-    TIMESTAMP (session TZ is UTC, so the cast is value-preserving)."""
+    truncated to µs; µs parquet (NTZ) is read natively and converted
+    with the Catalog's timezone-independent naive-as-UTC expression.
+
+    The footer probe is best-effort and driver-local: an empty staging
+    directory (the normal start state of a file stream — files arrive
+    later) or a remote path the local probe can't open falls back to
+    the µs-NTZ schema, today's producer format."""
     import os
 
     import pyarrow.parquet as pq
 
-    probe = path
-    if os.path.isdir(path):
-        files = [f for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
-        probe = os.path.join(path, files[0])
-    ts_phys = str(pq.read_schema(probe).field("ts").type)
+    ts_phys = "timestamp[us]"
+    try:
+        probe = path
+        if os.path.isdir(path):
+            files = [
+                f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+            ]
+            probe = os.path.join(path, files[0])
+        ts_phys = str(pq.read_schema(probe).field("ts").type)
+    except Exception:
+        pass
     if ts_phys == "timestamp[ns]":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(path)
         # integer div: float /1000 on ns longs loses sub-µs precision
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from prod_recommendation_pyspark_spark.sources.catalog import (
+        _ntz_as_utc_instant,
+    )
+
     raw = spark.readStream.schema(_events_schema(T.TimestampNTZType())).parquet(path)
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", _ntz_as_utc_instant("ts"))
 
 
 def streaming_windowed_counts(

@@ -42,6 +42,30 @@ def test_probe_dim_raises_when_no_valid_vector(spark):
         probe_dim(df, "vec")
 
 
+def test_probe_dim_empty_relation_and_default(spark):
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    assert probe_dim(empty, "vec") is None  # empty input: defined answer
+    assert probe_dim(empty, "vec", default=7) == 7
+
+
+def test_empty_inputs_yield_empty_results(spark):
+    """Empty relations must flow through the LSH-defaulted paths as
+    empty outputs, not dim-probe crashes (round-5 review)."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "id long, vec array<double>")
+    assert embedding_near_dup_pairs(empty, "id", "vec").count() == 0
+    left = spark.createDataFrame(
+        [], "lid long, naics string, vec array<double>"
+    )
+    right = spark.createDataFrame(
+        [], "rid long, naics string, vec array<double>"
+    )
+    assert hybrid_candidates(left, right, "lid", "rid", vec_col="vec").count() == 0
+
+
 def test_embedding_near_dup_survives_null_first_vector(spark):
     """Default (LSH) near-dup path with a null leading vector: the dim
     probe must find the real dim and the known duplicate pair must

@@ -79,6 +79,29 @@ def test_decode_wav_roundtrip_values():
     assert abs(arr[1] - 0.5) < 1e-4 and abs(arr[2] + 0.5) < 1e-4
 
 
+def test_zero_frame_wav_rms_is_zero(spark):
+    df = _media_df(spark, [_wav_bytes([])], "audio/wav")
+    row = extract_audio_features(df, fake=False).collect()[0]
+    assert row["n_samples"] == 0 and row["rms"] == 0.0
+
+
+def test_encode_netpbm_rgba_and_range_guards():
+    import numpy as np
+
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        _decode_netpbm,
+        _encode_netpbm,
+    )
+
+    rgba = np.zeros((2, 2, 4)); rgba[..., 3] = 255.0  # opaque alpha
+    out = _decode_netpbm(_encode_netpbm(rgba))
+    assert out.shape == (2, 2, 3)  # alpha dropped, header matches body
+    with pytest.raises(NotImplementedError):
+        _encode_netpbm(np.zeros((2, 2, 2)))
+    with pytest.raises(NotImplementedError):
+        _encode_netpbm(np.full((2, 2), 300.0))  # 16-bit range
+
+
 def test_unknown_payload_raises(spark):
     df = _media_df(spark, [b"\x89PNG\r\n not really"], "image/png")
     if _PILImage is not None:
