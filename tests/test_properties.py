@@ -105,3 +105,67 @@ def test_portable_term_hash_matches_python_reference(spark, terms):
     }
     for t in terms:
         assert got[t] == ref(t), t
+
+
+# ---------------------------------------------------------------------------
+# Multimodal codec roundtrip laws (no Spark job: pure kernel functions)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=6),
+    rgb=st.booleans(),
+    data=st.data(),
+)
+def test_netpbm_encode_decode_roundtrip(h, w, rgb, data):
+    """decode(encode(img)) == img exactly for every 8-bit gray/RGB
+    array — header arithmetic, comment-free token parsing, and byte
+    layout all under one law."""
+    import numpy as np
+
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        _decode_netpbm,
+        _encode_netpbm,
+    )
+
+    shape = (h, w, 3) if rgb else (h, w)
+    flat = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=int(np.prod(shape)),
+            max_size=int(np.prod(shape)),
+        )
+    )
+    img = np.array(flat, dtype=np.float64).reshape(shape)
+    out = _decode_netpbm(_encode_netpbm(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64
+    )
+)
+def test_wav_decode_normalization_roundtrip(samples):
+    """decode_wav recovers every 16-bit PCM sample exactly (scaled by
+    1/32768), including the empty-stream case."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import numpy as np
+
+    from prod_recommendation_pyspark_spark.operators.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    arr = decode_wav(buf.getvalue())
+    want = np.array(samples, dtype=np.float64) / 32768.0
+    assert arr.shape == want.shape and (arr == want).all()
