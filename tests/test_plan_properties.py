@@ -1,0 +1,79 @@
+"""Physical-plan contract tests: the properties that make these plans
+viable at 1000-executor scale must hold in CI, not just in a one-off
+explain audit.  Assertions are deliberately coarse (operator presence/
+absence in the formatted plan) so they survive Spark version and AQE
+cosmetic changes while still failing on real regressions — a dropped
+broadcast hint, a cartesian product sneaking into an equi-join, a
+filter no longer reaching the parquet scan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from prod_recommendation_pyspark_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_reaches_parquet_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    # the shipdate predicate must be pushed, not evaluated post-scan only
+    assert "shipdate" in plan.split("PushedFilters")[1][:200].lower()
+
+
+def test_broadcast_join_for_dimension_tables(spark):
+    plan = _plan(spark, "brand_revenue_broadcast_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_nested_loop_in_equi_join_queries(spark):
+    for name in ("topk_segments_by_nation", "semi_anti_join_customers",
+                 "dense_id_ratings_maps"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_exists_subquery_planned_as_semi_join(spark):
+    # semi_anti_join_customers returns a collected 1-row summary (its
+    # plan is an ExistingRDD scan) — q4's EXISTS keeps the join in-plan
+    plan = _plan(spark, "q4_exists_order_priority")
+    assert "LeftSemi" in plan
+
+
+def test_column_pruning_on_narrow_projection(spark):
+    """topk_segments_by_nation touches no acctbal/name columns of
+    customer — the scan's ReadSchema must not read them."""
+    plan = _plan(spark, "topk_segments_by_nation")
+    read_schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    cust_scans = [s for s in read_schemas if "c_" in s]
+    assert cust_scans, "no customer scan found"
+    assert all("c_acctbal" not in s for s in cust_scans)
+
+
+def test_cosine_kernel_is_cogrouped_not_cartesian(spark):
+    plan = _plan(spark, "cosine_topk_embeddings")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_session_windows_single_shuffle_family(spark):
+    """Session windowing shuffles on the grouping key; it must not
+    degrade to a partition-less global window."""
+    plan = _plan(spark, "session_windows_events")
+    assert "Window" not in plan or "PartitionBy" not in plan  # loose guard
+    assert "Exchange SinglePartition" not in plan
