@@ -185,6 +185,32 @@ def sample_frames(
     )
 
 
+def synthesize_wav_from_bytes(df: DataFrame, framerate: int = 8000) -> DataFrame:
+    """Wrap each payload's raw bytes as an 8-bit mono PCM RIFF/WAV
+    (bytes ARE the unsigned samples) — a deterministic way to put REAL
+    WAV payloads through the real ``decode_wav`` path at any scale,
+    so the genuine codec is exercisable by an oracle-checked query,
+    not only by handcrafted pytest fixtures."""
+    import wave as wave_mod
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(framerate)
+                    wf.writeframes(bytes(payload))
+                out.append(buf.getvalue())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, payload binary"
+    )
+
+
 def _encode_netpbm(img: np.ndarray) -> bytes:
     """Inverse of ``_decode_netpbm`` for 8-bit images: P5 for (h, w),
     P6 for (h, w, 3).  RGBA drops its alpha plane (the netpbm family
