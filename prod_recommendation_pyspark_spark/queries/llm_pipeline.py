@@ -376,6 +376,57 @@ def multimodal_audio_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("media_id")
 
 
+@register(
+    "multimodal_netpbm_real_decode",
+    sql="""
+    WITH b AS (SELECT doc_id AS media_id, encode(text) AS bl,
+                      hex(encode(text)) AS hx
+               FROM documents WHERE octet_length(encode(text)) > 0),
+    px AS (SELECT media_id, octet_length(bl) AS n,
+                  list_transform(range(1, octet_length(bl) + 1),
+                      i -> CAST(concat('0x', substring(hx, 2*i - 1, 2))
+                                AS INTEGER)) AS bytes
+           FROM b)
+    SELECT media_id,
+           round(list_sum(bytes) / CAST(n AS DOUBLE), 4) AS px_mean,
+           CAST(list_min(bytes) AS DOUBLE) AS px_min,
+           CAST(list_max(bytes) AS DOUBLE) AS px_max,
+           CAST(n AS DOUBLE) AS width
+    FROM px ORDER BY media_id
+    """,
+)
+def multimodal_netpbm_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec under the value hash: a genuine P5 (binary
+    grayscale netpbm) payload is assembled with pure Catalyst binary
+    concat — header ``P5\\n<w> 1\\n255\\n`` + the text bytes as a 1-row
+    raster — then decoded by the real netpbm path (fake=False), whose
+    header parsing, raster layout, and stats the oracle recomputes
+    from the same bytes via hex()."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    body = F.encode(F.col("text"), "utf-8")
+    n = F.length(body)
+    header = F.encode(
+        F.concat(F.lit("P5\n"), n.cast("string"), F.lit(" 1\n255\n")),
+        "utf-8",
+    )
+    media = docs.filter(F.length(F.encode(F.col("text"), "utf-8")) > 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(header, body).alias("payload"),
+    )
+    feats = extract_image_features(media, n_features=8, fake=False)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("features", 1), 4).alias("px_mean"),
+        F.element_at("features", 3).alias("px_min"),
+        F.element_at("features", 4).alias("px_max"),
+        F.element_at("features", 6).alias("width"),
+    ).orderBy("media_id")
+
+
 _CLUSTERS_SQL = f"""
     WITH RECURSIVE {_SHINGLES_SQL},
     edges AS (SELECT id_a, id_b
