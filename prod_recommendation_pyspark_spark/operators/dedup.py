@@ -317,6 +317,7 @@ def embedding_near_dup_pairs(
     candidates: DataFrame | None = None,
     brute: bool = False,
     lsh_tables: list[list[list[float]]] | None = None,
+    use_kernel: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b) above threshold.
 
@@ -364,12 +365,29 @@ def embedding_near_dup_pairs(
             .join(b, "id_b")
         )
     else:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("__va", "__vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+        from prod_recommendation_pyspark_spark.operators.similarity import (
+            spread_small_input,
+        )
+
+        # the O(n²) scoring is pipelined onto a's scan — spread a
+        # single-split read across cores (b is the broadcast side)
+        pairs = spread_small_input(a).crossJoin(b).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+    if use_kernel:
+        from prod_recommendation_pyspark_spark.operators.similarity import (
+            seq_dot_kernel,
+        )
+
+        # Arrow-batched, fold-order-exact (bit-identical scores; the
+        # interpreted HOF fold serializes onto one core post-AQE)
+        dot = seq_dot_kernel("__va", "__vb")
+    else:
+        dot = F.aggregate(
+            F.zip_with("__va", "__vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     return (
         pairs.withColumn("cosine", dot)
         .filter(F.col("cosine") >= threshold)

@@ -4,6 +4,7 @@ blocking; self-similarity of a normalized vector is 1."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.operators.similarity import (
@@ -233,3 +234,115 @@ def test_embedding_near_dup_lsh_recall(spark):
     if brute:
         recall = len(lsh & brute) / len(brute)
         assert recall >= 0.6, f"LSH near-dup recall too low: {recall:.3f}"
+
+
+def test_seq_kernels_bit_identical_to_fold_expressions(spark):
+    """seq_dot_kernel / seq_cosine_kernel must be BIT-identical to the
+    interpreted aggregate(zip_with(...)) folds on null-free vectors —
+    the contract that makes use_kernel a pure physical-plan choice
+    (operators/similarity.py `_fold_pair_scores`)."""
+    import struct
+
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        seq_cosine_kernel,
+        seq_dot_kernel,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").cast("array<double>").alias("vb"),
+    )
+    pairs = a.crossJoin(b).filter(
+        (F.col("ia") % 11 == 0) & (F.col("ib") % 7 == 0)
+    )
+    qn = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    cn = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rows = pairs.select(
+        (dot / (qn * cn)).alias("ec"),
+        seq_cosine_kernel("va", "vb").alias("kc"),
+        dot.alias("ed"),
+        seq_dot_kernel("va", "vb").alias("kd"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert struct.pack("d", r.ec) == struct.pack("d", r.kc)
+        assert struct.pack("d", r.ed) == struct.pack("d", r.kd)
+
+
+def test_seq_kernels_null_contract(spark):
+    """Kernel poison cases all funnel to NULL: null side, length
+    mismatch, zero vector (cosine), NaN element.  Dot of empty arrays
+    is the 0.0 fold seed."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        seq_cosine_kernel,
+        seq_dot_kernel,
+    )
+
+    edge = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], [3.0, 4.0]),
+            (2, None, [1.0, 2.0]),
+            (3, [1.0, 2.0, 5.0], [1.0, 2.0]),
+            (4, [0.0, 0.0], [1.0, 2.0]),
+            (5, [], []),
+            (6, [float("nan"), 1.0], [1.0, 1.0]),
+        ],
+        "id int, va array<double>, vb array<double>",
+    )
+    got = {
+        r["id"]: (r["k"], r["kd"])
+        for r in edge.select(
+            "id",
+            seq_cosine_kernel("va", "vb").alias("k"),
+            seq_dot_kernel("va", "vb").alias("kd"),
+        ).collect()
+    }
+    assert got[1] == (pytest.approx(11.0 / (5.0**0.5 * 25.0**0.5)), 11.0)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+    assert got[4] == (None, 0.0)
+    assert got[5] == (None, 0.0)
+    assert got[6] == (None, None)
+
+
+def test_ann_use_kernel_matches_expression_path(spark):
+    """ann_lsh_topk / ann_ivf_topk produce identical rows under both
+    physical scoring strategies."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        random_hyperplane_tables,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    tables = random_hyperplane_tables(64, 4, 2, 7)
+    cent = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    for fn in (
+        lambda uk: ann_lsh_topk(
+            corpus, qs, "nbr_id", "tgt_id", "embedding",
+            k=5, tables=tables, use_kernel=uk,
+        ),
+        lambda uk: ann_ivf_topk(
+            corpus, qs, "nbr_id", "tgt_id", "embedding",
+            k=5, centroids=cent, n_probe=2, use_kernel=uk,
+        ),
+    ):
+        expr_rows = sorted(map(tuple, fn(False).collect()))
+        kern_rows = sorted(map(tuple, fn(True).collect()))
+        assert expr_rows == kern_rows
