@@ -64,6 +64,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # drop caches pinned by the PREVIOUS query/warmup (several
+        # queries persist intermediates by design): each timed query
+        # starts from parquet like the isolated-median protocol, and
+        # late queries stop paying GC rent for early queries' storage
+        spark.catalog.clearCache()
         t0 = time.monotonic()
         try:
             n = QUERIES[name](spark, sf_dir).count()

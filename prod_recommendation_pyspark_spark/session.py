@@ -47,6 +47,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Measured (bench.py A/B, sf0.1): a 32g heap makes the ALS
+        # query 2.6x SLOWER in-bench than 8g (10.7s vs 28s — bigger
+        # heap => rarer but massive GC pauses landing on MLlib's
+        # iteration barriers).  Keep the modest default; override via
+        # SPARK_DRIVER_MEMORY.  On a real cluster this knob is
+        # per-role in spark-defaults.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
