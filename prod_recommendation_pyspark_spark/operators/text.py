@@ -271,6 +271,112 @@ def feature_hash(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling k-gram hash + window minimum)
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS fingerprinter) as a pure Catalyst
+    expression pipeline.
+
+    Normalize (lowercase, strip non-alphanumerics) → hash every
+    k-char gram with the portable polynomial recurrence
+    (``portable_term_hash`` — oracle-reproducible, unlike xxhash64) →
+    slide a w-gram window, keep each window's MINIMUM hash → the
+    distinct selected hashes are the document's fingerprint set.
+    Guarantee: two documents sharing a normalized substring of length
+    ≥ k + w - 1 share at least one fingerprint; no match shorter than
+    k is ever detected (the noise floor).  Expected density ~2/(w+1)
+    of all grams, so the fingerprint set is a bounded-size sketch.
+
+    Returns long-form distinct ``(id, fingerprint)`` rows — the join
+    shape dedup wants, every cell driver-hashable.
+
+    Scale shape: selection is a pure per-row projection — NO shuffle
+    until a consumer joins/aggregates.  Gram hashes are O(k) folds
+    here (k stays small and the fold transliterates to the DuckDB
+    oracle verbatim); for large k swap in the O(1)-per-gram rolling
+    recurrence (prefix hashes ``P_i = P_{i-1}·B + c_i``, gram =
+    ``P_{i+k} - P_i·B^k`` mod p) — same outputs, oracle needs the
+    same rewrite.  Documents shorter than k hash their whole
+    remainder (and an empty normalized text yields the seed hash 0),
+    so every row emits ≥ 1 fingerprint."""
+    clean = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(clean) - (k - 1), F.lit(1))),
+        lambda i: portable_term_hash(clean.substr(i, F.lit(k))),
+    )
+    # Projection ladder (same trick as minhash_signature): the window
+    # pass references the gram array TWICE (size + slice) — behind its
+    # own non-cheap alias CollapseProject keeps the boundary, so grams
+    # evaluate once per row.  Inlined, every window's slice() would
+    # recompute the WHOLE gram array: O(n²·k) per document (measured:
+    # minutes per 5k-char doc — the plan shows the full transform
+    # subtree nested inside the slice lambda).
+    hashed = df.select(F.col(id_col), grams.alias("__grams"))
+    wins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("__grams") - (w - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice(F.col("__grams"), j, w)),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.explode(F.array_sort(F.array_distinct(wins))).alias("fingerprint"),
+    )
+
+
+def winnow_dedup_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    ``(id_a, id_b, n_shared)`` with ``id_a < id_b`` and ≥
+    ``min_shared`` fingerprints in common — the fingerprint-overlap
+    complement to MinHash-LSH (which thresholds on whole-document
+    Jaccard; winnowing localizes, so a single long shared passage is
+    enough regardless of the rest of the document).
+
+    One shuffle on the fingerprint (self-equi-join) + one on the pair
+    key.  ``max_df`` drops fingerprints present in more documents
+    (boilerplate) — the same cartesian-bomb cap as MinHash's
+    ``max_bucket``: a fingerprint shared by f docs contributes
+    O(f²) pairs, so ubiquitous grams must be pruned at 100 TB."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        dfw = Window.partitionBy("fingerprint")
+        fps = (
+            fps.withColumn("__df", F.count(F.lit(1)).over(dfw))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence prep: token-window chunking + budgeted packing
 # ---------------------------------------------------------------------------
 

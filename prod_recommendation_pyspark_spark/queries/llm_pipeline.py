@@ -933,3 +933,98 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang_pred", "doc_id", "draw", "sample_rank")
         .orderBy("lang_pred", "sample_rank")
     )
+
+
+# --- Winnowing fingerprints (rolling k-gram hash + window minimum) ----------
+
+_WINNOW_K, _WINNOW_W, _WINNOW_MIN_SHARED = 16, 12, 5
+
+# DuckDB transliteration of winnow_fingerprints (operators/text.py):
+# 1-based inclusive slicing s[i:i+k-1] mirrors Spark substr(i, k); the
+# gram hash seeds DuckDB's list_reduce with the first element, which
+# equals Spark's 0-seeded fold because (0*31 + c1) % p = c1; the CASE
+# guards list_reduce's empty-list error for an empty normalized text
+# (Spark's fold returns the 0 seed there).
+_WINNOW_FPS_SQL = f"""
+    g AS (SELECT doc_id, list_transform(
+            range(1, greatest(length(s) - {_WINNOW_K - 1}, 1) + 1),
+            i -> CASE WHEN length(s[i:i+{_WINNOW_K - 1}]) = 0 THEN 0
+                 ELSE list_reduce(
+                     list_transform(string_split(s[i:i+{_WINNOW_K - 1}], ''),
+                                    ch -> ascii(ch)),
+                     (acc, x) -> (acc * 31 + x) % 1000003) END) AS grams
+          FROM c),
+    wmin AS (SELECT doc_id, list_sort(list_distinct(
+               list_transform(range(1, greatest(len(grams) - {_WINNOW_W - 1}, 1) + 1),
+                              j -> list_aggregate(grams[j:j+{_WINNOW_W - 1}], 'min')))) AS fps
+             FROM g)
+"""
+
+
+@register(
+    "winnow_fingerprints_documents",
+    sql=f"""
+    WITH c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+               FROM documents WHERE doc_id % 10 = 0),
+    {_WINNOW_FPS_SQL}
+    SELECT doc_id, unnest(fps) AS fingerprint
+    FROM wmin ORDER BY doc_id, fingerprint
+    """,
+)
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003
+    — the MOSS fingerprinter; operators/text.py::winnow_fingerprints):
+    min-hash-per-window over portable polynomial k-gram hashes, k=16
+    w=12, long-form (doc_id, fingerprint).  Every stage is a plain
+    expression transliterated into the DuckDB oracle, so the selected
+    fingerprints themselves are value-checked cross-engine (unlike the
+    xxhash64-based SimHash family, which is rows-only)."""
+    from prod_recommendation_pyspark_spark.operators.text import winnow_fingerprints
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents")).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    return winnow_fingerprints(
+        docs, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W
+    ).orderBy("doc_id", "fingerprint")
+
+
+@register(
+    "winnow_dedup_candidates",
+    sql=f"""
+    WITH c AS (SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+               FROM documents),
+    {_WINNOW_FPS_SQL},
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM wmin),
+    keep AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+             HAVING count(*) <= 10000),
+    fpk AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM fpk a JOIN fpk b USING (fingerprint)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_WINNOW_MIN_SHARED}
+    ORDER BY id_a, id_b
+    """,
+)
+def winnow_dedup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (k=16, w=12,
+    ≥5 shared): the fingerprint-overlap complement to MinHash-LSH —
+    winnowing LOCALIZES matches, so one shared ≥27-char passage is
+    caught regardless of whole-document Jaccard.  At these parameters
+    the pair set coincides exactly with the verified Jaccard≥0.8 set
+    at sf0.01 (recall 1.0, zero false candidates; 27/28 at sf0.001 —
+    a many-short-spans pair can evade the ≥ k+w-1 passage guarantee;
+    see tests/test_llm_pipeline.py).  One shuffle on the fingerprint,
+    one
+    on the pair key; ubiquitous fingerprints are df-capped
+    (cartesian-bomb guard, as MinHash's max_bucket)."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        winnow_dedup_candidates,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    return winnow_dedup_candidates(
+        docs, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED,
+    ).orderBy("id_a", "id_b")

@@ -229,3 +229,77 @@ def test_embedding_near_dup_default_is_pruned(spark):
     }
     auto = {(r.id_a, r.id_b) for r in out.collect()}
     assert auto <= brute
+
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """The winnowing theorem (Schleimer et al. §3): two documents
+    sharing a substring of length >= k + w - 1 share at least one
+    fingerprint.  Two otherwise-different docs with a common 40-char
+    passage (>= 16 + 12 - 1 = 27) must collide; two unrelated random
+    docs must NOT reach min_shared at these parameters."""
+    import random
+
+    from prod_recommendation_pyspark_spark.operators.text import (
+        winnow_dedup_candidates,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(7)
+    rand = lambda n: "".join(rng.choice("abcdefghij ") for _ in range(n))
+    passage = "the common shared passage that both docs contain"
+    docs = spark.createDataFrame(
+        [
+            (1, rand(200) + passage + rand(200)),
+            (2, rand(200) + passage + rand(200)),
+            (3, rand(400)),
+        ],
+        "doc_id int, text string",
+    )
+    fps = winnow_fingerprints(docs, "doc_id", "text", k=16, w=12)
+    rows = fps.collect()
+    sets = {}
+    for r in rows:
+        sets.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert sets[1] & sets[2], "docs sharing a 40-char passage must collide"
+    cand = winnow_dedup_candidates(
+        docs, "doc_id", "text", k=16, w=12, min_shared=2
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in cand}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnow_candidates_match_verified_jaccard(spark):
+    """At the registered parameters (k=16, w=12, min_shared=5) the
+    winnowing candidates cover >= 90% of the LSH + exact-Jaccard>=0.8
+    verified pairs with ZERO false candidates.  (Exact coverage is
+    1.00 at sf0.01 — the oracle corpus — and 27/28 at sf0.001: a
+    high-Jaccard pair whose overlap is many short spans can evade the
+    >= k+w-1 passage guarantee; that's the documented theory
+    trade-off, not a bug.)"""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+    from prod_recommendation_pyspark_spark.operators.text import (
+        winnow_dedup_candidates,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8,
+            candidates=lsh_candidate_pairs(docs, "doc_id", "text"),
+        ).select("id_a", "id_b").collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_dedup_candidates(
+            docs, "doc_id", "text", k=16, w=12, min_shared=5
+        ).collect()
+    }
+    assert truth, "corpus should contain near-dup pairs"
+    assert not (got - truth), f"false candidates: {sorted(got - truth)[:5]}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"winnow recall too low: {recall:.2f}"
