@@ -271,6 +271,100 @@ def feature_hash(
 
 
 # ---------------------------------------------------------------------------
+# PII redaction + benchmark decontamination (pretraining curation ops)
+# ---------------------------------------------------------------------------
+
+#: RE2-safe patterns (no lookaround/backreference) so the SAME regex
+#: runs in Spark (Java regex) and the DuckDB oracle (RE2) — parity of
+#: the redacted text is value-checked cross-engine.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\+?\d[\d().-]{7,}\d",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    out_col: str | None = None,
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """Scrub PII-shaped spans before a corpus leaves curation: chained
+    ``regexp_replace`` per pattern (email → ipv4 → ssn → phone, dict
+    order) plus a per-pattern match count column ``n_<name>`` (counted
+    on the ORIGINAL text — later patterns never see spans an earlier
+    pattern already collapsed, which is also why the chain order is
+    part of the contract and the count can exceed the redactions a
+    pattern performs itself).
+
+    Pure scan-level projection — codegen'd, no shuffle, trivially
+    100 TB-safe.  Patterns stay RE2-compatible by contract (see
+    ``PII_PATTERNS``) so oracle engines replay them verbatim."""
+    out_col = out_col or f"{text_col}_redacted"
+    patterns = PII_PATTERNS if patterns is None else patterns
+    text = F.col(text_col)
+    redacted = text
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select("*", *counts, redacted.alias(out_col))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Test-set decontamination: count each corpus document's distinct
+    word ``shingle_words``-grams that appear in ANY benchmark document,
+    and flag documents at ≥ ``min_overlap`` — the standard leakage
+    check before pretraining on a crawl that may contain the eval set.
+
+    Shape: benchmark shingles are deduped then joined to corpus
+    shingles on the shingle string — ONE shuffle keyed by shingle (the
+    benchmark side is tiny and broadcastable; Spark picks broadcast
+    when it fits), then one aggregation on the doc id.  Returns
+    ``(id, n_contaminated, contaminated)`` for every corpus row.  At
+    100 TB: hash the shingles first (8-byte join keys instead of
+    strings) and df-cap ubiquitous shingles — same skew logic as
+    MinHash band buckets."""
+    from prod_recommendation_pyspark_spark.operators.dedup import word_shingles
+
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("__s"),
+    )
+    b_sh = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("__s")
+    ).distinct()
+    hits = (
+        c_sh.join(b_sh, "__s")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("__s")).alias("n_contaminated"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling k-gram hash + window minimum)
 # ---------------------------------------------------------------------------
 

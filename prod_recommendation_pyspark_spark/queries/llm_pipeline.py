@@ -1028,3 +1028,118 @@ def winnow_dedup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text",
         k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED,
     ).orderBy("id_a", "id_b")
+
+
+# --- PII redaction + benchmark decontamination ------------------------------
+
+# RE2-safe (no lookaround) so DuckDB replays them verbatim — parity of
+# the REDACTED TEXT ITSELF is value-checked, not just match counts.
+_PII_SQL_PATS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\+?\d[\d().-]{7,}\d"),
+]
+_PII_AUG_SQL = (
+    "concat(text, ' contact ', source, '@example.com ip 10.0.', "
+    "CAST(doc_id % 256 AS VARCHAR), '.7 ssn 123-45-6789 tel 555-010-', "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+)
+_PII_COUNTS_SQL = ",\n           ".join(
+    f"len(regexp_extract_all(aug, '{p}')) AS n_{n}" for n, p in _PII_SQL_PATS
+)
+_PII_CHAIN_SQL = "aug"
+for _n, _p in _PII_SQL_PATS:
+    _PII_CHAIN_SQL = f"regexp_replace({_PII_CHAIN_SQL}, '{_p}', '[PII]', 'g')"
+
+
+@register(
+    "redact_pii_documents",
+    sql=f"""
+    WITH a AS (SELECT doc_id, {_PII_AUG_SQL} AS aug FROM documents)
+    SELECT doc_id,
+           {_PII_COUNTS_SQL},
+           {_PII_CHAIN_SQL} AS text_redacted
+    FROM a ORDER BY doc_id
+    """,
+)
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.py::redact_pii) over documents
+    augmented with deterministic PII-shaped spans derived from the
+    row itself (the synthetic corpus contains none, so the query
+    plants email/ipv4/ssn/phone per row and proves they come out).
+    Counts are per-pattern matches on the ORIGINAL text (the SSN also
+    counts as a phone-shaped span — the chain order email → ipv4 →
+    ssn → phone decides who redacts it, and the oracle replays the
+    identical chain).  Pure codegen'd projection, no shuffle."""
+    from prod_recommendation_pyspark_spark.operators.text import redact_pii
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("aug"),
+    )
+    return (
+        redact_pii(aug, "aug", out_col="text_redacted")
+        .select(
+            "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "text_redacted"
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECON_N, _DECON_MOD, _DECON_RES = 8, 7, 3
+# 8-word shingles, mirroring word_shingles: slice(w, i, 8) for
+# i in 1..greatest(len-7, 1) — the range/greatest shift is the same
+# idiom as _SHINGLES_SQL (n=3) above.
+_DECON_SH_SQL = (
+    "list_transform(range(1, greatest(len(w) - {m}, 2)), "
+    "i -> array_to_string(w[i:i+{s}], ' '))"
+).format(m=_DECON_N - 2, s=_DECON_N - 1)
+
+
+@register(
+    "decontaminate_documents",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+                  FROM documents),
+    c_sh AS (SELECT DISTINCT doc_id, unnest({_DECON_SH_SQL}) AS s
+             FROM toks WHERE doc_id % {_DECON_MOD} <> {_DECON_RES}),
+    b_sh AS (SELECT DISTINCT unnest({_DECON_SH_SQL}) AS s
+             FROM toks WHERE doc_id % {_DECON_MOD} = {_DECON_RES}),
+    hits AS (SELECT doc_id, count(*) AS n_contaminated
+             FROM c_sh JOIN b_sh USING (s) GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(h.n_contaminated, 0) AS n_contaminated,
+           coalesce(h.n_contaminated, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {_DECON_MOD} <> {_DECON_RES}) t
+    LEFT JOIN hits h ON t.doc_id = h.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/text.py::decontaminate):
+    treat doc_id % 7 == 3 as the held-out eval set, flag every other
+    document sharing ≥ 1 distinct 8-word shingle with it — the
+    leakage check a pretraining corpus runs before training.  On this
+    corpus the flagged set is exactly the near-dup twins of benchmark
+    members (11 docs at sf0.01), so the query doubles as evidence the
+    shingle join finds real leakage, not noise.  One shuffle keyed by
+    shingle + one by doc id."""
+    from prod_recommendation_pyspark_spark.operators.text import decontaminate
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == _DECON_RES)
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != _DECON_RES)
+    return decontaminate(
+        corpus, bench, "doc_id", "text", shingle_words=_DECON_N, min_overlap=1
+    ).orderBy("doc_id")

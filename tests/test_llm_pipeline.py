@@ -303,3 +303,46 @@ def test_winnow_candidates_match_verified_jaccard(spark):
     assert not (got - truth), f"false candidates: {sorted(got - truth)[:5]}"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, f"winnow recall too low: {recall:.2f}"
+
+
+def test_redact_pii_counts_and_chain(spark):
+    """Counts are per-pattern matches on the ORIGINAL text (the SSN is
+    also phone-shaped); redaction chains email → ipv4 → ssn → phone,
+    so every planted span leaves as [PII]."""
+    from prod_recommendation_pyspark_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io ip 10.0.0.7 ssn 123-45-6789 tel 555-010-0042 end")],
+        "id int, t string",
+    )
+    r = redact_pii(df, "t").first()
+    assert (r.n_email, r.n_ipv4, r.n_ssn) == (1, 1, 1)
+    assert r.n_phone == 2  # ssn span is phone-shaped too
+    assert r.t_redacted == "mail [PII] ip [PII] ssn [PII] tel [PII] end"
+
+
+def test_decontaminate_flags_shared_passage_only(spark):
+    """A corpus doc sharing an 8-word run with a benchmark doc is
+    flagged; an unrelated doc reports n_contaminated=0 and False."""
+    from prod_recommendation_pyspark_spark.operators.text import decontaminate
+
+    passage = "one two three four five six seven eight"
+    bench = spark.createDataFrame(
+        [(100, f"benchmark prefix {passage} benchmark suffix")],
+        "doc_id int, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"leaked copy {passage} with extra words"),
+            (2, "totally different words nine ten eleven twelve thirteen"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_contaminated, r.contaminated)
+        for r in decontaminate(
+            corpus, bench, "doc_id", "text", shingle_words=8
+        ).collect()
+    }
+    assert rows[1][0] >= 1 and rows[1][1] is True
+    assert rows[2] == (0, False)
