@@ -19,7 +19,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.operators.relational import dedup_first_by_key
@@ -500,3 +500,72 @@ def connected_components(
         return labels
     finally:
         sym.unpersist()
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
+    partition the corpus into ``k`` clusters, then score pairwise
+    cosine ONLY within a cluster — the cross-cluster O(n²) never
+    exists.  Returns ``(id_a, id_b, cluster, cosine)`` with
+    ``id_a < id_b`` and ``cosine >= threshold``.
+
+    Determinism contract: centroids are the ``k`` lowest-id vectors
+    (no RNG, no iteration) so any engine replays the exact clustering;
+    callers wanting tighter clusters can run ``clustering.kmeans_fit``
+    first and pass its centroids via ``centroids=``.
+
+    Shape at 100 TB: centroid selection is a k-row sort-limit;
+    assignment is a broadcast argmin (k × dim floats); the pair join
+    shuffles both sides once on the cluster id, so per-task work is
+    bounded by the largest cluster — exactly the SemDeDup trade: spend
+    a cheap global clustering to make the quadratic step local.  For
+    skewed clusters, recurse (re-cluster the giant cluster) or cap via
+    the same block-split used by ``hybrid_candidates``."""
+    from prod_recommendation_pyspark_spark.operators.clustering import (
+        kmeans_assign,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        l2_normalize,
+    )
+
+    centroids = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
+        .orderBy(id_col)
+        .limit(k)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(id_col)) - 1
+            ).alias("cluster"),
+            "vec",
+        )
+    )
+    assigned = kmeans_assign(df, id_col, vec_col, centroids).select(
+        id_col, "cluster"
+    )
+    norm = l2_normalize(df.select(id_col, vec_col), vec_col, "__v").join(
+        assigned, id_col
+    )
+    a = norm.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "cluster"
+    )
+    b = norm.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cluster"
+    )
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cluster", "cosine")
+    )

@@ -6,6 +6,8 @@ speed over 100 TB of documents.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -606,3 +608,206 @@ def pack_sequences_nextfit(
         list(with_shard.schema.fields) + [T.StructField("pack_id", T.LongType())]
     )
     return with_shard.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+def _tagged_ngrams(words: Column, n: int) -> Column:
+    """Array of ``struct(n, gram)`` word ``n``-grams (space-joined);
+    empty array when the document has fewer than ``n`` words."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.struct(
+            F.lit(n).alias("order"),
+            F.concat_ws(" ", F.slice(words, i, n)).alias("gram"),
+        ),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<struct<order:int,gram:string>>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    orders: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-document n-gram repetition signals (the Gopher "repetition
+    removal" family, Rae et al. 2021, word-level): for each order n in
+    ``orders``, the fraction of n-gram occurrences taken by the single
+    most frequent n-gram (``top{n}_frac``) and the duplicated-occurrence
+    fraction ``dup{n}_frac = 1 - distinct/total``.  High values mark
+    degenerate boilerplate/spam that survives per-line filters.
+
+    Shape: ONE explode over all orders at once (each token emits
+    ``len(orders)`` tagged grams) → one partial-aggregated shuffle on
+    ``(id, order, gram)`` → one on ``(id, order)`` → pivot-free
+    conditional aggregation to per-order columns.  No per-row O(n²)
+    array scans, no UDFs; gram cardinality bounds the shuffle exactly
+    like TF-IDF's (doc, term) fan-out, so the plan carries to 100 TB
+    unchanged.  Documents with fewer words than the largest order get
+    NULL fractions for that order (no occurrences to measure)."""
+    words = tokens(F.lower(F.col(text_col)))
+    tagged = F.flatten(F.array(*[_tagged_ngrams(words, n) for n in orders]))
+    grams = df.select(F.col(id_col), F.explode(tagged).alias("g")).select(
+        id_col, F.col("g.order").alias("order"), F.col("g.gram").alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "order", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_order = per_gram.groupBy(id_col, "order").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    aggs = []
+    for n in orders:
+        is_n = F.col("order") == n
+        top = F.max(F.when(is_n, F.col("top_cnt")))
+        tot = F.max(F.when(is_n, F.col("total")))
+        dst = F.max(F.when(is_n, F.col("n_distinct")))
+        aggs.append(F.round(top / tot, 4).alias(f"top{n}_frac"))
+        aggs.append(F.round(1 - dst / tot, 4).alias(f"dup{n}_frac"))
+        if n == 1:
+            aggs.insert(0, tot.cast("long").alias("n_words"))
+    return per_order.groupBy(id_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Character-bigram language-model scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+LM_ALPHABET_SIZE = 27  # a-z + space
+
+
+def _lm_normalize(col: Column) -> Column:
+    """Lowercase, strip to ``[a-z ]``, squeeze runs of spaces, trim —
+    the fixed normalization both the trainer and scorer share."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z ]", ""), " +", " "
+        )
+    )
+
+
+def _char_bigrams(norm: Column) -> Column:
+    """Array of overlapping 2-char substrings of normalized text."""
+    return F.when(
+        F.length(norm) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - 1),
+            lambda i: F.substring(norm, i, 2),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_bigram_lm(
+    df: DataFrame, text_col: str
+) -> DataFrame:
+    """Train a character-bigram LM over the corpus: ``(bigram,
+    log_prob)`` with add-one smoothing over the 27-symbol alphabet,
+    ``P(c2 | c1) = (count(c1c2) + 1) / (count(c1·) + 27)``.
+
+    One explode → one shuffle on the bigram (≤ 729 live keys, partial
+    map-side combine does almost all the work) → a tiny self-
+    aggregation for the context totals.  The model is ≤ 729 rows — it
+    broadcasts for scoring no matter how large the corpus was."""
+    norm = _lm_normalize(F.col(text_col))
+    bg = df.select(F.explode(_char_bigrams(norm)).alias("bigram")).groupBy(
+        "bigram"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bg.groupBy(F.substring("bigram", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("ctx_cnt")
+    )
+    return bg.join(ctx, F.substring(F.col("bigram"), 1, 1) == F.col("c1")).select(
+        "bigram",
+        F.log((F.col("cnt") + 1) / (F.col("ctx_cnt") + LM_ALPHABET_SIZE)).alias(
+            "log_prob"
+        ),
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Score documents under a ``char_bigram_lm`` model: mean log-prob
+    per observed bigram (unseen bigrams fall back to the unsmoothed-
+    context floor ``log(1/27)`` — a bigram absent from the model means
+    its context may also be unseen, and the floor keeps the score
+    total-order stable).  Low scores mark gibberish / non-language
+    text (the CCNet perplexity-bucket idea with the model trained on
+    the corpus itself).
+
+    Shape: explode → broadcast join against the ≤729-row model →
+    re-aggregate on the doc id.  Two narrow shuffles at any scale."""
+    norm = _lm_normalize(F.col(text_col))
+    doc_bg = df.select(
+        F.col(id_col), F.explode(_char_bigrams(norm)).alias("bigram")
+    )
+    floor = math.log(1.0 / LM_ALPHABET_SIZE)
+    scored = doc_bg.join(F.broadcast(model), "bigram", "left").select(
+        id_col, F.coalesce("log_prob", F.lit(floor)).alias("lp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Domain temperature resampling
+# ---------------------------------------------------------------------------
+
+#: Knuth's 2^32 multiplicative-hash constant — portable across engines
+HASH_MULT = 2654435761
+HASH_MOD = 2**32
+
+
+def uniform_hash(id_col: Column) -> Column:
+    """Deterministic per-row uniform in [0,1) from an integer id:
+    ``(id * 2654435761) mod 2^32 / 2^32`` — exact in BIGINT arithmetic,
+    so any SQL engine replays the identical keep/drop decisions."""
+    return (
+        F.pmod(id_col.cast("long") * F.lit(HASH_MULT), F.lit(HASH_MOD))
+        / F.lit(float(HASH_MOD))
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-sampling
+    rule of Conneau & Lample 2019 §3.1, applied as a deterministic
+    downsampling filter): with ``n_d`` rows in domain ``d``, keep
+    probability ``p_d = (n_d / min_d n_d) ** (alpha - 1)`` — the
+    smallest domain keeps everything, head domains are thinned toward
+    the ``alpha``-temperature distribution.  Each row's keep decision
+    is ``uniform_hash(id) < p_d``: reproducible, no RNG state, stable
+    under re-partitioning (unlike ``df.sample``).
+
+    Shape: one tiny groupBy for the domain histogram (broadcast back),
+    then a pure filter — the histogram is |domains| rows at any corpus
+    size.  Returns surviving rows with ``keep_prob`` attached."""
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    min_n = counts.agg(F.min("__n").alias("__min_n"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        domain_col,
+        F.pow(F.col("__n") / F.col("__min_n"), F.lit(alpha - 1.0)).alias(
+            "keep_prob"
+        ),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(uniform_hash(F.col(id_col)) < F.col("keep_prob"))
+        .select(*df.columns, F.round("keep_prob", 6).alias("keep_prob"))
+    )

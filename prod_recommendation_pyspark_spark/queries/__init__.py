@@ -21,3 +21,4 @@ from prod_recommendation_pyspark_spark.queries import llm_pipeline  # noqa: F401
 from prod_recommendation_pyspark_spark.queries import events  # noqa: F401,E402
 from prod_recommendation_pyspark_spark.queries import analytic  # noqa: F401,E402
 from prod_recommendation_pyspark_spark.queries import pipeline_e2e  # noqa: F401,E402
+from prod_recommendation_pyspark_spark.queries import curation  # noqa: F401,E402

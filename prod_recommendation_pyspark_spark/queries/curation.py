@@ -1,0 +1,177 @@
+"""Corpus-curation query surface — the quality / rebalancing passes a
+pretraining-data pipeline runs between ingestion and dedup: n-gram
+repetition signals (Gopher), char-bigram LM scoring (CCNet-style),
+domain temperature resampling, and SemDeDup cluster-local near-dup
+pairs.  All native Catalyst; every query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.dedup import semantic_dedup_pairs
+from prod_recommendation_pyspark_spark.operators.text import (
+    char_bigram_lm,
+    lm_score,
+    repetition_stats,
+    temperature_resample,
+)
+from prod_recommendation_pyspark_spark.queries.registry import register
+from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """See llm_pipeline._spread: fan a single-split small-file read
+    across cores before CPU-heavy per-row work."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+@register(
+    "repetition_stats_documents",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+    g AS (
+        SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram
+        FROM w, unnest([1, 2, 3]) AS t(n),
+             unnest(range(1, len(w) - n + 2)) AS s(i)
+        WHERE len(w) >= n),
+    pg AS (SELECT doc_id, n, gram, count(*) AS cnt
+           FROM g GROUP BY doc_id, n, gram),
+    po AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS total,
+                  count(*) AS n_distinct
+           FROM pg GROUP BY doc_id, n)
+    SELECT doc_id,
+           CAST(max(CASE WHEN n = 1 THEN total END) AS BIGINT) AS n_words,
+           round(max(CASE WHEN n = 1 THEN top_cnt END) * 1.0
+                 / max(CASE WHEN n = 1 THEN total END), 4) AS top1_frac,
+           round(1 - max(CASE WHEN n = 1 THEN n_distinct END) * 1.0
+                 / max(CASE WHEN n = 1 THEN total END), 4) AS dup1_frac,
+           round(max(CASE WHEN n = 2 THEN top_cnt END) * 1.0
+                 / max(CASE WHEN n = 2 THEN total END), 4) AS top2_frac,
+           round(1 - max(CASE WHEN n = 2 THEN n_distinct END) * 1.0
+                 / max(CASE WHEN n = 2 THEN total END), 4) AS dup2_frac,
+           round(max(CASE WHEN n = 3 THEN top_cnt END) * 1.0
+                 / max(CASE WHEN n = 3 THEN total END), 4) AS top3_frac,
+           round(1 - max(CASE WHEN n = 3 THEN n_distinct END) * 1.0
+                 / max(CASE WHEN n = 3 THEN total END), 4) AS dup3_frac
+    FROM po GROUP BY doc_id
+    HAVING max(CASE WHEN n = 1 THEN total END) >= 3
+    ORDER BY doc_id
+    """,
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family word-n-gram repetition signals per document
+    (operators/text.py::repetition_stats): the most-frequent-n-gram
+    occurrence fraction and the duplicated-occurrence fraction for
+    n = 1..3.  Docs with < 3 words are dropped (no trigram to
+    measure).  One explode over all three orders → two keyed
+    shuffles — the TF-IDF fan-out shape, 100 TB-safe."""
+    docs = _spread(
+        Catalog(spark, sf_dir).table("documents").filter(F.trim("text") != "")
+    )
+    stats = repetition_stats(docs, "text", "doc_id")
+    return stats.filter(F.col("n_words") >= 3).orderBy("doc_id")
+
+
+@register(
+    "lm_score_documents",
+    sql=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS s
+        FROM documents),
+    db AS (
+        SELECT doc_id, s[i:i+1] AS bigram
+        FROM norm, unnest(range(1, len(s))) AS t(i)
+        WHERE len(s) >= 2),
+    cnt AS (SELECT bigram, count(*) AS cnt FROM db GROUP BY bigram),
+    ctx AS (SELECT bigram[1:1] AS c1, sum(cnt) AS ctx_cnt
+            FROM cnt GROUP BY bigram[1:1]),
+    model AS (
+        SELECT bigram, ln((cnt + 1.0) / (ctx_cnt + 27)) AS log_prob
+        FROM cnt JOIN ctx ON bigram[1:1] = c1),
+    scored AS (
+        SELECT doc_id, coalesce(log_prob, ln(1.0 / 27)) AS lp
+        FROM db LEFT JOIN model USING (bigram))
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: train a char-bigram model over
+    the corpus itself (add-one smoothing, 27-symbol alphabet), then
+    score each document's mean bigram log-prob.  The model is ≤729
+    rows regardless of corpus size, so scoring is a broadcast join;
+    training is one bounded-key shuffle.  Low scores flag gibberish /
+    non-language text."""
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    model = char_bigram_lm(docs, "text")
+    return lm_score(docs, model, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
+    "temperature_resample_documents",
+    sql="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    r AS (SELECT lang,
+                 pow(n * 1.0 / (SELECT min(n) FROM c), -0.5) AS keep_prob
+          FROM c)
+    SELECT doc_id, lang, round(keep_prob, 6) AS keep_prob
+    FROM documents JOIN r USING (lang)
+    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < keep_prob
+    ORDER BY doc_id
+    """,
+)
+def temperature_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain rebalancing at temperature α = 0.5 over the
+    language column (operators/text.py::temperature_resample): the
+    rarest language keeps every row, head languages are thinned by
+    ``(n_d / min n)^(α-1)``; each row's fate is a portable integer
+    hash of its id, so the oracle replays identical keep decisions —
+    unlike ``df.sample``, reshuffling cannot change the sample."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    kept = temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    return kept.select("doc_id", "lang", "keep_prob").orderBy("doc_id")
+
+
+@register(
+    "semantic_dedup_pairs_embeddings",
+    sql="""
+    WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+        FROM (SELECT * FROM emb ORDER BY vec_id LIMIT 8)),
+    assign AS (
+        SELECT vec_id, v, arg_min(cluster, list_distance(v, cv)) AS cluster
+        FROM emb CROSS JOIN cent GROUP BY vec_id, v),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
+               list_cosine_similarity(a.v, b.v) AS cosine
+        FROM assign a JOIN assign b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, CAST(cluster AS INT) AS cluster,
+           round(cosine, 4) AS cosine
+    FROM pairs WHERE cosine >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-local near-dup pairs over the embeddings table
+    (operators/dedup.py::semantic_dedup_pairs, k=8, τ=0.4): global
+    deterministic clustering (k lowest-id vectors as centroids,
+    broadcast argmin assignment) makes the quadratic cosine step local
+    to each cluster — the cross-cluster O(n²) never materializes.  The
+    oracle replays the identical centroids, L2 assignment, and cosine
+    threshold."""
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    pairs = semantic_dedup_pairs(emb, "vec_id", "embedding", k=8, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", "cluster", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
