@@ -80,6 +80,41 @@ def minhash_signature(hashed_shingles: Column, n_hashes: int = 64) -> Column:
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    hashed_col: str,
+    n_hashes: int = 64,
+    sig_col: str = "__sig",
+) -> DataFrame:
+    """MinHash signatures as a DataFrame op: ``(id, array<bigint>)``
+    with the identical hash family/values as ``minhash_signature``,
+    but computed as explode → ``n_hashes`` codegen'd ``min(xxhash64(h,
+    i))`` aggregates instead of ``n_hashes`` interpreted higher-order
+    ``transform``/``array_min`` passes.  HOF expressions never enter
+    whole-stage codegen — the column-expression form runs the 64-pass
+    loop in the interpreter per row, which profiled 3-5× slower (and
+    JIT-warmup-sensitive) at sf0.1.  Here every hash+min runs inside
+    one codegen'd HashAggregate; partial (map-side) aggregation
+    collapses each doc's shingles to one 64-long row BEFORE the
+    shuffle, so the exchange carries ~|docs| rows regardless of
+    shingle fan-out.  Docs whose shingle array is empty vanish
+    (explode) — ``word_shingles`` never returns an empty array, and
+    callers with other upstreams should explode_outer themselves if
+    they need null signatures."""
+    exploded = df.select(F.col(id_col), F.explode(hashed_col).alias("__h"))
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    return mins.select(
+        id_col,
+        F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias(sig_col),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -98,19 +133,46 @@ def lsh_candidate_pairs(
     ``max_bucket`` drops degenerate buckets (identical boilerplate) —
     at 100 TB an unbounded bucket is a cartesian bomb."""
     rows_per_band = n_hashes // bands
-    # Projection ladder: shingles → one string-hash pass → n_hashes
-    # long-hash passes.  Each alias below is referenced more than once
-    # downstream, so CollapseProject leaves the boundaries in place and
-    # every stage computes exactly once per row.
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_words), lambda s: F.xxhash64(s)
-        ).alias("__hs"),
+    # Shingle hashing WITHOUT higher-order functions in the hot path:
+    # posexplode the words array, then build each shingle's string with
+    # plain slice/concat_ws/xxhash64 on the exploded rows — ordinary
+    # expressions that stay inside whole-stage codegen.  The HOF column
+    # form (transform over word_shingles) runs interpreted, and —
+    # worse — InferFiltersFromGenerate duplicates the Generate input
+    # into a size()>0 filter that predicate-pushdown parks BELOW any
+    # spreading exchange, re-running the whole interpreted shingle
+    # pipeline serially on the (often single-split) scan task.  Here
+    # the inferred filter only references the cheap split(), and the
+    # hash values are bit-identical to xxhash64(word_shingles(...))
+    # (same shingle strings; duplicate shingles are idempotent under
+    # the min aggregation, so set-dedup is unnecessary).  Profiled at
+    # sf0.1/local[32]: 1.4s vs 5.7s for the signature stage.
+    words = df.select(
+        F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w")
     )
-    sig = hashed.select(
-        F.col(id_col),
-        minhash_signature(F.col("__hs"), n_hashes).alias("__sig"),
+    exploded = words.select(
+        id_col, "__w", F.posexplode("__w").alias("__p", "__word")
+    )
+    shingle_hashed = exploded.filter(
+        # keep pos 0..max(n-k, 0): n>=k gives the n-k+1 full shingles,
+        # shorter docs keep pos 0 whose slice truncates — mirroring
+        # word_shingles' sequence(1, greatest(n-k+1, 1)) ladder
+        F.col("__p") <= F.greatest(F.size("__w") - shingle_words, F.lit(0))
+    ).select(
+        id_col,
+        F.xxhash64(
+            F.concat_ws(" ", F.slice("__w", F.col("__p") + 1, shingle_words))
+        ).alias("__h"),
+    )
+    mins = shingle_hashed.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    sig = mins.select(
+        id_col,
+        F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("__sig"),
     )
     banded = sig.select(
         id_col,
@@ -247,6 +309,48 @@ def simhash(col: Column, bits: int = 64) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """SimHash as a DataFrame op with NO higher-order functions:
+    posexplode the whitespace tokens, hash each once, then one
+    codegen'd aggregation of ``n_bits`` conditional ±1 sums; the
+    signature is the sum of powers for positive votes.  Identical
+    values to the ``simhash`` column expression (vote sums are
+    order-independent), but the per-token work runs inside whole-stage
+    codegen instead of an interpreted nested ``aggregate``/``zip_with``
+    fold (~bits lambda invocations per token), and partial (map-side)
+    aggregation collapses each doc to one row before the shuffle.
+    Rows whose token array is empty are dropped (``split`` never
+    returns one, so in practice every input row emits a signature)."""
+    n_bits = min(bits, 63)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("__t"),
+    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("__h").bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig = None
+    for b in range(n_bits):
+        term = F.when(
+            F.col(f"__v{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias(sig_col))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -14,8 +14,8 @@ from prod_recommendation_pyspark_spark.operators.dedup import (
     hamming64,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
-    simhash,
     simhash_banded_pairs,
+    simhash_signatures,
 )
 from prod_recommendation_pyspark_spark.operators.multimodal import (
     attach_fake_payload,
@@ -133,7 +133,7 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     check); banded ≡ brute-force equivalence and recall vs Jaccard
     pairs are pytests."""
     docs = _spread(Catalog(spark, sf_dir).table("documents"))
-    sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig"))
+    sigs = simhash_signatures(docs, "doc_id", "text")
     return simhash_banded_pairs(sigs, "doc_id", "sig", max_hamming=8).orderBy(
         "id_a", "id_b"
     )
@@ -495,7 +495,7 @@ def simhash_banded_vs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled; the set-equality property can (constants oracle, same
     pattern as the sketch error-bound booleans)."""
     docs = _spread(Catalog(spark, sf_dir).table("documents"))
-    sigs = docs.select("doc_id", simhash(F.col("text")).alias("sig")).persist()
+    sigs = simhash_signatures(docs, "doc_id", "text").persist()
     banded = simhash_banded_pairs(sigs, "doc_id", "sig", max_hamming=8).select(
         "id_a", "id_b"
     )
