@@ -175,3 +175,112 @@ def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     return pairs.select(
         "id_a", "id_b", "cluster", F.round("cosine", 4).alias("cosine")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "curation_pipeline_documents",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        FROM documents WHERE trim(text) <> ''),
+    g AS (
+        SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram
+        FROM w, unnest([1, 2]) AS t(n),
+             unnest(range(1, len(w) - n + 2)) AS s(i)
+        WHERE len(w) >= n),
+    pg AS (SELECT doc_id, n, gram, count(*) AS cnt
+           FROM g GROUP BY doc_id, n, gram),
+    rep AS (SELECT doc_id,
+                   max(CASE WHEN n = 1 THEN total END) AS n_words,
+                   max(CASE WHEN n = 2 THEN topf END) AS top2_frac,
+                   max(CASE WHEN n = 2 THEN dupf END) AS dup2_frac
+            FROM (SELECT doc_id, n, max(cnt) * 1.0 / sum(cnt) AS topf,
+                         1 - count(*) * 1.0 / sum(cnt) AS dupf,
+                         sum(cnt) AS total
+                  FROM pg GROUP BY doc_id, n)
+            GROUP BY doc_id),
+    norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS s
+        FROM documents),
+    db AS (SELECT doc_id, s[i:i+1] AS bigram
+           FROM norm, unnest(range(1, len(s))) AS t(i) WHERE len(s) >= 2),
+    cnt AS (SELECT bigram, count(*) AS cnt FROM db GROUP BY bigram),
+    ctx AS (SELECT bigram[1:1] AS c1, sum(cnt) AS ctx_cnt
+            FROM cnt GROUP BY bigram[1:1]),
+    model AS (SELECT bigram, ln((cnt + 1.0) / (ctx_cnt + 27)) AS lp
+              FROM cnt JOIN ctx ON bigram[1:1] = c1),
+    lm AS (SELECT doc_id, avg(lp) AS avg_logprob
+           FROM db JOIN model USING (bigram) GROUP BY doc_id),
+    gated AS (
+        SELECT d.doc_id, d.lang, d.text, rep.n_words, lm.avg_logprob
+        FROM documents d JOIN rep USING (doc_id) JOIN lm USING (doc_id)
+        WHERE rep.n_words >= 3 AND rep.dup2_frac <= 0.10
+          AND rep.top2_frac <= 0.15 AND lm.avg_logprob >= -1.80),
+    deduped AS (
+        SELECT doc_id, lang, n_words, avg_logprob
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  ORDER BY doc_id) AS rn
+              FROM gated)
+        WHERE rn = 1),
+    hist AS (SELECT lang, count(*) AS n FROM deduped GROUP BY lang),
+    rates AS (SELECT lang,
+                     pow(n * 1.0 / (SELECT min(n) FROM hist), -0.5) AS keep_prob
+              FROM hist)
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           round(avg_logprob, 4) AS avg_logprob,
+           round(keep_prob, 6) AS keep_prob
+    FROM deduped JOIN rates USING (lang)
+    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < keep_prob
+    ORDER BY doc_id
+    """,
+)
+def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation pass a pretraining corpus runs
+    before tokenization — every stage an operator from this package,
+    one oracle-checked query:
+
+    1. repetition gate (word + bigram stats; drop degenerate docs:
+       ``dup2_frac > 0.10`` or ``top2_frac > 0.15`` or < 3 words),
+    2. LM-score floor (corpus-trained char-bigram model,
+       ``avg_logprob >= -1.80`` — the CCNet perplexity gate),
+    3. exact dedup (md5 of normalized text, keep lowest doc_id),
+    4. temperature resampling over language (α = 0.5, histogram taken
+       on the SURVIVING corpus — the set actually being sampled).
+
+    Scale shape: stages 1-2 are the bounded-key shuffles audited on
+    their standalone queries; the gates compose as joins on doc_id
+    (broadcast-sized stat projections at any corpus size the stats
+    themselves survive); dedup is one shuffle on the fingerprint;
+    the resample histogram is |langs| rows.  Thresholds sit at the
+    p90-p99 of this corpus so every stage provably drops something."""
+    from prod_recommendation_pyspark_spark.operators.dedup import exact_dedup
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    spread = _spread(docs.filter(F.trim("text") != ""))
+    rep = repetition_stats(spread, "text", "doc_id", orders=(1, 2))
+    model = char_bigram_lm(_spread(docs), "text")
+    lm = lm_score(_spread(docs), model, "text", "doc_id")
+    gated = (
+        docs.join(rep, "doc_id")
+        .join(lm.select("doc_id", "avg_logprob"), "doc_id")
+        .filter(
+            (F.col("n_words") >= 3)
+            & (F.col("dup2_frac") <= 0.10)
+            & (F.col("top2_frac") <= 0.15)
+            & (F.col("avg_logprob") >= -1.80)
+        )
+    )
+    deduped = exact_dedup(gated, "text", "doc_id", keep="min").select(
+        "doc_id", "lang", "n_words", "avg_logprob"
+    )
+    kept = temperature_resample(deduped, "lang", "doc_id", alpha=0.5)
+    return kept.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round("avg_logprob", 4).alias("avg_logprob"),
+        "keep_prob",
+    ).orderBy("doc_id")

@@ -163,3 +163,22 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert got == {(0, 2), (1, 3)}
     for r in pairs:
         assert r["cosine"] > 0.99
+
+
+def test_curation_pipeline_oracle(spark, duck):
+    assert_matches_oracle(
+        QUERIES["curation_pipeline_documents"](spark, SF),
+        duck,
+        ORACLES["curation_pipeline_documents"],
+    )
+
+
+def test_curation_pipeline_is_subset_of_corpus(spark):
+    """Every surviving row is a real document and survivors strictly
+    shrink the corpus (each gate drops something at these thresholds)."""
+    out = QUERIES["curation_pipeline_documents"](spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_out, n_docs = out.count(), docs.count()
+    assert 0 < n_out < n_docs
+    joined = out.join(docs, "doc_id").count()
+    assert joined == n_out
