@@ -708,15 +708,25 @@ def _lm_normalize(col: Column) -> Column:
     )
 
 
-def _char_bigrams(norm: Column) -> Column:
-    """Array of overlapping 2-char substrings of normalized text."""
-    return F.when(
-        F.length(norm) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - 1),
-            lambda i: F.substring(norm, i, 2),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def _exploded_bigrams(
+    df: DataFrame, text_col: str, keep: list[str]
+) -> DataFrame:
+    """Long-form ``(*keep, bigram)`` rows: normalize, explode start
+    positions, take 2-char substrings — no higher-order functions, so
+    the per-char work is codegen'd and the Generate's inferred
+    non-empty filter only references ``sequence(length(...))`` (two
+    cheap regex passes), not a transform pipeline (see
+    ``repetition_stats`` for the pattern).  Docs whose normalized text
+    is shorter than 2 chars emit no rows."""
+    norm_df = df.select(*keep, _lm_normalize(F.col(text_col)).alias("__s"))
+    pos = norm_df.filter(F.length("__s") >= 2).select(
+        *keep,
+        "__s",
+        F.explode(F.sequence(F.lit(1), F.length("__s") - 1)).alias("__i"),
+    )
+    return pos.select(
+        *keep, F.substring(F.col("__s"), F.col("__i"), 2).alias("bigram")
+    )
 
 
 def char_bigram_lm(
@@ -730,10 +740,11 @@ def char_bigram_lm(
     map-side combine does almost all the work) → a tiny self-
     aggregation for the context totals.  The model is ≤ 729 rows — it
     broadcasts for scoring no matter how large the corpus was."""
-    norm = _lm_normalize(F.col(text_col))
-    bg = df.select(F.explode(_char_bigrams(norm)).alias("bigram")).groupBy(
-        "bigram"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bg = (
+        _exploded_bigrams(df, text_col, keep=[])
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     ctx = bg.groupBy(F.substring("bigram", 1, 1).alias("c1")).agg(
         F.sum("cnt").alias("ctx_cnt")
     )
@@ -761,10 +772,7 @@ def lm_score(
 
     Shape: explode → broadcast join against the ≤729-row model →
     re-aggregate on the doc id.  Two narrow shuffles at any scale."""
-    norm = _lm_normalize(F.col(text_col))
-    doc_bg = df.select(
-        F.col(id_col), F.explode(_char_bigrams(norm)).alias("bigram")
-    )
+    doc_bg = _exploded_bigrams(df, text_col, keep=[id_col])
     floor = math.log(1.0 / LM_ALPHABET_SIZE)
     scored = doc_bg.join(F.broadcast(model), "bigram", "left").select(
         id_col, F.coalesce("log_prob", F.lit(floor)).alias("lp")
