@@ -612,6 +612,8 @@ def semantic_dedup_pairs(
     vec_col: str,
     k: int = 8,
     threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
     partition the corpus into ``k`` clusters, then score pairwise
@@ -619,47 +621,68 @@ def semantic_dedup_pairs(
     exists.  Returns ``(id_a, id_b, cluster, cosine)`` with
     ``id_a < id_b`` and ``cosine >= threshold``.
 
-    Determinism contract: centroids are the ``k`` lowest-id vectors
-    (no RNG, no iteration) so any engine replays the exact clustering;
-    callers wanting tighter clusters can run ``clustering.kmeans_fit``
-    first and pass its centroids via ``centroids=``.
+    Determinism contract: default centroids are the ``k`` lowest-id
+    vectors (no RNG, no iteration) so any engine replays the exact
+    clustering; pass ``centroids`` (``(cluster, vec)``, e.g. from
+    ``clustering.kmeans_fit``) for tighter clusters.
 
     Shape at 100 TB: centroid selection is a k-row sort-limit;
     assignment is a broadcast argmin (k × dim floats); the pair join
     shuffles both sides once on the cluster id, so per-task work is
     bounded by the largest cluster — exactly the SemDeDup trade: spend
-    a cheap global clustering to make the quadratic step local.  For
-    skewed clusters, recurse (re-cluster the giant cluster) or cap via
-    the same block-split used by ``hybrid_candidates``."""
+    a cheap global clustering to make the quadratic step local.
+    ``max_cluster`` is the skew guard (same role as MinHash's
+    ``max_bucket``): clusters over the cap are deterministically
+    sub-split via ``uniform_hash(id)`` into ``ceil(size/cap)`` salted
+    sub-clusters and pairs form only within a sub-cluster — bounding
+    every task's quadratic work at the cost of cross-sub-split recall
+    inside the giant cluster (~1/n_splits for a uniform split; a
+    cluster that degenerate should be re-clustered instead)."""
     from prod_recommendation_pyspark_spark.operators.clustering import (
         kmeans_assign,
     )
     from prod_recommendation_pyspark_spark.operators.similarity import (
         l2_normalize,
     )
+    from prod_recommendation_pyspark_spark.operators.text import uniform_hash
 
-    centroids = (
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec"))
-        .orderBy(id_col)
-        .limit(k)
-        .select(
-            (
-                F.row_number().over(Window.orderBy(id_col)) - 1
-            ).alias("cluster"),
-            "vec",
+    if centroids is None:
+        centroids = (
+            df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+            )
+            .orderBy(id_col)
+            .limit(k)
+            .select(
+                (
+                    F.row_number().over(Window.orderBy(id_col)) - 1
+                ).alias("cluster"),
+                "vec",
+            )
         )
-    )
     assigned = kmeans_assign(df, id_col, vec_col, centroids).select(
         id_col, "cluster"
     )
     norm = l2_normalize(df.select(id_col, vec_col), vec_col, "__v").join(
         assigned, id_col
     )
+    join_keys = ["cluster"]
+    if max_cluster is not None:
+        sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
+        splits = sizes.select(
+            "cluster",
+            F.ceil(F.col("__n") / F.lit(max_cluster)).cast("int").alias("__ns"),
+        )
+        norm = norm.join(F.broadcast(splits), "cluster").withColumn(
+            "__sub",
+            F.floor(uniform_hash(F.col(id_col)) * F.col("__ns")).cast("int"),
+        )
+        join_keys = ["cluster", "__sub"]
     a = norm.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "cluster"
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), *join_keys
     )
     b = norm.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "cluster"
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), *join_keys
     )
     dot = F.aggregate(
         F.zip_with("__va", "__vb", lambda x, y: x * y),
@@ -667,7 +690,7 @@ def semantic_dedup_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", dot)
         .filter(F.col("cosine") >= threshold)

@@ -182,3 +182,31 @@ def test_curation_pipeline_is_subset_of_corpus(spark):
     assert 0 < n_out < n_docs
     joined = out.join(docs, "doc_id").count()
     assert joined == n_out
+
+
+def test_semantic_dedup_max_cluster_guard(spark):
+    """A degenerate corpus (everything lands in one cluster) with
+    max_cluster caps per-task pair work: every emitted pair sits in one
+    sub-split, the pair count shrinks vs unguarded, and the result is
+    deterministic across runs."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [1.0 + rng.uniform(-1e-3, 1e-3), rng.uniform(-1e-3, 1e-3)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    full = semantic_dedup_pairs(df, "vec_id", "embedding", k=1, threshold=0.9)
+    capped = semantic_dedup_pairs(
+        df, "vec_id", "embedding", k=1, threshold=0.9, max_cluster=50
+    )
+    n_full, n_capped = full.count(), capped.count()
+    assert n_full == 200 * 199 // 2  # all near-identical → every pair
+    # 4 sub-splits of ~50: expected ~1/4 of pairs survive; bound loosely
+    assert 0 < n_capped < n_full * 0.45
+    assert n_capped == semantic_dedup_pairs(
+        df, "vec_id", "embedding", k=1, threshold=0.9, max_cluster=50
+    ).count()
+    # capped pairs are a subset of the true pair set
+    assert capped.join(full, ["id_a", "id_b"], "left_anti").count() == 0
