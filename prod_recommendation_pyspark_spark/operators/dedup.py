@@ -103,9 +103,24 @@ def minhash_signatures(
     callers with other upstreams should explode_outer themselves if
     they need null signatures."""
     exploded = df.select(F.col(id_col), F.explode(hashed_col).alias("__h"))
+    return _sig_from_exploded(exploded, id_col, "__h", n_hashes, sig_col)
+
+
+def _sig_from_exploded(
+    exploded: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_hashes: int,
+    sig_col: str,
+) -> DataFrame:
+    """Signature aggregation shared by ``minhash_signatures`` and
+    ``lsh_candidate_pairs``: long-form ``(id, hashed-shingle)`` rows →
+    ``n_hashes`` codegen'd ``min(xxhash64(h, i))`` aggregates → one
+    ``array<bigint>`` column.  One implementation so the two call
+    sites cannot drift."""
     mins = exploded.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
+            F.min(F.xxhash64(F.col(hash_col), F.lit(i))).alias(f"__m{i}")
             for i in range(n_hashes)
         ]
     )
@@ -164,16 +179,7 @@ def lsh_candidate_pairs(
             F.concat_ws(" ", F.slice("__w", F.col("__p") + 1, shingle_words))
         ).alias("__h"),
     )
-    mins = shingle_hashed.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"__m{i}")
-            for i in range(n_hashes)
-        ]
-    )
-    sig = mins.select(
-        id_col,
-        F.array(*[F.col(f"__m{i}") for i in range(n_hashes)]).alias("__sig"),
-    )
+    sig = _sig_from_exploded(shingle_hashed, id_col, "__h", n_hashes, "__sig")
     banded = sig.select(
         id_col,
         F.explode(

@@ -644,8 +644,16 @@ def repetition_stats(
     unchanged.  Documents with fewer words than the largest order get
     NULL fractions for that order (no occurrences to measure).
     Measured at sf0.1/local[32], cache-cleared runs: 10.4 → 1.1 s."""
+    # empty/whitespace-only text: split('') yields [''] — one bogus
+    # "word" — so blank docs are mapped to a 0-word array (same guard
+    # as token_count) and emit no output row at all.
     words_df = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__w")
+        F.col(id_col),
+        F.when(
+            F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+        )
+        .otherwise(tokens(F.lower(F.col(text_col))))
+        .alias("__w"),
     )
     pos = words_df.select(
         id_col, "__w", F.posexplode("__w").alias("__p", "__word")
@@ -794,12 +802,22 @@ HASH_MOD = 2**32
 
 def uniform_hash(id_col: Column) -> Column:
     """Deterministic per-row uniform in [0,1) from an integer id:
-    ``(id * 2654435761) mod 2^32 / 2^32`` — exact in BIGINT arithmetic,
-    so any SQL engine replays the identical keep/drop decisions."""
-    return (
-        F.pmod(id_col.cast("long") * F.lit(HASH_MULT), F.lit(HASH_MOD))
-        / F.lit(float(HASH_MOD))
+    ``(id * 2654435761) mod 2^32 / 2^32``, evaluated with the id first
+    reduced mod 2^32 and the multiply split into 16-bit halves so every
+    intermediate stays below 2^49 — exact (no overflow, ANSI-safe) in
+    BIGINT arithmetic for the full 64-bit id range, so any SQL engine
+    replays the identical keep/drop decisions.  The id column must be
+    integral (or an exactly-integral numeric); string ids should be
+    mapped to dense ids first (``features.encode.string_index``)."""
+    m = F.pmod(id_col.cast("long"), F.lit(HASH_MOD))
+    m_hi = F.floor(m / F.lit(65536))
+    m_lo = F.pmod(m, F.lit(65536))
+    h = F.pmod(
+        F.pmod(m_hi * F.lit(HASH_MULT), F.lit(HASH_MOD)) * F.lit(65536)
+        + m_lo * F.lit(HASH_MULT),
+        F.lit(HASH_MOD),
     )
+    return h / F.lit(float(HASH_MOD))
 
 
 def temperature_resample(

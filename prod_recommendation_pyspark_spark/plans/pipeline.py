@@ -134,28 +134,38 @@ def run_peer_search(
     left = feats.filter(F.col("__side") == "t")
     right = feats.filter(F.col("__side") == "s")
 
-    n_blocks, n_left_chunks = cfg.n_blocks, None
-    if n_blocks is None:
-        from prod_recommendation_pyspark_spark.operators.similarity import (
-            DEFAULT_MAX_BLOCK_BYTES,
-            _grid_shape,
-        )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        DEFAULT_MAX_BLOCK_BYTES,
+        _chunks_for,
+        _grid_shape,
+    )
 
-        counts = {
-            r["__side"]: r["cnt"]
-            for r in feats.groupBy("__side")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        }
-        l_rows, r_rows = counts.get("t", 0), counts.get("s", 0)
-        row_bytes = dim * 8 + 40  # vector + naics/lat/lon/id aux
+    # One cheap grouped count sizes the whole grid — run it whether or
+    # not n_blocks is pinned, so hybrid_topk never falls back to its
+    # own geometry probe (which would re-execute the 4-branch feature
+    # plan twice just for sizing).
+    counts = {
+        r["__side"]: r["cnt"]
+        for r in feats.groupBy("__side")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    l_rows, r_rows = counts.get("t", 0), counts.get("s", 0)
+    row_bytes = dim * 8 + 40  # vector + naics/lat/lon/id aux
+    par = spark.sparkContext.defaultParallelism
+    if cfg.n_blocks is None:
         n_blocks, n_left_chunks = _grid_shape(
             l_rows,
             l_rows * row_bytes,
             r_rows,
             r_rows * row_bytes,
-            spark.sparkContext.defaultParallelism,
+            par,
             DEFAULT_MAX_BLOCK_BYTES,
+        )
+    else:
+        n_blocks = cfg.n_blocks
+        n_left_chunks = _chunks_for(
+            n_blocks, l_rows, l_rows * row_bytes, par, DEFAULT_MAX_BLOCK_BYTES
         )
 
     def pair_id():

@@ -11,6 +11,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.operators.dedup import semantic_dedup_pairs
+from prod_recommendation_pyspark_spark.operators.similarity import (
+    spread_small_input as _spread,
+)
 from prod_recommendation_pyspark_spark.operators.text import (
     char_bigram_lm,
     lm_score,
@@ -19,13 +22,6 @@ from prod_recommendation_pyspark_spark.operators.text import (
 )
 from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.sources.catalog import Catalog
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """See llm_pipeline._spread: fan a single-split small-file read
-    across cores before CPU-heavy per-row work."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
 
 
 @register(
@@ -124,7 +120,8 @@ def lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM c)
     SELECT doc_id, lang, round(keep_prob, 6) AS keep_prob
     FROM documents JOIN r USING (lang)
-    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < keep_prob
+    WHERE ((((doc_id % 4294967296) // 65536) * 2654435761 % 4294967296) * 65536
+           + (doc_id % 65536) * 2654435761) % 4294967296 / 4294967296.0 < keep_prob
     ORDER BY doc_id
     """,
 )
@@ -233,7 +230,8 @@ def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
            round(avg_logprob, 4) AS avg_logprob,
            round(keep_prob, 6) AS keep_prob
     FROM deduped JOIN rates USING (lang)
-    WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < keep_prob
+    WHERE ((((doc_id % 4294967296) // 65536) * 2654435761 % 4294967296) * 65536
+           + (doc_id % 65536) * 2654435761) % 4294967296 / 4294967296.0 < keep_prob
     ORDER BY doc_id
     """,
 )

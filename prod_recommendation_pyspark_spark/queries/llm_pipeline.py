@@ -27,14 +27,11 @@ from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.sources.catalog import Catalog
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a small-file read across all cores before CPU-heavy
-    per-row work (shingling/hashing).  A few-MB parquet file arrives as
-    ONE input split, which would serialize the whole hash pipeline on
-    one core; on a real cluster large inputs get splits for free and
-    this is a no-op-sized shuffle either way."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+# Canonical single-split-read fan-out (no-op when the input already
+# has enough splits — the 100 TB case): operators/similarity.py.
+from prod_recommendation_pyspark_spark.operators.similarity import (  # noqa: E402
+    spread_small_input as _spread,
+)
 
 # Word-trigram Jaccard oracle: shingle i = words[i..i+2]; DuckDB list
 # slicing is 1-based inclusive so w[i:i+2] mirrors Spark slice(w,i,3).

@@ -33,33 +33,43 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, ts_unit: str = "auto"
+) -> DataFrame:
     """File-source stream over the events parquet, schema-matched to
     how the files actually store ``ts`` (same contract as the batch
     Catalog): TIMESTAMP(NANOS) parquet is read nanos-as-long and
     truncated to µs; µs parquet (NTZ) is read natively and converted
     with the Catalog's timezone-independent naive-as-UTC expression.
 
-    The footer probe is best-effort and driver-local: an empty staging
-    directory (the normal start state of a file stream — files arrive
-    later) or a remote path the local probe can't open falls back to
-    the µs-NTZ schema, today's producer format."""
+    ``ts_unit`` pins the producer format: ``"ns"`` / ``"us"`` skip the
+    probe entirely (the right call in production, where the staging
+    directory is empty at stream start and the path may not be
+    driver-local).  ``"auto"`` probes the first parquet footer and
+    raises if no file is probe-able — a stream's schema is fixed at
+    start, so guessing wrong would poison every later micro-batch."""
     import os
 
     import pyarrow.parquet as pq
 
-    ts_phys = "timestamp[us]"
-    try:
-        probe = path
-        if os.path.isdir(path):
-            files = [
-                f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
-            ]
-            probe = os.path.join(path, files[0])
-        ts_phys = str(pq.read_schema(probe).field("ts").type)
-    except Exception:
-        pass
-    if ts_phys == "timestamp[ns]":
+    if ts_unit not in ("auto", "ns", "us"):
+        raise ValueError(f"ts_unit must be auto|ns|us, got {ts_unit!r}")
+    if ts_unit == "auto":
+        try:
+            probe = path
+            if os.path.isdir(path):
+                files = [
+                    f for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+                ]
+                probe = os.path.join(path, files[0])
+            ts_phys = str(pq.read_schema(probe).field("ts").type)
+        except Exception as exc:
+            raise ValueError(
+                f"cannot probe ts unit of {path!r} (empty or non-local "
+                "staging dir?) — pass ts_unit='ns' or 'us' explicitly"
+            ) from exc
+        ts_unit = "ns" if ts_phys == "timestamp[ns]" else "us"
+    if ts_unit == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(path)
         # integer div: float /1000 on ns longs loses sub-µs precision

@@ -72,6 +72,17 @@ def test_repetition_stats_degenerate_doc(spark):
     assert rows[2]["top1_frac"] == round(1 / 6, 4)
 
 
+def test_repetition_stats_blank_doc_emits_no_row(spark):
+    """''/whitespace-only text is 0 words (split('') == ['']), not a
+    maximally-repetitive 1-word doc — blank docs must not appear."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id").collect()}
+    assert set(rows) == {3}
+    assert rows[3]["n_words"] == 3
+
+
 def test_repetition_stats_short_doc_null_orders(spark):
     """A 2-word doc has no trigram: order-3 columns are NULL, order-1/2
     still populate."""
@@ -127,6 +138,21 @@ def test_uniform_hash_range_and_determinism(spark):
     ).collect()[0]
     assert 0.0 <= stats["lo"] and stats["hi"] < 1.0
     assert abs(stats["mu"] - 0.5) < 0.05  # multiplicative hash mixes well
+
+
+def test_uniform_hash_full_bigint_range(spark):
+    """The split-multiply form must not overflow BIGINT (ANSI would
+    throw) and must equal (id mod 2^32) * 2654435761 mod 2^32 for ids
+    beyond 2^32 — snowflake-scale ids are the 100 TB norm."""
+    ids = [0, 1, 3_474_701_544, 2**32 - 1, 2**32 + 7, 2**62 + 12345, -17]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {
+        r["id"]: r["u"]
+        for r in df.select("id", uniform_hash(F.col("id")).alias("u")).collect()
+    }
+    for i in ids:
+        expect = ((i % 2**32) * 2654435761 % 2**32) / 2**32
+        assert abs(got[i] - expect) < 1e-15, i
 
 
 def test_temperature_resample_rates(spark):

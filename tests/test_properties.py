@@ -169,3 +169,47 @@ def test_wav_decode_normalization_roundtrip(samples):
     arr = decode_wav(buf.getvalue())
     want = np.array(samples, dtype=np.float64) / 32768.0
     assert arr.shape == want.shape and (arr == want).all()
+
+
+@EXAMPLES
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab cd",  # spaces force multi-word docs
+            min_size=1,
+            max_size=60,
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_minhash_signatures_matches_hof_form(spark, texts):
+    """The aggregate-form ``minhash_signatures`` must be bit-identical
+    to the HOF column form ``minhash_signature`` for any corpus — same
+    hash family, same min semantics (duplicate shingles idempotent)."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    hashed = df.select(
+        "doc_id",
+        F.transform(
+            word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s)
+        ).alias("__hs"),
+    )
+    hof = {
+        r["doc_id"]: r["sig"]
+        for r in hashed.select(
+            "doc_id", minhash_signature(F.col("__hs"), 16).alias("sig")
+        ).collect()
+    }
+    agg = {
+        r["doc_id"]: r["__sig"]
+        for r in minhash_signatures(hashed, "doc_id", "__hs", 16).collect()
+    }
+    assert hof == agg

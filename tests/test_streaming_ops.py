@@ -127,3 +127,46 @@ def test_available_now_foreachbatch_idempotent_sink(spark, tmp_path):
     batch0 = spark.read.parquet(out).filter("batch_id = 0").drop("batch_id")
     idempotent_parquet_batch_writer(out)(batch0, 0)
     assert spark.read.parquet(out).count() == n_src
+
+
+def test_read_events_stream_empty_dir_contract(spark):
+    """A stream's schema is fixed at start: an un-probe-able (empty)
+    staging dir must raise under auto, and a pinned ts_unit must build
+    the stream without probing at all."""
+    import pytest
+
+    d = tempfile.mkdtemp(prefix="events_empty_")
+    with pytest.raises(ValueError, match="ts_unit"):
+        read_events_stream(spark, d)
+    stream = read_events_stream(spark, d, ts_unit="us")
+    assert stream.isStreaming and "ts" in stream.columns
+    # pinned unit on a populated dir matches the probed read
+    staged = _stage(1, "events_pinned_")
+    probed = read_events_stream(spark, staged)
+    # compare row counts + min/max ts between probed and explicitly
+    # pinned reads of the same files
+    ts_phys = __import__("pyarrow.parquet", fromlist=["pq"]).read_schema(
+        f"{staged}/part-0.parquet"
+    ).field("ts").type
+    pinned = read_events_stream(
+        spark, staged, ts_unit="ns" if str(ts_phys) == "timestamp[ns]" else "us"
+    )
+    run_stream_to_memory(
+        probed.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        ),
+        "probe_chk",
+    )
+    run_stream_to_memory(
+        pinned.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+        ),
+        "pin_chk",
+    )
+    a = spark.sql("SELECT * FROM probe_chk").collect()[0]
+    b = spark.sql("SELECT * FROM pin_chk").collect()[0]
+    assert (a.n, a.lo, a.hi) == (b.n, b.lo, b.hi) and a.n > 0
