@@ -130,7 +130,7 @@ def _sig_from_exploded(
     )
 
 
-def lsh_candidate_pairs(
+def minhash_band_keys(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -139,12 +139,13 @@ def lsh_candidate_pairs(
     bands: int = 16,
     max_bucket: int | None = 10_000,
 ) -> DataFrame:
-    """MinHash + banded LSH candidate pairs (id_a < id_b, distinct).
-
-    signature → ``bands`` slices of ``n_hashes/bands`` values → one
-    shuffle on (band_idx, band_key) → within-bucket pairing.  A pair
-    with Jaccard j collides with prob 1-(1-j^r)^b (r=4, b=16 →
-    j=0.8 captured w.p. ~0.9998, j=0.2 w.p. ~0.025).
+    """The banded-LSH key table ``(id, band, key)`` for a corpus:
+    MinHash(``n_hashes``) signature → ``bands`` slices of
+    ``n_hashes/bands`` values, one row per (doc, band).  This is the
+    persistable LSH index — ``write_bucketed(keys, ..., ["band",
+    "key"])`` turns every later candidate join (self-join for batch
+    dedup, store × new-batch for incremental dedup) into a
+    bucket-local join with no shuffle on the stored side.
     ``max_bucket`` drops degenerate buckets (identical boilerplate) —
     at 100 TB an unbounded bucket is a cartesian bomb."""
     rows_per_band = n_hashes // bands
@@ -205,6 +206,27 @@ def lsh_candidate_pairs(
             .filter(F.col("__n") <= max_bucket)
             .drop("__n")
         )
+    return banded
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """MinHash + banded LSH candidate pairs (id_a < id_b, distinct).
+
+    ``minhash_band_keys`` → one shuffle on (band_idx, band_key) →
+    within-bucket self-pairing.  A pair with Jaccard j collides with
+    prob 1-(1-j^r)^b (r=4, b=16 → j=0.8 captured w.p. ~0.9998, j=0.2
+    w.p. ~0.025)."""
+    banded = minhash_band_keys(
+        df, id_col, text_col, shingle_words, n_hashes, bands, max_bucket
+    )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
     return (
@@ -213,6 +235,40 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def incremental_lsh_candidates(
+    corpus_keys: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Candidate pairs between a NEW document batch and an EXISTING
+    corpus whose LSH index is already built — the daily incremental
+    dedup job of a continuously-ingesting training-data pipeline.
+
+    ``corpus_keys`` is the corpus's ``minhash_band_keys`` output
+    (``(id, band, key)``), ideally read back from a table bucketed by
+    ``(band, key)``: then ONLY the new batch is shingled, hashed, and
+    shuffled — the 100 TB corpus side joins from its pre-hashed bucket
+    files with no Exchange and no recompute, so per-day cost scales
+    with |batch|, not |corpus|.  The banding parameters must match the
+    ones the store was built with (same hash family: ``xxhash64``
+    seeded 0..n_hashes-1), or the keys never collide.
+
+    Returns distinct ``(id_a = corpus id, id_b = batch id)`` pairs.
+    Within-batch duplicates are NOT covered — run
+    ``lsh_candidate_pairs`` over the (small) batch for those."""
+    new_keys = minhash_band_keys(
+        batch, id_col, text_col, shingle_words, n_hashes, bands, max_bucket
+    )
+    a = corpus_keys.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = new_keys.select(F.col(id_col).alias("id_b"), "band", "key")
+    return a.join(b, on=["band", "key"]).select("id_a", "id_b").distinct()
 
 
 def ngram_jaccard_pairs(

@@ -12,7 +12,9 @@ from prod_recommendation_pyspark_spark.operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     hamming64,
+    incremental_lsh_candidates,
     lsh_candidate_pairs,
+    minhash_band_keys,
     ngram_jaccard_pairs,
     simhash_banded_pairs,
     simhash_signatures,
@@ -97,6 +99,56 @@ def minhash_lsh_dedup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(
         docs, "doc_id", "text", shingle_words=3, n_hashes=64, bands=16
     ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "incremental_dedup_documents",
+    sql="""
+    WITH
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the daily job of a continuously
+    ingesting corpus: dedup a NEW batch (doc_id % 5 == 4 stands in for
+    today's arrivals) against the EXISTING corpus's prebuilt LSH band-
+    key index (operators/dedup.py::minhash_band_keys, persistable via
+    ``write_bucketed(keys, ..., ["band", "key"])`` so the corpus side
+    joins from bucket files with no shuffle and no recompute — per-day
+    cost scales with |batch|, not the 100 TB corpus).  Only the batch
+    is shingled/hashed; candidates are verified with exact trigram
+    Jaccard at 0.8.  Oracle = brute-force cross Jaccard (same missed-
+    pair probability argument as ``minhash_lsh_dedup_candidates``)."""
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    store = minhash_band_keys(corpus, "doc_id", "text")
+    cands = incremental_lsh_candidates(store, batch, "doc_id", "text").select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
     )

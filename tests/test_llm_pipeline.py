@@ -346,3 +346,33 @@ def test_decontaminate_flags_shared_passage_only(spark):
     }
     assert rows[1][0] >= 1 and rows[1][1] is True
     assert rows[2] == (0, False)
+
+
+def test_incremental_lsh_candidates_cross_only(spark):
+    """Incremental dedup reports corpus x batch near-dups only:
+    batch-internal duplicates are out of scope (documented), corpus
+    ids land in id_a, batch ids in id_b."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about spark bucketed joins")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(10, base), (11, base), (12, "another unrelated batch document")],
+        ["doc_id", "text"],
+    )
+    keys = minhash_band_keys(corpus, "doc_id", "text")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_lsh_candidates(
+            keys, batch, "doc_id", "text"
+        ).collect()
+    }
+    assert (1, 10) in pairs and (1, 11) in pairs
+    # batch-internal pair (10, 11) must NOT appear, nor corpus-internal
+    assert all(a in (1, 2) and b in (10, 11, 12) for a, b in pairs)

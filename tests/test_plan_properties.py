@@ -77,3 +77,75 @@ def test_session_windows_single_shuffle_family(spark):
     plan = _plan(spark, "session_windows_events")
     assert "Window" not in plan or "PartitionBy" not in plan  # loose guard
     assert "Exchange SinglePartition" not in plan
+
+
+def test_incremental_dedup_bucketed_store_joins_without_exchange(spark):
+    """The incremental-dedup story at 100 TB: the corpus's LSH band-key
+    store, written bucketed by (band, key), must join against a new
+    batch's keys WITHOUT an Exchange above the store's scan — the
+    corpus side reads pre-hashed bucket files; only the batch side
+    shuffles.  Also asserts the candidate sets are identical to the
+    in-memory store path."""
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+    )
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = minhash_band_keys(corpus, "doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS lsh_store_test")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/lsh_store_test", ignore_errors=True)
+    keys.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, "band", "key"
+    ).saveAsTable("lsh_store_test")
+    store = spark.table("lsh_store_test")
+
+    # Force the sort-merge path (at 100 TB the daily batch is too big
+    # to broadcast); bucketing is what must remove the store-side
+    # Exchange.  (With broadcast on, the tiny test batch broadcasts and
+    # NEITHER side shuffles — also fine, but it wouldn't test the
+    # bucket metadata.)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cands = incremental_lsh_candidates(store, batch, "doc_id", "text")
+
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cands.explain("formatted")
+        plan = buf.getvalue()
+        # the store scan must carry its bucket metadata...
+        assert "Bucketed: true" in plan and "SelectedBucketsCount" in plan
+        # ...and the store branch (SortMergeJoin -> ... -> store scan)
+        # must contain NO Exchange: the store joins straight from its
+        # bucket files; only the batch side shuffles
+        lines = plan.splitlines()
+        i_join = next(
+            i for i, l in enumerate(lines) if "SortMergeJoin" in l
+        )
+        i_scan = next(
+            i
+            for i, l in enumerate(lines)
+            if "lsh_store_test" in l and "Scan" in l
+        )
+        branch = lines[i_join : i_scan + 1]
+        assert all("Exchange" not in l for l in branch), "\n".join(branch)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    in_mem = incremental_lsh_candidates(keys, batch, "doc_id", "text")
+    assert {tuple(r) for r in cands.collect()} == {
+        tuple(r) for r in in_mem.collect()
+    }
+    spark.sql("DROP TABLE IF EXISTS lsh_store_test")
