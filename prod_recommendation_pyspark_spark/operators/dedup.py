@@ -130,6 +130,25 @@ def _sig_from_exploded(
     )
 
 
+def band_key_structs(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """``array<struct<band:int, key:string>>`` slicing a MinHash
+    signature array into its LSH band keys — the ONE place the band-key
+    encoding lives, shared by the batch index (``minhash_band_keys``)
+    and the streaming per-row path, so stored keys and streamed keys
+    can never drift out of collision."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_band_keys(
     df: DataFrame,
     id_col: str,
@@ -182,20 +201,7 @@ def minhash_band_keys(
     )
     sig = _sig_from_exploded(shingle_hashed, id_col, "__h", n_hashes, "__sig")
     banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",", F.slice("__sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        id_col, F.explode(band_key_structs("__sig", bands, rows_per_band)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     if max_bucket is not None:
         from pyspark.sql import Window

@@ -86,3 +86,58 @@ def streaming_dedup_events(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    corpus_keys: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Stream-static LSH dedup: flag arriving documents that near-
+    duplicate the EXISTING corpus, inside the micro-batch.
+
+    ``corpus_keys`` is the static corpus LSH index
+    (``operators/dedup.py::minhash_band_keys``, ideally a table
+    bucketed by ``(band, key)``).  The arriving doc's signature is the
+    per-row HOF ``minhash_signature`` — a pure PROJECTION, which is
+    what makes this streamable: no streaming aggregation, no state
+    store, so the query runs in append mode and the only cost per
+    micro-batch is hashing the new docs and a stream-static join
+    (state-free by definition — the static side is just read).
+
+    Emits one ``(id, corpus_id, band)`` row per band collision —
+    at-least-once per (doc, corpus-doc) pair (a pair colliding in k
+    bands emits k rows; dedup/exact-Jaccard verification runs
+    downstream in the batch layer, the same split as the batch
+    operator's candidates→verify).  Runs unchanged on a batch
+    DataFrame (same plan, parity-tested)."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        band_key_structs,
+        minhash_signature,
+        word_shingles,
+    )
+
+    rows_per_band = n_hashes // bands
+    hashed = F.transform(
+        word_shingles(F.col(text_col), shingle_words), lambda s: F.xxhash64(s)
+    )
+    banded = (
+        docs.withColumn("__sig", minhash_signature(hashed, n_hashes))
+        .select(
+            F.col(id_col),
+            F.explode(
+                band_key_structs("__sig", bands, rows_per_band)
+            ).alias("bk"),
+        )
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    store = corpus_keys.select(
+        F.col(id_col).alias("corpus_id"), "band", "key"
+    )
+    return banded.join(store, ["band", "key"], "inner").select(
+        id_col, "corpus_id", "band"
+    )

@@ -170,3 +170,51 @@ def test_read_events_stream_empty_dir_contract(spark):
     a = spark.sql("SELECT * FROM probe_chk").collect()[0]
     b = spark.sql("SELECT * FROM pin_chk").collect()[0]
     assert (a.n, a.lo, a.hi) == (b.n, b.lo, b.hi) and a.n > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(spark):
+    """Stream-static LSH dedup: a streamed batch of documents joined
+    against the static corpus band-key index must flag exactly the
+    (doc, corpus-doc) pairs the batch plan flags."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        minhash_band_keys,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_incremental_dedup,
+    )
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    keys = minhash_band_keys(corpus, "doc_id", "text").persist()
+
+    d = tempfile.mkdtemp(prefix="docs_inc_")
+    batch.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(d)
+    flagged = streaming_incremental_dedup(stream, keys)
+    run_stream_to_memory(flagged, "inc_dedup_out", output_mode="append")
+    got = {
+        (r.doc_id, r.corpus_id)
+        for r in spark.sql("SELECT * FROM inc_dedup_out").collect()
+    }
+    want = {
+        (r.doc_id, r.corpus_id)
+        for r in streaming_incremental_dedup(batch, keys).collect()
+    }
+    assert got == want and len(got) > 0
+    # and the streamed collision set equals the batch incremental
+    # candidate operator's pairs (same signatures, same band keys)
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    cands = {
+        (r.id_b, r.id_a)
+        for r in incremental_lsh_candidates(
+            keys, batch, "doc_id", "text"
+        ).collect()
+    }
+    assert got == cands
+    keys.unpersist()
