@@ -669,6 +669,69 @@ def sink_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Z-order layout write → read-back, driver-checkable --------------------
+# Morton code oracle: bit b of the user rank lands at 2b, of the value
+# rank at 2b+1 — generated to mirror operators/layout.py::interleave_bits
+_Z_TERMS = " + ".join(
+    f"(((xu >> {b}) & 1) << {2 * b}) + (((xv >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16)
+)
+
+
+@register(
+    "zorder_layout_events",
+    sql=f"""
+    WITH s AS (SELECT min(CAST(user_id AS DOUBLE)) AS mn_u,
+                      max(CAST(user_id AS DOUBLE)) AS mx_u,
+                      min(CAST(value AS DOUBLE)) AS mn_v,
+                      max(CAST(value AS DOUBLE)) AS mx_v
+               FROM events),
+    r AS (SELECT event_id,
+                 CAST(CASE WHEN mx_u - mn_u > 0
+                      THEN floor(((CAST(user_id AS DOUBLE) - mn_u) * 65535.0)
+                                 / (mx_u - mn_u))
+                      ELSE 0 END AS BIGINT) AS xu,
+                 CAST(CASE WHEN mx_v - mn_v > 0
+                      THEN floor(((CAST(value AS DOUBLE) - mn_v) * 65535.0)
+                                 / (mx_v - mn_v))
+                      ELSE 0 END AS BIGINT) AS xv
+          FROM events CROSS JOIN s)
+    SELECT event_id, CAST({_Z_TERMS} AS BIGINT) AS zvalue
+    FROM r ORDER BY event_id
+    """,
+)
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering write → read-back
+    (operators/layout.py): events are range-partitioned and sorted by
+    the bit-interleaved (user_id, value) code so every output file
+    covers a compact rectangle of the 2-D value space — min/max file
+    pruning then serves filters on EITHER column, the plain-parquet
+    equivalent of a lakehouse OPTIMIZE ZORDER.  The returned z-values
+    are recomputed from the read-back files, so the value hash covers
+    both the lossless layout round-trip and the bit-exact Morton
+    arithmetic (the DuckDB oracle replays the identical shift/mask
+    sum).  The skipping benefit itself (per-file min/max span
+    shrinkage on BOTH columns) is pinned by a pyarrow footer-stats
+    pytest."""
+    import os
+
+    from prod_recommendation_pyspark_spark.operators.layout import (
+        write_zordered,
+        zorder_value,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events")
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".tmp_zorder")
+    write_zordered(ev, f"{base}/events_z", ["user_id", "value"], bits=16,
+                   n_files=8)
+    back = spark.read.parquet(f"{base}/events_z")
+    z = zorder_value(back, ["user_id", "value"], bits=16)
+    return z.select(
+        "event_id", F.col("z").alias("zvalue")
+    ).orderBy("event_id")
+
+
 # --- Skew-salted two-stage aggregation, driver-checkable -------------------
 @register(
     "salted_agg_returnflag",

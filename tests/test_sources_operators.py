@@ -318,3 +318,49 @@ def test_string_index_non_string_column(spark):
     assert out[1] == 0.0 and out[2] == 0.0    # most frequent label
     assert out[3] == 1.0
     assert out[4] == 2.0                       # null -> n_labels ('keep')
+
+
+def test_zorder_layout_tightens_file_stats(spark, tmp_path):
+    """The point of the Z-order write: per-file min/max spans shrink on
+    BOTH interleaved columns (vs a round-robin layout, where every
+    file spans ~the whole range of every column), which is what parquet
+    min/max pruning needs to skip files for filters on either column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from prod_recommendation_pyspark_spark.operators.layout import (
+        write_zordered,
+    )
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+    from tests.conftest import SF_SMOKE
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    rr_dir, z_dir = str(tmp_path / "rr"), str(tmp_path / "zo")
+    ev.repartition(8).write.mode("overwrite").parquet(rr_dir)
+    write_zordered(ev, z_dir, ["user_id", "value"], bits=16, n_files=8)
+
+    def avg_span(d: str, col: str) -> float:
+        los, his = [], []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.read_metadata(f)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            assert lo is not None, f"no stats for {col} in {f}"
+            los.append(float(lo))
+            his.append(float(hi))
+        g_lo, g_hi = min(los), max(his)
+        spans = [(h - l) / (g_hi - g_lo) for l, h in zip(los, his)]
+        return sum(spans) / len(spans)
+
+    for col in ("user_id", "value"):
+        rr, zo = avg_span(rr_dir, col), avg_span(z_dir, col)
+        # round-robin files each span ~the full range; z-ordered files
+        # must each cover a materially smaller slice of BOTH columns
+        assert zo < 0.75 * rr, f"{col}: zorder {zo:.3f} vs roundrobin {rr:.3f}"
