@@ -227,3 +227,35 @@ def modulo_split(
         split_col,
         F.when(bucket < train_buckets, F.lit("train")).otherwise(F.lit("test")),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """CDC merge (the MERGE INTO maintenance op, engine-agnostic):
+    source rows win on matched keys (update), unmatched source rows
+    are inserted, unmatched target rows are kept, and — when
+    ``delete_col`` names a boolean source column — flagged source rows
+    delete their target match instead.
+
+    Shape: ``target LEFT ANTI source-keys`` ∪ ``source upserts`` — two
+    columnar branches, ONE shuffle each on the merge key, instead of a
+    full-outer join with per-column coalesce (which would rewrite
+    every column expression and break column pruning).  At 100 TB with
+    the target bucketed by the key, the anti join reads bucket files
+    with no target-side Exchange and only the (small) CDC batch
+    shuffles — the same incremental economics as
+    ``dedup.incremental_lsh_candidates``.  Deletes cost nothing extra:
+    they participate in the anti join's key set and are simply absent
+    from the upsert branch."""
+    if delete_col is None:
+        upserts = source
+    else:
+        upserts = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    return kept.unionByName(upserts)

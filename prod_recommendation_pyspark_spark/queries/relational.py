@@ -669,6 +669,57 @@ def sink_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CDC merge/upsert, driver-checkable ------------------------------------
+@register(
+    "merge_upsert_customers",
+    sql="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           round(c_acctbal + 100, 2) AS c_acctbal
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_mktsegment, round(c_acctbal, 2)
+    FROM customer WHERE c_custkey % 50 = 7
+    UNION ALL
+    SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2)
+    FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 25 <> 3
+    ORDER BY c_custkey
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/relational.py::merge_upsert) against the
+    customer dimension with a deterministic change batch derived from
+    the table itself: keys %10==0 are updates (+100 balance), %50==7
+    are inserts (key shifted by 1M), %25==3 are deletes (the three
+    residue classes are pairwise disjoint).  The oracle states the
+    post-merge table directly — update rows carry the new balance,
+    deleted keys are absent, inserts appear — so the hash pins the
+    full matched/unmatched/delete semantics, not just row counts."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    cols = ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"]
+    cust = Catalog(spark, sf_dir).table("customer").select(*cols)
+    key = F.col("c_custkey")
+    updates = (
+        cust.filter(key % 10 == 0)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100, 2))
+        .withColumn("__deleted", F.lit(False))
+    )
+    deletes = cust.filter(key % 25 == 3).withColumn("__deleted", F.lit(True))
+    inserts = (
+        cust.filter(key % 50 == 7)
+        .withColumn("c_custkey", key + 1_000_000)
+        .withColumn("__deleted", F.lit(False))
+    )
+    batch = updates.unionByName(deletes).unionByName(inserts)
+    merged = merge_upsert(cust, batch, ["c_custkey"], delete_col="__deleted")
+    return merged.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+    ).orderBy("c_custkey")
+
+
 # --- Z-order layout write → read-back, driver-checkable --------------------
 # Morton code oracle: bit b of the user rank lands at 2b, of the value
 # rank at 2b+1 — generated to mirror operators/layout.py::interleave_bits

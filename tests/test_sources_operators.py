@@ -364,3 +364,27 @@ def test_zorder_layout_tightens_file_stats(spark, tmp_path):
         # round-robin files each span ~the full range; z-ordered files
         # must each cover a materially smaller slice of BOTH columns
         assert zo < 0.75 * rr, f"{col}: zorder {zo:.3f} vs roundrobin {rr:.3f}"
+
+
+def test_merge_upsert_semantics(spark):
+    """Matched keys take the source version, unmatched source inserts,
+    unmatched target survives, delete flags remove their match, and a
+    NULL delete flag counts as not-deleted."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    source = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "D", None), (9, "X", True)],
+        "k long, v string, dead boolean",
+    )
+    got = {
+        (r.k, r.v)
+        for r in merge_upsert(target, source, ["k"], delete_col="dead").collect()
+    }
+    # 1 kept, 2 updated, 3 deleted, 4 inserted (null flag), 9's delete
+    # of a nonexistent key is a no-op
+    assert got == {(1, "a"), (2, "B"), (4, "D")}
