@@ -174,3 +174,54 @@ def range_join_bucketed(
         )
         .drop("__g")
     )
+
+
+def utc_day(ts_col: str) -> F.Column:
+    """Calendar day of a timestamp AS A UTC INSTANT, independent of
+    ``spark.sql.session.timeZone`` (``to_date`` would shift rows near
+    midnight by the session offset): days-since-epoch arithmetic on
+    ``unix_micros``, then back to DATE.  Matches any engine's naive
+    ``CAST(ts AS DATE)`` of the same wall-clock reading."""
+    return F.date_from_unix_date(
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast(
+            "int"
+        )
+    )
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key_cols: list[str],
+    snap_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from periodic
+    snapshots — the generalization of the reference's latest-snapshot
+    model (search_ranking_peers.py:87-151 resolves only the newest
+    date; this keeps the full change history): one output row per
+    (key, attribute-state run) with ``valid_from`` / ``valid_to`` /
+    ``is_current``.
+
+    Change capture is ``lag`` over (key, snapshot order); runs
+    collapse to their first snapshot; ``valid_to`` is the next
+    change's ``lead`` (NULL = still current).  Two window passes over
+    the SAME (key × snapshot-ordered) partitioning — one shuffle
+    total, reused by both windows; state per task is one row.  NULL
+    attribute values are change-compared via null-safe equality."""
+    w = Window.partitionBy(*key_cols).orderBy(snap_col)
+    changed = F.lit(False)
+    for c in attr_cols:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    # the first snapshot of a key has lag NULL on every attr: eqNullSafe
+    # against a non-null value is False -> changed; an all-NULL first
+    # row still must open a run, so OR with lag(snap) IS NULL
+    changed = changed | F.lag(F.col(snap_col)).over(w).isNull()
+    runs = snapshots.withColumn("__chg", changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(snap_col)
+    return (
+        runs.withColumn("valid_from", F.col(snap_col))
+        .withColumn("valid_to", F.lead(F.col(snap_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__chg", snap_col)
+    )

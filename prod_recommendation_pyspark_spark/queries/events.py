@@ -11,9 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.operators.events import (
+    scd2_history,
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
+    utc_day,
 )
 from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.sources.catalog import Catalog
@@ -359,3 +361,68 @@ def watermark_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "scd2_user_state_history",
+    sql="""
+    WITH d0 AS (
+        SELECT user_id, CAST(ts AS DATE) AS snap_date, value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events),
+    daily AS (
+        SELECT user_id, snap_date,
+               CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS state
+        FROM d0 WHERE rn = 1),
+    chg AS (
+        SELECT user_id, snap_date, state,
+               lag(state) OVER (PARTITION BY user_id ORDER BY snap_date)
+                   AS prev,
+               lag(snap_date) OVER (PARTITION BY user_id ORDER BY snap_date)
+                   AS prev_d
+        FROM daily),
+    runs AS (
+        SELECT user_id, snap_date, state FROM chg
+        WHERE prev_d IS NULL OR state IS DISTINCT FROM prev)
+    SELECT user_id, state, snap_date AS valid_from,
+           lead(snap_date) OVER (PARTITION BY user_id ORDER BY snap_date)
+               AS valid_to,
+           lead(snap_date) OVER (PARTITION BY user_id ORDER BY snap_date)
+               IS NULL AS is_current
+    FROM runs ORDER BY user_id, valid_from
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/events.py::scd2_history) over a
+    daily per-user activity state derived from events: each user-day's
+    last event (ts/event_id-deterministic) is bucketed high/low, runs
+    of the same state collapse to one row with valid_from/valid_to/
+    is_current.  Day boundaries come from ``utc_day`` — pure epoch
+    arithmetic, so the result is identical under any session timezone
+    (the oracle's naive CAST(ts AS DATE) sees the same wall clock).
+    One shuffle on (user, day) for the daily rollup, one on user for
+    both SCD windows."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    snap = ev.withColumn("snap_date", utc_day("ts"))
+    w = Window.partitionBy("user_id", "snap_date").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        snap.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "snap_date",
+            F.when(F.col("value") >= 50, F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("state"),
+        )
+    )
+    hist = scd2_history(daily, ["user_id"], "snap_date", ["state"])
+    return hist.select(
+        "user_id", "state", "valid_from", "valid_to", "is_current"
+    ).orderBy("user_id", "valid_from")

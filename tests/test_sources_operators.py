@@ -388,3 +388,36 @@ def test_merge_upsert_semantics(spark):
     # 1 kept, 2 updated, 3 deleted, 4 inserted (null flag), 9's delete
     # of a nonexistent key is a no-op
     assert got == {(1, "a"), (2, "B"), (4, "D")}
+
+
+def test_scd2_history_runs_and_nulls(spark):
+    """Runs collapse to their first snapshot; NULL attrs open runs and
+    compare null-safely; valid_to chains to the next change."""
+    import datetime as dt
+
+    from prod_recommendation_pyspark_spark.operators.events import (
+        scd2_history,
+    )
+
+    d = dt.date
+    rows = [
+        # key 1: a,a,b,b,a  -> runs a@1, b@3, a@5
+        (1, d(2024, 1, 1), "a"), (1, d(2024, 1, 2), "a"),
+        (1, d(2024, 1, 3), "b"), (1, d(2024, 1, 4), "b"),
+        (1, d(2024, 1, 5), "a"),
+        # key 2: NULL,NULL,x -> runs NULL@1, x@3
+        (2, d(2024, 1, 1), None), (2, d(2024, 1, 2), None),
+        (2, d(2024, 1, 3), "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, snap date, attr string")
+    got = {
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_history(df, ["k"], "snap", ["attr"]).collect()
+    }
+    assert got == {
+        (1, "a", "2024-01-01", "2024-01-03", False),
+        (1, "b", "2024-01-03", "2024-01-05", False),
+        (1, "a", "2024-01-05", "None", True),
+        (2, None, "2024-01-01", "2024-01-03", False),
+        (2, "x", "2024-01-03", "None", True),
+    }
