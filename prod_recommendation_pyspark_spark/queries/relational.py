@@ -669,6 +669,73 @@ def sink_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Data-quality validation gate, driver-checkable ------------------------
+@register(
+    "data_quality_orders",
+    sql="""
+    WITH m AS (
+        SELECT count(*) AS n,
+               avg(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                   AS comp,
+               count(DISTINCT o_orderkey) * 1.0 / count(*) AS uniq,
+               min(o_totalprice) AS mn,
+               avg(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                        THEN 1.0 ELSE 0.0 END) AS inset
+        FROM orders),
+    fk AS (
+        SELECT count(*) AS orphans
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL)
+    SELECT 'completeness_o_custkey' AS "check", round(comp, 6) AS metric,
+           comp >= 1.0 AS passed FROM m
+    UNION ALL SELECT 'fk_orders_customer', round(CAST(orphans AS DOUBLE), 6),
+                     orphans = 0 FROM fk
+    UNION ALL SELECT 'in_set_o_orderstatus', round(inset, 6),
+                     inset >= 1.0 FROM m
+    UNION ALL SELECT 'non_negative_o_totalprice', round(CAST(mn AS DOUBLE), 6),
+                     mn >= 0 FROM m
+    UNION ALL SELECT 'row_count', round(CAST(n AS DOUBLE), 6), n > 0 FROM m
+    UNION ALL SELECT 'uniqueness_o_orderkey', round(uniq, 6),
+                     uniq >= 1.0 FROM m
+    ORDER BY "check"
+    """,
+)
+def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style publication gate (operators/quality.py): five
+    column checks compiled into ONE aggregation pass over orders (N
+    checks = one scan + a one-row shuffle at any scale) plus the
+    orders→customer referential check as an anti-join count.  Output
+    is the tiny (check, metric, passed) table a pipeline gates on;
+    every metric value and verdict is under the oracle hash."""
+    from prod_recommendation_pyspark_spark.operators.quality import (
+        column_checks,
+        completeness,
+        fk_check,
+        in_set_fraction,
+        non_negative,
+        row_count,
+        uniqueness,
+    )
+
+    orders = Catalog(spark, sf_dir).table("orders")
+    customer = Catalog(spark, sf_dir).table("customer")
+    cols = column_checks(
+        orders,
+        {
+            "row_count": row_count(),
+            "completeness_o_custkey": completeness("o_custkey"),
+            "uniqueness_o_orderkey": uniqueness("o_orderkey"),
+            "non_negative_o_totalprice": non_negative("o_totalprice"),
+            "in_set_o_orderstatus": in_set_fraction(
+                "o_orderstatus", ["O", "F", "P"]
+            ),
+        },
+    )
+    fk = fk_check(orders, customer, "o_custkey", "c_custkey",
+                  "fk_orders_customer")
+    return cols.unionByName(fk).orderBy("check")
+
+
 # --- CDC merge/upsert, driver-checkable ------------------------------------
 @register(
     "merge_upsert_customers",

@@ -421,3 +421,42 @@ def test_scd2_history_runs_and_nulls(spark):
         (2, None, "2024-01-01", "2024-01-03", False),
         (2, "x", "2024-01-03", "None", True),
     }
+
+
+def test_quality_checks_detect_violations(spark):
+    """The gate must FAIL on dirty data: duplicate key, null FK, value
+    outside the allowed set, negative amount, dangling reference."""
+    from prod_recommendation_pyspark_spark.operators.quality import (
+        column_checks,
+        completeness,
+        fk_check,
+        in_set_fraction,
+        non_negative,
+        uniqueness,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10, "O", 5.0), (1, 20, "Z", -3.0), (2, None, "O", 7.0)],
+        "k long, fk long, status string, amt double",
+    )
+    parent = spark.createDataFrame([(10,)], ["pk"])
+    rows = {
+        r.check: (r.metric, r.passed)
+        for r in column_checks(
+            child,
+            {
+                "uniq": uniqueness("k"),
+                "comp": completeness("fk"),
+                "inset": in_set_fraction("status", ["O"]),
+                "nonneg": non_negative("amt"),
+            },
+        )
+        .unionByName(fk_check(child, parent, "fk", "pk", "fk"))
+        .collect()
+    }
+    assert rows["uniq"] == (round(2 / 3, 6), False)
+    assert rows["comp"] == (round(2 / 3, 6), False)
+    assert rows["inset"] == (round(2 / 3, 6), False)
+    assert rows["nonneg"] == (-3.0, False)
+    # orphans: fk=20 (no parent) and fk=NULL both count
+    assert rows["fk"] == (2.0, False)
