@@ -218,10 +218,9 @@ def scd2_history(
     # row still must open a run, so OR with lag(snap) IS NULL
     changed = changed | F.lag(F.col(snap_col)).over(w).isNull()
     runs = snapshots.withColumn("__chg", changed).filter(F.col("__chg"))
-    w2 = Window.partitionBy(*key_cols).orderBy(snap_col)
     return (
         runs.withColumn("valid_from", F.col(snap_col))
-        .withColumn("valid_to", F.lead(F.col(snap_col)).over(w2))
+        .withColumn("valid_to", F.lead(F.col(snap_col)).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__chg", snap_col)
     )

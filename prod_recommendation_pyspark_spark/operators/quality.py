@@ -49,9 +49,15 @@ def non_negative(col: str) -> Check:
 
 
 def in_set_fraction(col: str, allowed: list[str]) -> Check:
-    """Fraction of values inside the allowed set; passes at 1.0."""
+    """Fraction of ROWS whose value is inside the allowed set; passes
+    at 1.0.  A NULL is not in any set, so it counts as a violation
+    (``isin`` returns NULL for NULL input and ``avg`` would silently
+    skip it — the coalesce keeps the metric aligned with SQL's
+    ``CASE WHEN x IN (...) THEN 1 ELSE 0``)."""
     return (
-        F.avg(F.col(col).isin(allowed).cast("double")),
+        F.avg(
+            F.coalesce(F.col(col).isin(allowed), F.lit(False)).cast("double")
+        ),
         lambda m: m >= 1.0,
     )
 

@@ -30,9 +30,12 @@ def tokens(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count.  Empty/whitespace-only text is 0 tokens
-    (``split('')`` yields ``['']`` — size 1 — so guard explicitly)."""
-    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+    """Whitespace token count.  Text with no non-whitespace character
+    is 0 tokens — the guard is ``rlike(\\S)``, not ``trim == ''``,
+    because ``trim`` strips only ASCII spaces and a tab/newline-only
+    doc would otherwise count its empty-string split artifacts
+    (``split('')`` yields ``['']``) as words."""
+    return F.when(~col.rlike(r"\S"), F.lit(0)).otherwise(F.size(tokens(col)))
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -644,13 +647,14 @@ def repetition_stats(
     unchanged.  Documents with fewer words than the largest order get
     NULL fractions for that order (no occurrences to measure).
     Measured at sf0.1/local[32], cache-cleared runs: 10.4 → 1.1 s."""
-    # empty/whitespace-only text: split('') yields [''] — one bogus
-    # "word" — so blank docs are mapped to a 0-word array (same guard
-    # as token_count) and emit no output row at all.
+    # text without any non-whitespace char: split('') yields [''] — a
+    # bogus "word" — so such docs are mapped to a 0-word array (same
+    # rlike guard as token_count; trim would miss tab/newline-only
+    # docs) and emit no output row at all.
     words_df = df.select(
         F.col(id_col),
         F.when(
-            F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+            ~F.col(text_col).rlike(r"\S"), F.array().cast("array<string>")
         )
         .otherwise(tokens(F.lower(F.col(text_col))))
         .alias("__w"),

@@ -29,7 +29,7 @@ from prod_recommendation_pyspark_spark.sources.catalog import Catalog
     sql=r"""
     WITH w AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        FROM documents WHERE trim(text) <> ''),
+        FROM documents WHERE regexp_matches(text, '\S')),
     g AS (
         SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram
         FROM w, unnest([1, 2, 3]) AS t(n),
@@ -67,7 +67,7 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure).  One explode over all three orders → two keyed
     shuffles — the TF-IDF fan-out shape, 100 TB-safe."""
     docs = _spread(
-        Catalog(spark, sf_dir).table("documents").filter(F.trim("text") != "")
+        Catalog(spark, sf_dir).table("documents").filter(F.col("text").rlike(r"\S"))
     )
     stats = repetition_stats(docs, "text", "doc_id")
     return stats.filter(F.col("n_words") >= 3).orderBy("doc_id")
@@ -179,7 +179,7 @@ def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     sql=r"""
     WITH w AS (
         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        FROM documents WHERE trim(text) <> ''),
+        FROM documents WHERE regexp_matches(text, '\S')),
     g AS (
         SELECT doc_id, n, array_to_string(w[i:i+n-1], ' ') AS gram
         FROM w, unnest([1, 2]) AS t(n),
@@ -257,7 +257,7 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prod_recommendation_pyspark_spark.operators.dedup import exact_dedup
 
     docs = Catalog(spark, sf_dir).table("documents")
-    spread = _spread(docs.filter(F.trim("text") != ""))
+    spread = _spread(docs.filter(F.col("text").rlike(r"\S")))
     rep = repetition_stats(spread, "text", "doc_id", orders=(1, 2))
     model = char_bigram_lm(_spread(docs), "text")
     lm = lm_score(_spread(docs), model, "text", "doc_id")

@@ -215,7 +215,7 @@ _TEXT_STATS_SQL = """
     WITH base AS (
       SELECT doc_id, text,
              length(text) AS n_chars,
-             CASE WHEN trim(text) = '' THEN 0
+             CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
              length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
@@ -840,7 +840,7 @@ def feature_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
         FROM documents
-        WHERE trim(text) <> ''),
+        WHERE regexp_matches(text, '\\S')),
     starts AS (
         SELECT doc_id, toks, s.start_token
         FROM d, unnest(range(0, greatest(len(toks) - 32, 1), 96)) AS s(start_token))
@@ -879,7 +879,7 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH d AS (
         SELECT doc_id,
-               CASE WHEN trim(text) = '' THEN 0
+               CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
                     ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
         FROM documents),
     packed AS (

@@ -744,7 +744,7 @@ def data_quality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(c_acctbal + 100, 2) AS c_acctbal
     FROM customer WHERE c_custkey % 10 = 0
     UNION ALL
-    SELECT c_custkey + 1000000, c_name, c_mktsegment, round(c_acctbal, 2)
+    SELECT -c_custkey, c_name, c_mktsegment, round(c_acctbal, 2)
     FROM customer WHERE c_custkey % 50 = 7
     UNION ALL
     SELECT c_custkey, c_name, c_mktsegment, round(c_acctbal, 2)
@@ -756,8 +756,10 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC MERGE (operators/relational.py::merge_upsert) against the
     customer dimension with a deterministic change batch derived from
     the table itself: keys %10==0 are updates (+100 balance), %50==7
-    are inserts (key shifted by 1M), %25==3 are deletes (the three
-    residue classes are pairwise disjoint).  The oracle states the
+    are inserts (key NEGATED — customer keys are positive at every
+    scale factor, so insert keys can never collide with an existing
+    row no matter how large the table grows), %25==3 are deletes (the
+    three residue classes are pairwise disjoint).  The oracle states the
     post-merge table directly — update rows carry the new balance,
     deleted keys are absent, inserts appear — so the hash pins the
     full matched/unmatched/delete semantics, not just row counts."""
@@ -776,7 +778,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes = cust.filter(key % 25 == 3).withColumn("__deleted", F.lit(True))
     inserts = (
         cust.filter(key % 50 == 7)
-        .withColumn("c_custkey", key + 1_000_000)
+        .withColumn("c_custkey", -key)
         .withColumn("__deleted", F.lit(False))
     )
     batch = updates.unionByName(deletes).unionByName(inserts)

@@ -114,7 +114,18 @@ def streaming_incremental_dedup(
     bands emits k rows; dedup/exact-Jaccard verification runs
     downstream in the batch layer, the same split as the batch
     operator's candidates→verify).  Runs unchanged on a batch
-    DataFrame (same plan, parity-tested)."""
+    DataFrame (same plan; parity with
+    ``incremental_lsh_candidates(..., max_bucket=None)`` is pytested).
+
+    NO batch-side bucket cap: counting a band key's members within the
+    micro-batch would be a streaming aggregation (state store, no
+    append mode), so unlike ``minhash_band_keys(max_bucket=...)`` the
+    arriving side is uncapped.  The blow-up is still bounded: the
+    STORE was built with its cap, so one streamed doc emits at most
+    ``bands × max_bucket`` rows — linear in the batch, never
+    batch × batch (there is no self-join here).  Degenerate
+    boilerplate floods should be capped upstream (store build) or in
+    the batch layer's within-batch dedup."""
     from prod_recommendation_pyspark_spark.operators.dedup import (
         band_key_structs,
         minhash_signature,

@@ -460,3 +460,17 @@ def test_quality_checks_detect_violations(spark):
     assert rows["nonneg"] == (-3.0, False)
     # orphans: fk=20 (no parent) and fk=NULL both count
     assert rows["fk"] == (2.0, False)
+
+
+def test_in_set_fraction_counts_nulls_as_violations(spark):
+    """A NULL is not in any allowed set: isin's NULL result must not be
+    silently skipped by avg (that would pass a gate on a column whose
+    only violations are NULLs)."""
+    from prod_recommendation_pyspark_spark.operators.quality import (
+        column_checks,
+        in_set_fraction,
+    )
+
+    df = spark.createDataFrame([("O",), (None,)], "status string")
+    r = column_checks(df, {"inset": in_set_fraction("status", ["O"])}).collect()[0]
+    assert r.metric == 0.5 and not r.passed

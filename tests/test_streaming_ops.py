@@ -210,10 +210,13 @@ def test_streaming_incremental_dedup_matches_batch(spark):
         incremental_lsh_candidates,
     )
 
+    # max_bucket=None: the streaming path has no batch-side bucket cap
+    # (a within-batch count would be a streaming aggregation), so the
+    # exact contract is parity with the uncapped operator
     cands = {
         (r.id_b, r.id_a)
         for r in incremental_lsh_candidates(
-            keys, batch, "doc_id", "text"
+            keys, batch, "doc_id", "text", max_bucket=None
         ).collect()
     }
     assert got == cands
