@@ -1192,3 +1192,75 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(
         corpus, bench, "doc_id", "text", shingle_words=_DECON_N, min_overlap=1
     ).orderBy("doc_id")
+
+
+_LEAKAGE_SQL = f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    edges AS (SELECT id_a, id_b
+              FROM common
+              JOIN sizes sa ON common.id_a = sa.doc_id
+              JOIN sizes sb ON common.id_b = sb.doc_id
+              WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION
+                    SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS group_id,
+           CASE WHEN coalesce(c.component, d.doc_id) % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("leakage_safe_split_documents", sql=_LEAKAGE_SQL)
+def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: a near-duplicate of a training
+    document must never land in the eval set (the contamination that
+    inflates benchmark scores), so the split key is the near-dup
+    CLUSTER, not the document — every member of a component inherits
+    the component's deterministic modulo split; singletons split by
+    their own id.  Composition of the engine's own primitives:
+    LSH candidates → exact-Jaccard verify → connected components →
+    ``modulo_split`` on the group id.  The oracle replays the closure
+    with a recursive CTE and the same modulo rule; a pytest asserts
+    zero cross-split near-dup pairs."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        connected_components,
+    )
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        modulo_split,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    cands = lsh_candidate_pairs(
+        docs, "doc_id", "text", shingle_words=3, n_hashes=64, bands=16
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    ).select("id_a", "id_b")
+    cc = connected_components(verified, "id_a", "id_b")
+    grouped = (
+        docs.select("doc_id")
+        .join(
+            cc.select(F.col("u").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+        )
+    )
+    return (
+        modulo_split(grouped, "group_id", n_buckets=10, train_buckets=8)
+        .select("doc_id", "group_id", "split")
+        .orderBy("doc_id")
+    )

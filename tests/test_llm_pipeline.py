@@ -376,3 +376,35 @@ def test_incremental_lsh_candidates_cross_only(spark):
     assert (1, 10) in pairs and (1, 11) in pairs
     # batch-internal pair (10, 11) must NOT appear, nor corpus-internal
     assert all(a in (1, 2) and b in (10, 11, 12) for a, b in pairs)
+
+
+def test_leakage_safe_split_no_cross_split_near_dups(spark):
+    """The split's whole point: zero verified near-dup pairs may span
+    train/test, and every cluster is single-split."""
+    from prod_recommendation_pyspark_spark.queries import QUERIES
+
+    split = QUERIES["leakage_safe_split_documents"](spark, SF_SMOKE).persist()
+    pairs = QUERIES["minhash_lsh_dedup_candidates"](spark, SF_SMOKE).select(
+        "id_a", "id_b"
+    )
+    a = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    b = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    crossed = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    assert crossed == 0
+    multi = (
+        split.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert multi == 0
+    split.unpersist()

@@ -213,3 +213,44 @@ def test_minhash_signatures_matches_hof_form(spark, texts):
         for r in minhash_signatures(hashed, "doc_id", "__hs", 16).collect()
     }
     assert hof == agg
+
+
+@EXAMPLES
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**16 - 1),
+            st.integers(min_value=0, max_value=2**16 - 1),
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_interleave_bits_bijection_and_reference(spark, pts):
+    """Morton codes: bit-exact vs a Python reference, within [0, 2^32),
+    and injective — distinct (x, y) never collide."""
+    from prod_recommendation_pyspark_spark.operators.layout import (
+        interleave_bits,
+    )
+
+    def ref(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "i long, x long, y long"
+    )
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", interleave_bits([F.col("x"), F.col("y")], 16).alias("z")
+        ).collect()
+    }
+    want = {i: ref(x, y) for i, (x, y) in enumerate(pts)}
+    assert got == want
+    assert len(set(got.values())) == len(pts)
+    assert all(0 <= z < 2**32 for z in got.values())
