@@ -904,3 +904,53 @@ def sign_lsh_self_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) embedding quantization — SQ8, the FAISS-style memory path
+# ---------------------------------------------------------------------------
+
+
+def quantize_vectors(
+    df: DataFrame,
+    vec_col: str,
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization (SQ8): ``scale =
+    max|v_i|``, ``q_i = floor(v_i / scale * 127 + 0.5)`` ∈ [-127, 127].
+    At 100 TB of float64 embeddings this is the 8× storage / scan-IO
+    reduction that makes a vector corpus fit the page cache; the
+    approximate dot ``(q_a · q_b) · scale_a · scale_b / 127²`` is exact
+    integer arithmetic times two floats, so ANY engine replays the
+    identical shortlist (the rounding is floor(x+0.5) — half-up — on
+    both sides, not banker's rounding, which differs between engines).
+    All-zero vectors quantize to all-zero (scale floor guards the
+    division).  Dequantization error ≤ scale/254 per component."""
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    return df.withColumn(scale_col, scale).withColumn(
+        q_col,
+        F.transform(
+            v,
+            lambda x: F.floor(x / F.col(scale_col) * 127 + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    )
+
+
+def sq8_approx_dot(
+    qa: Column, sa: Column, qb: Column, sb: Column
+) -> Column:
+    """Approximate dot product of two SQ8-quantized vectors.  The
+    integer fold is exact (|q| ≤ 127, dim ≤ 2^46 before overflow);
+    only the two scale multiplies are float."""
+    int_dot = F.aggregate(
+        F.zip_with(qa, qb, lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return int_dot * sa * sb / F.lit(127.0 * 127.0)

@@ -649,3 +649,121 @@ def peer_search_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall"),
         (n_common.cast("double") / n_exact >= 0.8).alias("recall_ok"),
     )
+
+
+@register(
+    "sq8_quantized_topk_embeddings",
+    sql="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+                     AS qscale
+          FROM e),
+    qq AS (SELECT vec_id, v, qscale,
+                  list_transform(v, x -> CAST(floor(x / qscale * 127 + 0.5)
+                                              AS BIGINT)) AS qv
+           FROM q),
+    approx AS (
+        SELECT a.vec_id AS tgt_id, b.vec_id AS nbr_id,
+               list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[]))
+                   * a.qscale * b.qscale / 16129.0 AS ascore
+        FROM qq a JOIN qq b ON a.vec_id % 20 = 0 AND a.vec_id <> b.vec_id),
+    shortlist AS (
+        SELECT tgt_id, nbr_id,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY ascore DESC, nbr_id) AS arn
+        FROM approx),
+    rescored AS (
+        SELECT s.tgt_id, s.nbr_id,
+               list_cosine_similarity(a.v, b.v) AS score
+        FROM shortlist s
+        JOIN e a ON s.tgt_id = a.vec_id
+        JOIN e b ON s.nbr_id = b.vec_id
+        WHERE s.arn <= 50),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY score DESC, nbr_id) AS rn
+        FROM rescored)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= 5
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def sq8_quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-stage retrieval (operators/similarity.py::
+    quantize_vectors): score every candidate with the int8 approximate
+    dot (8× smaller index — at 100 TB the difference between a vector
+    corpus that fits the page cache and one that doesn't), keep a
+    50-deep shortlist per query, exact-cosine rescore, return top-5.
+    The integer dot is exact and the quantization rounding is half-up
+    on both engines, so the SHORTLIST — not just the final ranking —
+    is bit-reproducible in the oracle.  Compose with the sign-LSH /
+    IVF candidate generators for sub-linear scoring at scale; this
+    query keeps the candidate set brute so the oracle pins the
+    quantization math itself."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        quantize_vectors,
+        spread_small_input,
+        sq8_approx_dot,
+    )
+    from pyspark.sql import Window
+
+    emb = spread_small_input(
+        Catalog(spark, sf_dir).table("embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    qq = quantize_vectors(emb, "v")
+    probes = qq.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("v").alias("tv"),
+        F.col("qvec").alias("tq"),
+        F.col("qscale").alias("ts"),
+    )
+    corpus = qq.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("nv"),
+        F.col("qvec").alias("nq"),
+        F.col("qscale").alias("ns"),
+    )
+    approx = (
+        probes.crossJoin(corpus)
+        .filter(F.col("tgt_id") != F.col("nbr_id"))
+        .withColumn(
+            "ascore",
+            sq8_approx_dot(
+                F.col("tq"), F.col("ts"), F.col("nq"), F.col("ns")
+            ),
+        )
+    )
+    wa = Window.partitionBy("tgt_id").orderBy(
+        F.col("ascore").desc(), F.col("nbr_id")
+    )
+    shortlist = approx.withColumn("arn", F.row_number().over(wa)).filter(
+        F.col("arn") <= 50
+    )
+    dot = F.aggregate(
+        F.zip_with("tv", "nv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    rescored = shortlist.withColumn(
+        "score", dot / (norm("tv") * norm("nv"))
+    )
+    wr = Window.partitionBy("tgt_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id")
+    )
+    return (
+        rescored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 5)
+        .select("tgt_id", "nbr_id", F.round("score", 4).alias("score"))
+        .orderBy("tgt_id", "nbr_id")
+    )

@@ -346,3 +346,73 @@ def test_ann_use_kernel_matches_expression_path(spark):
         expr_rows = sorted(map(tuple, fn(False).collect()))
         kern_rows = sorted(map(tuple, fn(True).collect()))
         assert expr_rows == kern_rows
+
+
+def test_sq8_quantization_error_bound_and_recall(spark):
+    """Dequantization error is bounded by scale/254 per component, and
+    SQ8 shortlist→rescore top-5 achieves high recall vs exact brute
+    top-5 on the smoke corpus."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        quantize_vectors,
+    )
+    from prod_recommendation_pyspark_spark.queries import QUERIES
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+    from tests.conftest import SF_SMOKE
+
+    emb = (
+        Catalog(spark, SF_SMOKE)
+        .table("embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    q = quantize_vectors(emb, "v")
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                "v",
+                "qvec",
+                lambda x, qv: F.abs(x - qv * F.col("qscale") / 127.0),
+            )
+        ).alias("e"),
+        (F.col("qscale") / 254.0 + 1e-12).alias("bound"),
+    )
+    assert err.filter(F.col("e") > F.col("bound")).count() == 0
+
+    sq8 = {
+        (r.tgt_id, r.nbr_id)
+        for r in QUERIES["sq8_quantized_topk_embeddings"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    # exact brute top-5 for the same probes (vec_id % 20 == 0)
+    a = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tgt_id"), F.col("v").alias("tv")
+    )
+    b = emb.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("nv"))
+    dot = F.aggregate(
+        F.zip_with("tv", "nv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tgt_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id")
+    )
+    exact = {
+        (r.tgt_id, r.nbr_id)
+        for r in a.crossJoin(b)
+        .filter(F.col("tgt_id") != F.col("nbr_id"))
+        .withColumn("score", dot / (nrm("tv") * nrm("nv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    }
+    recall = len(sq8 & exact) / len(exact)
+    assert recall >= 0.9, recall
