@@ -254,3 +254,87 @@ def test_interleave_bits_bijection_and_reference(spark, pts):
     assert got == want
     assert len(set(got.values())) == len(pts)
     assert all(0 <= z < 2**32 for z in got.values())
+
+
+@EXAMPLES
+@given(
+    states=st.lists(
+        st.sampled_from(["a", "b", None]), min_size=1, max_size=12
+    )
+)
+def test_scd2_history_matches_python_reference(spark, states):
+    """For ANY per-day state sequence: the SCD2 rows equal a plain
+    Python run-length reconstruction (runs open at changes, valid_to
+    chains, last run is current)."""
+    import datetime as dt
+
+    from prod_recommendation_pyspark_spark.operators.events import (
+        scd2_history,
+    )
+
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(len(states))]
+    df = spark.createDataFrame(
+        [(1, d, s) for d, s in zip(days, states)], "k long, snap date, attr string"
+    )
+    got = sorted(
+        (str(r.valid_from), str(r.valid_to), r.attr, r.is_current)
+        for r in scd2_history(df, ["k"], "snap", ["attr"]).collect()
+    )
+    runs = []
+    for d, s in zip(days, states):
+        if not runs or runs[-1][1] != s:
+            runs.append([d, s])
+    want = sorted(
+        (
+            str(start),
+            str(runs[i + 1][0]) if i + 1 < len(runs) else "None",
+            s,
+            i + 1 == len(runs),
+        )
+        for i, (start, s) in enumerate(runs)
+    )
+    assert got == want
+
+
+@EXAMPLES
+@given(
+    tgt=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=99),
+        max_size=8,
+    ),
+    src=st.dictionaries(
+        st.integers(min_value=0, max_value=12),
+        st.tuples(
+            st.integers(min_value=100, max_value=199),
+            st.sampled_from([True, False, None]),
+        ),
+        max_size=8,
+    ),
+)
+def test_merge_upsert_matches_python_reference(spark, tgt, src):
+    """For ANY target/source key sets: the merged table equals the dict
+    semantics — delete beats update, unmatched source inserts (unless
+    deleted), unmatched target survives, NULL flag = not deleted."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt.items()] or [(None, None)], "k long, v long"
+    ).filter(F.col("k").isNotNull())
+    source = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in src.items()] or [(None, None, None)],
+        "k long, v long, dead boolean",
+    ).filter(F.col("k").isNotNull())
+    got = {
+        (r.k, r.v)
+        for r in merge_upsert(target, source, ["k"], delete_col="dead").collect()
+    }
+    want = dict(tgt)
+    for k, (v, dead) in src.items():
+        if dead:
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == set(want.items())
