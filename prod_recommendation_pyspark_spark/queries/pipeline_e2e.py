@@ -224,11 +224,13 @@ _STAGES_SQL = f"""
     WITH {_STAGES_SQL},
     scored AS (
         SELECT pe.prospect, pr.product,
-               pe.score * pr.rating / CAST(30.0 AS DOUBLE) AS confidence
+               CAST(pe.score * pr.rating / CAST(30.0 AS DOUBLE)
+                    AS DECIMAL(38,12)) AS confidence
         FROM peers pe RIGHT JOIN prod pr ON pe.coname = pr.coname
         WHERE pe.prospect IS NOT NULL
           AND pr.rating IS NOT NULL AND pr.rating <> 0),
-    summed AS (SELECT prospect, product, sum(confidence) AS confidence
+    summed AS (SELECT prospect, product,
+                      CAST(sum(confidence) AS DOUBLE) AS confidence
                FROM scored GROUP BY prospect, product)
     SELECT prospect, product, round(confidence, 4) AS confidence, rnk
     FROM (SELECT *, rank() OVER (PARTITION BY prospect

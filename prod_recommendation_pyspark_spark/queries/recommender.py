@@ -209,11 +209,13 @@ def _products(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_PEERS_SQL}, {_PRODUCTS_SQL},
     scored AS (
         SELECT pe.prospect, pr.product,
-               pe.score * pr.rating / 30.0 AS confidence
+               CAST(pe.score * pr.rating / 30.0 AS DECIMAL(38,12))
+                   AS confidence
         FROM peers pe JOIN products pr ON pe.coname = pr.coname
         WHERE pe.prospect IS NOT NULL
           AND pr.rating IS NOT NULL AND pr.rating <> 0),
-    summed AS (SELECT prospect, product, sum(confidence) AS confidence
+    summed AS (SELECT prospect, product,
+                      CAST(sum(confidence) AS DOUBLE) AS confidence
                FROM scored GROUP BY prospect, product)
     SELECT prospect, product, round(confidence, 4) AS confidence, rnk
     FROM (SELECT *, rank() OVER (PARTITION BY prospect

@@ -56,13 +56,22 @@ def confidence_table(
     scored = (
         joined.withColumn(
             "confidence",
-            F.col(score_col) * F.col(rating_col) / F.lit(float(num_peers)),
+            # The per-row product is a deterministic double (row-local,
+            # identical in any engine); the cast to DECIMAL(38,12)
+            # makes the SUM exact and associative, so the aggregate is
+            # bit-identical under ANY partitioning or engine.  Summing
+            # raw doubles is order-dependent: at sf0.1 two (prospect,
+            # product) sums drifted one ULP apart between Spark and
+            # DuckDB and rounded to different 4-decimal values.
+            (
+                F.col(score_col) * F.col(rating_col) / F.lit(float(num_peers))
+            ).cast("decimal(38,12)"),
         )
         .filter(F.col(prospect_col).isNotNull())
         .filter(F.col(rating_col).isNotNull() & (F.col(rating_col) != 0))  # B17: AND
     )
     summed = scored.groupBy(prospect_col, product_col).agg(
-        F.sum("confidence").alias("confidence")
+        F.sum("confidence").cast("double").alias("confidence")
     )
     return windowed_topk(
         summed,
