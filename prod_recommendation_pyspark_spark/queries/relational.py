@@ -25,13 +25,22 @@ from prod_recommendation_pyspark_spark.sources.readers import latest_snapshot
     "q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
-           round(avg(l_extendedprice), 4)                              AS avg_price,
-           round(avg(l_discount), 4)                                   AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc,
            count(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -47,17 +56,26 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection push into the parquet scan."""
     li = Catalog(spark, sf_dir).table("lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    # Money sums accumulate in DECIMAL(38,6): the per-row doubles are
+    # row-local (identical in any engine), and a decimal SUM is exact
+    # and associative — immune to the partial-aggregation-order ULP
+    # drift that flipped a rounded value in confidence_table at sf0.1.
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
+            F.round(dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
+            F.round(dsum(disc_price), 2).alias("sum_disc_price"),
+            F.round(dsum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(dsum(F.col("l_quantity")) / n, 4).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice")) / n, 4).alias("avg_price"),
+            F.round(dsum(F.col("l_discount")) / n, 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -70,7 +88,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH revenue AS (
         SELECT n.n_name AS nation, c.c_mktsegment AS segment,
-               round(sum(o.o_totalprice), 2) AS revenue,
+               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6)))
+                          AS DOUBLE), 2) AS revenue,
                count(*) AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -101,7 +120,11 @@ def topk_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double"),
+                2,
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -124,8 +147,10 @@ def topk_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue_broadcast_join",
     sql="""
     SELECT p.p_brand AS brand,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           round(sum(l.l_quantity), 2) AS total_qty
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     ORDER BY p.p_brand
@@ -142,8 +167,17 @@ def brand_revenue_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cat.table("part")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(38,6)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("total_qty"),
         )
         .orderBy("brand")
     )
@@ -857,9 +891,11 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_agg_returnflag",
     sql="""
     SELECT l_returnflag,
-           round(sum(l_quantity), 2)      AS sum_qty,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_qty,
            count(*)                       AS n_rows,
-           round(sum(l_extendedprice), 2) AS sum_price
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -882,14 +918,14 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         ["l_returnflag"],
         aggs=[
-            F.sum("l_quantity").alias("pq"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("pq"),
             F.count(F.lit(1)).alias("pc"),
-            F.sum("l_extendedprice").alias("pp"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("pp"),
         ],
         final_aggs=[
-            F.round(F.sum("pq"), 2).alias("sum_qty"),
+            F.round(F.sum("pq").cast("double"), 2).alias("sum_qty"),
             F.sum("pc").alias("n_rows"),
-            F.round(F.sum("pp"), 2).alias("sum_price"),
+            F.round(F.sum("pp").cast("double"), 2).alias("sum_price"),
         ],
     ).orderBy("l_returnflag")
 
