@@ -22,7 +22,8 @@ from prod_recommendation_pyspark_spark.sources.catalog import Catalog
     "q5_regional_supplier_revenue",
     sql="""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
     FROM customer c
     JOIN orders o    ON c.c_custkey = o.o_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -66,7 +67,11 @@ def q5_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(38,6)")
+                ).cast("double"),
+                2,
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "nation")
@@ -150,7 +155,8 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_below_avg_quantity_revenue",
     sql="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_weekly_revenue
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / 7.0, 2) AS avg_weekly_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
       AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -175,7 +181,14 @@ def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly_revenue"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                .cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_weekly_revenue")
+        )
     )
 
 
@@ -183,7 +196,8 @@ def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "q19_disjunctive_predicate_revenue",
     sql="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_type = 'SMALL'  AND p.p_size BETWEEN 1 AND 10
@@ -213,7 +227,11 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
         .filter(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(38,6)")
+                ).cast("double"),
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -225,8 +243,10 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
     "having_nation_balance_stats",
     sql="""
     SELECT c_nationkey, count(*) AS n_customers,
-           round(avg(c_acctbal), 4) AS avg_bal,
-           round(sum(c_acctbal), 2) AS total_bal
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_bal,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_bal
     FROM customer
     GROUP BY c_nationkey
     HAVING avg(c_acctbal) > 4400 AND count(*) > 10
@@ -243,8 +263,15 @@ def having_nation_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("total_bal"),
             F.avg("c_acctbal").alias("_raw_avg"),
         )
         .filter((F.col("_raw_avg") > 4400) & (F.col("n_customers") > 10))
@@ -466,7 +493,9 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey, c_mktsegment,
            CAST(grouping(c_nationkey) AS INT)  AS g_nation,
            CAST(grouping(c_mktsegment) AS INT) AS g_segment,
-           count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+           count(*) AS n,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
     ORDER BY g_nation, g_segment, c_nationkey, c_mktsegment
@@ -488,7 +517,10 @@ def grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("c_nationkey").cast("int").alias("g_nation"),
             F.grouping("c_mktsegment").cast("int").alias("g_segment"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("total_bal"),
         )
         .orderBy("g_nation", "g_segment", "c_nationkey", "c_mktsegment")
     )
@@ -500,7 +532,8 @@ def grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id, user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-           round(sum(value) OVER w, 4)  AS trailing_hour_value,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 4)
+               AS trailing_hour_value,
            count(*) OVER w              AS trailing_hour_events
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
@@ -527,7 +560,12 @@ def range_frame_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.unix_timestamp("ts").alias("sec"),
-            F.round(F.sum("value").over(w), 4).alias("trailing_hour_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .over(w)
+                .cast("double"),
+                4,
+            ).alias("trailing_hour_value"),
             F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
         )
         .orderBy("event_id")

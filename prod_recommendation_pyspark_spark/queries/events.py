@@ -38,7 +38,7 @@ def _epoch_us(col: str) -> F.Column:
            CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
            event_type,
            count(*)             AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
@@ -55,7 +55,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
         ],
     ).select(
         "window_start", "window_end", "event_type", "n_events", "total_value"
@@ -70,7 +70,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type, value
         FROM events, unnest([0, 1, 2, 3]) AS t(k))
     SELECT window_start, window_start + 3600 AS window_end, event_type,
-           count(*) AS n_events, round(sum(value), 2) AS total_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
     FROM expanded
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -89,7 +89,7 @@ def sliding_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
         ],
     ).select(
         "window_start", "window_end", "event_type", "n_events", "total_value"
@@ -114,7 +114,7 @@ def sliding_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(min(ts))) AS BIGINT)        AS window_start,
            CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS window_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
     FROM sess
     GROUP BY user_id, sid
     ORDER BY user_id, window_start
@@ -133,7 +133,7 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
         ],
     ).select(
         "user_id", "window_start", "window_end", "n_events", "total_value"

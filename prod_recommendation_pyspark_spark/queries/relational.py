@@ -413,7 +413,8 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH dated AS (SELECT *, CAST(ts AS DATE) AS snapshot_date FROM events),
          latest AS (SELECT max(snapshot_date) AS d FROM dated)
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
     FROM dated, latest WHERE dated.snapshot_date = latest.d
     GROUP BY event_type
     ORDER BY event_type
@@ -434,7 +435,7 @@ def latest_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -472,7 +473,7 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(n.n_name, 'ALL') AS nation,
            coalesce(c.c_mktsegment, 'ALL') AS segment,
            count(*) AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_bal
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_bal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
     ORDER BY nation, segment
@@ -492,7 +493,7 @@ def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"), 2).alias("total_bal"),
         )
         .select(
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
@@ -508,9 +509,9 @@ def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     sql="""
     SELECT o_orderpriority,
-           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS F,
-           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS O,
-           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS P
+           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 2) AS F,
+           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 2) AS O,
+           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 2) AS P
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -524,7 +525,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2))
         .orderBy("o_orderpriority")
     )
 
@@ -536,7 +537,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle — dialect-portability is the test.
 _Q3_SQL = """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
            CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority
     FROM customer, orders, lineitem
@@ -566,7 +567,7 @@ def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL')    AS status,
            coalesce(o_orderpriority, 'ALL')  AS priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -581,7 +582,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2).alias("total_price"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
