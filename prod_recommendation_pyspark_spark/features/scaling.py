@@ -87,22 +87,38 @@ def standard_scale(
     """z-score: ``(x - mean) / stddev_samp``; zero-variance → 0.0.
 
     Same agg + broadcast-join plan as :func:`min_max_scale`.
+
+    The moments accumulate as exact DECIMAL(38,6) sums (x and x² are
+    row-local doubles, identical in any engine) and mean/stddev are
+    derived with a fixed double-op sequence — ``stddev_samp``'s
+    streaming (Welford) accumulation is summation-order-dependent, the
+    same cross-engine ULP class fixed in the money-sum queries.
     """
     aggs = []
     for c in cols:
+        x = F.col(c)
         aggs += [
-            F.avg(c).alias(f"__mu_{c}"),
-            F.stddev_samp(F.col(c)).alias(f"__sd_{c}"),
+            F.sum(x.cast("decimal(38,6)")).cast("double").alias(f"__s1_{c}"),
+            F.sum((x * x).cast("decimal(38,6)")).cast("double").alias(f"__s2_{c}"),
+            F.count(x).alias(f"__n_{c}"),
         ]
     stats = df.groupBy(*partition_by).agg(*aggs) if partition_by else df.agg(*aggs)
     out = _join_stats(df, stats, partition_by)
     for c in cols:
-        mu, sd = F.col(f"__mu_{c}"), F.col(f"__sd_{c}")
+        s1, s2, n = F.col(f"__s1_{c}"), F.col(f"__s2_{c}"), F.col(f"__n_{c}")
+        mu = s1 / n
+        sd = F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0)))
         out = out.withColumn(
             f"{c}{suffix}",
-            F.when(sd.isNull() | (sd == 0), F.lit(0.0)).otherwise((F.col(c) - mu) / sd),
+            F.when(
+                (n < 2) | sd.isNull() | (sd == 0), F.lit(0.0)
+            ).otherwise((F.col(c) - mu) / sd),
         )
-    return out.drop(*[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols])
+    return out.drop(
+        *[f"__s1_{c}" for c in cols],
+        *[f"__s2_{c}" for c in cols],
+        *[f"__n_{c}" for c in cols],
+    )
 
 
 def log10_floor(df: DataFrame, col: str, out_col: str, floor: float = 1.0) -> DataFrame:

@@ -61,13 +61,20 @@ def minmax_scale_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "zscore_price_by_status",
     sql="""
+    WITH st AS (
+        SELECT o_orderstatus,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS s2,
+               count(o_totalprice) AS n
+        FROM orders GROUP BY o_orderstatus)
     SELECT o_orderkey,
-           round(CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+           round(CASE WHEN n < 2 OR sd IS NULL OR sd = 0 THEN 0.0
                       ELSE (o_totalprice - mu) / sd END, 6) AS price_z
-    FROM (SELECT o_orderkey, o_totalprice,
-                 avg(o_totalprice)         OVER (PARTITION BY o_orderstatus) AS mu,
-                 stddev_samp(o_totalprice) OVER (PARTITION BY o_orderstatus) AS sd
-          FROM orders)
+    FROM (SELECT o.o_orderkey, o.o_totalprice, st.n,
+                 s1 / n AS mu,
+                 sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+          FROM orders o JOIN st USING (o_orderstatus))
     ORDER BY o_orderkey
     """,
 )

@@ -380,8 +380,15 @@ def conditional_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT o_custkey)          AS n_customers,
            round(min(o_totalprice), 2)        AS min_price,
            round(max(o_totalprice), 2)        AS max_price,
-           round(avg(o_totalprice), 4)        AS avg_price,
-           round(stddev_samp(o_totalprice), 4) AS std_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(o_totalprice), 4) AS avg_price,
+           round(sqrt(greatest(
+                 (CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                       AS DOUBLE)
+                  - CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                    * CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                    / count(o_totalprice))
+                 / (count(o_totalprice) - 1), 0.0)), 4) AS std_price
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -400,8 +407,34 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
-            F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                / F.count("o_totalprice"),
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.sum(
+                                (F.col("o_totalprice") * F.col("o_totalprice"))
+                                .cast("decimal(38,6)")
+                            ).cast("double")
+                            - F.sum(
+                                F.col("o_totalprice").cast("decimal(38,6)")
+                            ).cast("double")
+                            * F.sum(
+                                F.col("o_totalprice").cast("decimal(38,6)")
+                            ).cast("double")
+                            / F.count("o_totalprice")
+                        )
+                        / (F.count("o_totalprice") - 1),
+                        F.lit(0.0),
+                    )
+                ),
+                4,
+            ).alias("std_price"),
         )
         .orderBy("o_orderstatus")
     )
