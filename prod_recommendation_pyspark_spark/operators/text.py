@@ -791,7 +791,16 @@ def lm_score(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        # exact decimal accumulation: a per-doc double sum of ~10³
+        # log-probs is summation-order-dependent (cross-engine ULP
+        # class — see the money-sum queries); the decimal sum makes
+        # the rounded score and any threshold gate on it
+        # engine-identical
+        F.round(
+            F.sum(F.col("lp").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_logprob"),
     )
 
 

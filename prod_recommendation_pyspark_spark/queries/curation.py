@@ -94,7 +94,9 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
         SELECT doc_id, coalesce(log_prob, ln(1.0 / 27)) AS lp
         FROM db LEFT JOIN model USING (bigram))
-    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(CAST(sum(CAST(lp AS DECIMAL(38,12))) AS DOUBLE) / count(*), 4)
+               AS avg_logprob
     FROM scored GROUP BY doc_id
     ORDER BY doc_id
     """,
@@ -208,7 +210,9 @@ def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
             FROM cnt GROUP BY bigram[1:1]),
     model AS (SELECT bigram, ln((cnt + 1.0) / (ctx_cnt + 27)) AS lp
               FROM cnt JOIN ctx ON bigram[1:1] = c1),
-    lm AS (SELECT doc_id, avg(lp) AS avg_logprob
+    lm AS (SELECT doc_id,
+                  round(CAST(sum(CAST(lp AS DECIMAL(38,12))) AS DOUBLE)
+                        / count(*), 4) AS avg_logprob
            FROM db JOIN model USING (bigram) GROUP BY doc_id),
     gated AS (
         SELECT d.doc_id, d.lang, d.text, rep.n_words, lm.avg_logprob
