@@ -83,42 +83,66 @@ def standard_scale(
     cols: list[str],
     partition_by: list[str] | None = None,
     suffix: str = "_z",
+    exact_decimal: bool = False,
 ) -> DataFrame:
     """z-score: ``(x - mean) / stddev_samp``; zero-variance → 0.0.
 
     Same agg + broadcast-join plan as :func:`min_max_scale`.
 
-    The moments accumulate as exact DECIMAL(38,6) sums (x and x² are
-    row-local doubles, identical in any engine) and mean/stddev are
-    derived with a fixed double-op sequence — ``stddev_samp``'s
-    streaming (Welford) accumulation is summation-order-dependent, the
-    same cross-engine ULP class fixed in the money-sum queries.
+    ``exact_decimal`` selects the accumulation strategy — a real
+    trade-off, not a flag to default on:
+
+    * ``False`` (default): ``avg``/``stddev_samp`` — Welford-style,
+      numerically robust for ANY magnitude (tiny rates, huge
+      ids, high-mean/low-variance columns), but summation-order-
+      dependent, so two engines (or two partitionings) can disagree
+      in the last ULPs.
+    * ``True``: exact DECIMAL(38,6) moment sums + the fixed-op-order
+      naive formula — bit-identical across engines/partitionings
+      (the oracle-checkable path; see ``functions/exact.py``), but
+      ONLY sound for money-scale columns: a DECIMAL(38,6) cast
+      quantizes |x| ≲ 1e-3 into garbage, silently NULLs on
+      |x²| > ~1e32 overflow (non-ANSI), and the naive cancellation
+      loses the variance when mean² ≫ n·var/ULP.
     """
     aggs = []
     for c in cols:
         x = F.col(c)
-        aggs += [
-            F.sum(x.cast("decimal(38,6)")).cast("double").alias(f"__s1_{c}"),
-            F.sum((x * x).cast("decimal(38,6)")).cast("double").alias(f"__s2_{c}"),
-            F.count(x).alias(f"__n_{c}"),
-        ]
+        if exact_decimal:
+            aggs += [
+                F.sum(x.cast("decimal(38,6)")).cast("double").alias(f"__s1_{c}"),
+                F.sum((x * x).cast("decimal(38,6)"))
+                .cast("double")
+                .alias(f"__s2_{c}"),
+                F.count(x).alias(f"__n_{c}"),
+            ]
+        else:
+            aggs += [
+                F.avg(c).alias(f"__mu_{c}"),
+                F.stddev_samp(F.col(c)).alias(f"__sd_{c}"),
+            ]
     stats = df.groupBy(*partition_by).agg(*aggs) if partition_by else df.agg(*aggs)
     out = _join_stats(df, stats, partition_by)
     for c in cols:
-        s1, s2, n = F.col(f"__s1_{c}"), F.col(f"__s2_{c}"), F.col(f"__n_{c}")
-        mu = s1 / n
-        sd = F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0)))
+        if exact_decimal:
+            s1, s2, n = F.col(f"__s1_{c}"), F.col(f"__s2_{c}"), F.col(f"__n_{c}")
+            mu = s1 / n
+            sd = F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0)))
+            guard = (n < 2) | sd.isNull() | (sd == 0)
+        else:
+            mu, sd = F.col(f"__mu_{c}"), F.col(f"__sd_{c}")
+            guard = sd.isNull() | (sd == 0)
         out = out.withColumn(
             f"{c}{suffix}",
-            F.when(
-                (n < 2) | sd.isNull() | (sd == 0), F.lit(0.0)
-            ).otherwise((F.col(c) - mu) / sd),
+            F.when(guard, F.lit(0.0)).otherwise((F.col(c) - mu) / sd),
         )
-    return out.drop(
-        *[f"__s1_{c}" for c in cols],
-        *[f"__s2_{c}" for c in cols],
-        *[f"__n_{c}" for c in cols],
-    )
+    drop = []
+    for c in cols:
+        if exact_decimal:
+            drop += [f"__s1_{c}", f"__s2_{c}", f"__n_{c}"]
+        else:
+            drop += [f"__mu_{c}", f"__sd_{c}"]
+    return out.drop(*drop)
 
 
 def log10_floor(df: DataFrame, col: str, out_col: str, floor: float = 1.0) -> DataFrame:

@@ -1,0 +1,57 @@
+"""Exact (decimal-accumulated) aggregate helpers — the ONE place the
+cross-engine-deterministic summation idiom lives.
+
+Why: a double SUM is summation-order-dependent; partial (map-side)
+aggregation makes the order partitioning-dependent, so the same query
+can round a 4-decimal output differently between two runs or two
+engines (observed: ``confidence_table_products`` at sf0.1 — one ULP of
+drift across 30k groups landed two values on the other side of their
+rounding boundary).  Accumulating in DECIMAL is exact and associative:
+any partitioning, any engine, the same digits.
+
+When: money/value columns with bounded magnitude (|x| < ~3e15 for
+scale 6; products x·y must also fit).  For generic feature columns of
+unknown magnitude prefer the float aggregates — a DECIMAL(38,6) cast
+quantizes tiny values to 1e-6 and NULLs (non-ANSI) on overflow; see
+``features.scaling.standard_scale(exact_decimal=...)`` for the
+documented trade-off.
+
+The DuckDB oracle twin of ``dsum(c, 2)`` is
+``round(CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE), 2)`` — mirror
+the op order exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column, round_to: int | None = None, scale: int = 6) -> Column:
+    """Exact decimal-accumulated sum, returned as double (optionally
+    rounded)."""
+    out = F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
+    return F.round(out, round_to) if round_to is not None else out
+
+
+def davg(col: Column, round_to: int | None = None, scale: int = 6) -> Column:
+    """Exact-sum mean: decimal sum ÷ non-null count (one double
+    division — deterministic)."""
+    out = dsum(col, None, scale) / F.count(col)
+    return F.round(out, round_to) if round_to is not None else out
+
+
+def dstd(col: Column, round_to: int | None = None, scale: int = 6) -> Column:
+    """Sample stddev from exact moment sums: ``sqrt(greatest((s2 -
+    s1²/n)/(n-1), 0))``; NULL for n < 2 (matching ``stddev_samp``).
+    With exact s1/s2 the naive formula's cancellation is one
+    deterministic rounding, not an accumulated error — but for
+    high-mean/low-variance data (mean² ≫ n·var·ULP⁻¹) prefer
+    ``stddev_samp``; this helper is for the oracle-deterministic
+    money-scale path."""
+    s1 = dsum(col, None, scale)
+    s2 = F.sum((col * col).cast(f"decimal(38,{scale})")).cast("double")
+    n = F.count(col)
+    sd = F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0)))
+    out = F.when(n >= 2, sd)
+    return F.round(out, round_to) if round_to is not None else out

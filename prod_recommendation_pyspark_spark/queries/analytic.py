@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from prod_recommendation_pyspark_spark.functions.exact import davg, dsum
 from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.sources.catalog import Catalog
 
@@ -66,12 +67,8 @@ def q5_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    .cast("decimal(38,6)")
-                ).cast("double"),
-                2,
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), "nation")
@@ -171,6 +168,10 @@ def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     the brand filter prunes the probe side before the join."""
     cat = Catalog(spark, sf_dir)
     li = cat.table("lineitem")
+    # the row gate compares against this avg UNROUNDED, but l_quantity
+    # is integral: the double sum of <=2^53 worth of integers is exact,
+    # so avg (one division) is deterministic across engines — no ULP
+    # exposure, unlike float-valued sums (see functions/exact.py)
     part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
     )
@@ -182,12 +183,9 @@ def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
-                .cast("double")
-                / 7.0,
-                2,
-            ).alias("avg_weekly_revenue")
+            F.round(dsum(F.col("l_extendedprice")) / 7.0, 2).alias(
+                "avg_weekly_revenue"
+            )
         )
     )
 
@@ -226,12 +224,8 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
         .join(F.broadcast(cat.table("part")), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    .cast("decimal(38,6)")
-                ).cast("double"),
-                2,
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -249,7 +243,9 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
                AS total_bal
     FROM customer
     GROUP BY c_nationkey
-    HAVING avg(c_acctbal) > 4400 AND count(*) > 10
+    HAVING CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / count(c_acctbal) > 4400
+       AND count(*) > 10
     ORDER BY c_nationkey
     """,
 )
@@ -263,16 +259,11 @@ def having_nation_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_bal"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"),
-                2,
-            ).alias("total_bal"),
-            F.avg("c_acctbal").alias("_raw_avg"),
+            F.round(dsum(F.col("c_acctbal")) / F.count(F.lit(1)), 4).alias(
+                "avg_bal"
+            ),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+            davg(F.col("c_acctbal")).alias("_raw_avg"),
         )
         .filter((F.col("_raw_avg") > 4400) & (F.col("n_customers") > 10))
         .drop("_raw_avg")
@@ -517,10 +508,7 @@ def grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("c_nationkey").cast("int").alias("g_nation"),
             F.grouping("c_mktsegment").cast("int").alias("g_segment"),
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"),
-                2,
-            ).alias("total_bal"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
         .orderBy("g_nation", "g_segment", "c_nationkey", "c_mktsegment")
     )

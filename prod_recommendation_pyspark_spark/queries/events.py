@@ -17,6 +17,7 @@ from prod_recommendation_pyspark_spark.operators.events import (
     tumbling_window_agg,
     utc_day,
 )
+from prod_recommendation_pyspark_spark.functions.exact import dsum
 from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.sources.catalog import Catalog
 
@@ -55,7 +56,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
+            dsum(F.col("value"), 2).alias("total_value"),
         ],
     ).select(
         "window_start", "window_end", "event_type", "n_events", "total_value"
@@ -89,7 +90,7 @@ def sliding_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
+            dsum(F.col("value"), 2).alias("total_value"),
         ],
     ).select(
         "window_start", "window_end", "event_type", "n_events", "total_value"
@@ -133,7 +134,7 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         [
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
+            dsum(F.col("value"), 2).alias("total_value"),
         ],
     ).select(
         "user_id", "window_start", "window_end", "n_events", "total_value"

@@ -82,7 +82,12 @@ def zscore_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standard scaling — engine-completeness sibling of M6."""
     orders = Catalog(spark, sf_dir).table("orders")
     return (
-        standard_scale(orders, ["o_totalprice"], partition_by=["o_orderstatus"])
+        standard_scale(
+            orders,
+            ["o_totalprice"],
+            partition_by=["o_orderstatus"],
+            exact_decimal=True,  # money-scale column; oracle-deterministic
+        )
         .select(
             "o_orderkey", F.round("o_totalprice_z", 6).alias("price_z")
         )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from prod_recommendation_pyspark_spark.functions.exact import davg, dstd, dsum
 from prod_recommendation_pyspark_spark.operators.relational import (
     dedup_first_by_key,
     windowed_topk,
@@ -57,22 +58,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
-    # Money sums accumulate in DECIMAL(38,6): the per-row doubles are
-    # row-local (identical in any engine), and a decimal SUM is exact
-    # and associative — immune to the partial-aggregation-order ULP
-    # drift that flipped a rounded value in confidence_table at sf0.1.
-    def dsum(c):
-        return F.sum(c.cast("decimal(38,6)")).cast("double")
-
+    # Money sums accumulate via functions/exact.py::dsum (exact
+    # DECIMAL(38,6), associative — immune to the partial-aggregation-
+    # order ULP drift that flipped a rounded value in confidence_table
+    # at sf0.1).  Averages divide the exact sum by count(*) — all
+    # lineitem measure columns here are non-null.
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(dsum(F.col("l_quantity")), 2).alias("sum_qty"),
-            F.round(dsum(F.col("l_extendedprice")), 2).alias("sum_base_price"),
-            F.round(dsum(disc_price), 2).alias("sum_disc_price"),
-            F.round(dsum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 2).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
             F.round(dsum(F.col("l_quantity")) / n, 4).alias("avg_qty"),
             F.round(dsum(F.col("l_extendedprice")) / n, 4).alias("avg_price"),
             F.round(dsum(F.col("l_discount")) / n, 4).alias("avg_disc"),
@@ -120,11 +119,7 @@ def topk_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-                .cast("double"),
-                2,
-            ).alias("revenue"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -167,17 +162,10 @@ def brand_revenue_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cat.table("part")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    .cast("decimal(38,6)")
-                ).cast("double"),
-                2,
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue"),
-            F.round(
-                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"),
-                2,
-            ).alias("total_qty"),
+            dsum(F.col("l_quantity"), 2).alias("total_qty"),
         )
         .orderBy("brand")
     )
@@ -382,13 +370,15 @@ def conditional_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(o_totalprice), 2)        AS max_price,
            round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
                  / count(o_totalprice), 4) AS avg_price,
-           round(sqrt(greatest(
-                 (CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
-                       AS DOUBLE)
-                  - CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                    * CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-                    / count(o_totalprice))
-                 / (count(o_totalprice) - 1), 0.0)), 4) AS std_price
+           CASE WHEN count(o_totalprice) < 2 THEN NULL
+                ELSE round(sqrt(greatest(
+                     (CAST(sum(CAST(o_totalprice * o_totalprice
+                                    AS DECIMAL(38,6))) AS DOUBLE)
+                      - CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                        * CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                               AS DOUBLE)
+                        / count(o_totalprice))
+                     / (count(o_totalprice) - 1), 0.0)), 4) END AS std_price
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -407,34 +397,8 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-                .cast("double")
-                / F.count("o_totalprice"),
-                4,
-            ).alias("avg_price"),
-            F.round(
-                F.sqrt(
-                    F.greatest(
-                        (
-                            F.sum(
-                                (F.col("o_totalprice") * F.col("o_totalprice"))
-                                .cast("decimal(38,6)")
-                            ).cast("double")
-                            - F.sum(
-                                F.col("o_totalprice").cast("decimal(38,6)")
-                            ).cast("double")
-                            * F.sum(
-                                F.col("o_totalprice").cast("decimal(38,6)")
-                            ).cast("double")
-                            / F.count("o_totalprice")
-                        )
-                        / (F.count("o_totalprice") - 1),
-                        F.lit(0.0),
-                    )
-                ),
-                4,
-            ).alias("std_price"),
+            davg(F.col("o_totalprice"), 4).alias("avg_price"),
+            dstd(F.col("o_totalprice"), 4).alias("std_price"),
         )
         .orderBy("o_orderstatus")
     )
@@ -468,7 +432,7 @@ def latest_snapshot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias("total_value"),
+            dsum(F.col("value"), 2).alias("total_value"),
         )
         .orderBy("event_type")
     )
@@ -526,7 +490,7 @@ def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"), 2).alias("total_bal"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
         .select(
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
@@ -558,7 +522,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2))
+        .agg(dsum(F.col("o_totalprice"), 2))
         .orderBy("o_orderpriority")
     )
 
@@ -615,7 +579,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2).alias("total_price"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
         )
         .select(
             F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),

@@ -675,7 +675,7 @@ def peer_search_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM approx),
     rescored AS (
         SELECT s.tgt_id, s.nbr_id,
-               list_cosine_similarity(a.v, b.v) AS score
+               round(list_cosine_similarity(a.v, b.v), 4) AS score
         FROM shortlist s
         JOIN e a ON s.tgt_id = a.vec_id
         JOIN e b ON s.nbr_id = b.vec_id
@@ -685,7 +685,7 @@ def peer_search_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY tgt_id
                                   ORDER BY score DESC, nbr_id) AS rn
         FROM rescored)
-    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    SELECT tgt_id, nbr_id, score
     FROM ranked WHERE rn <= 5
     ORDER BY tgt_id, nbr_id
     """,
@@ -755,8 +755,12 @@ def sq8_quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
             lambda acc, x: acc + x,
         )
     )
+    # rank on the ROUNDED exact score: the two engines' cosine kernels
+    # (HOF fold vs DuckDB's native loop) agree at 4 decimals but not
+    # necessarily in the last ULPs, and an unrounded comparator would
+    # reintroduce the float-gate class at the top-5 cut
     rescored = shortlist.withColumn(
-        "score", dot / (norm("tv") * norm("nv"))
+        "score", F.round(dot / (norm("tv") * norm("nv")), 4)
     )
     wr = Window.partitionBy("tgt_id").orderBy(
         F.col("score").desc(), F.col("nbr_id")
@@ -764,6 +768,6 @@ def sq8_quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         rescored.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= 5)
-        .select("tgt_id", "nbr_id", F.round("score", 4).alias("score"))
+        .select("tgt_id", "nbr_id", "score")
         .orderBy("tgt_id", "nbr_id")
     )
