@@ -149,3 +149,49 @@ def test_incremental_dedup_bucketed_store_joins_without_exchange(spark):
         tuple(r) for r in in_mem.collect()
     }
     spark.sql("DROP TABLE IF EXISTS lsh_store_test")
+
+
+def test_ivf_partitioned_store_prunes_lists(spark, tmp_path):
+    """The IVF 100 TB story (similarity.py::ivf_assign docstring):
+    corpus vectors written partitioned by their nearest list must be
+    read back with PARTITION PRUNING when probing n_probe lists — the
+    scan touches only the probed lists' files, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+    emb = (
+        Catalog(spark, SF_SMOKE)
+        .table("embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("vec")
+    )
+    assigned = ivf_assign(emb, "vec_id", "v", centroids, n_probe=1)
+    store_dir = str(tmp_path / "ivf_store")
+    assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(store_dir)
+
+    store = spark.read.parquet(store_dir)
+    lists = [r.centroid_id for r in centroids.select("centroid_id").collect()]
+    probes = lists[:2]
+    pruned = store.filter(F.col("ivf_list").isin(probes))
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # the probe predicate must land in PartitionFilters (file-level
+    # pruning), NOT in PushedFilters/post-scan Filter — the same
+    # mechanism the q1 pushdown test pins for data filters
+    assert "PartitionFilters" in plan
+    assert "ivf_list" in plan.split("PartitionFilters")[1][:200]
+    # and the pruned read returns exactly the probed lists' rows
+    want = assigned.filter(F.col("ivf_list").isin(probes)).count()
+    assert pruned.count() == want > 0
