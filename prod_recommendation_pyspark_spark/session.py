@@ -16,6 +16,13 @@ Scale notes
   ceiling — set it high (e.g. 2000+) there.
 * Session timezone pinned to UTC so timestamp semantics match the
   DuckDB oracle and are stable across environments.
+* Runtime bloom-filter join pruning
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled``) is ON by
+  default in Spark 4 and left on: at cluster scale a selective dim
+  filter is pushed as a bloom filter into the fact scan of shuffle
+  joins (application side ≥ ~10 GB), cutting shuffle input before the
+  join.  It never fires at local test sizes — dimension joins there
+  are broadcast anyway — so no local override is needed or useful.
 """
 
 from __future__ import annotations
