@@ -474,3 +474,35 @@ def test_in_set_fraction_counts_nulls_as_violations(spark):
     df = spark.createDataFrame([("O",), (None,)], "status string")
     r = column_checks(df, {"inset": in_set_fraction("status", ["O"])}).collect()[0]
     assert r.metric == 0.5 and not r.passed
+
+
+def test_exact_aggregates_match_float_forms(spark):
+    """dsum/davg/dstd equal the float aggregates on money-scale data
+    (to 9 dp) and reproduce stddev_samp's NULL-for-singleton contract."""
+    from prod_recommendation_pyspark_spark.functions.exact import (
+        davg,
+        dstd,
+        dsum,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10.25), ("a", 20.75), ("a", 30.5), ("b", 7.07)], ["g", "x"]
+    )
+    rows = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            dsum(F.col("x")).alias("s"),
+            davg(F.col("x")).alias("m"),
+            dstd(F.col("x")).alias("sd"),
+            F.sum("x").alias("fs"),
+            F.avg("x").alias("fm"),
+            F.stddev_samp("x").alias("fsd"),
+        )
+        .collect()
+    }
+    a = rows["a"]
+    assert abs(a.s - a.fs) < 1e-9 and abs(a.m - a.fm) < 1e-9
+    assert abs(a.sd - a.fsd) < 1e-9
+    b = rows["b"]
+    assert b.sd is None and b.fsd is None  # singleton: NULL, not 0/inf
