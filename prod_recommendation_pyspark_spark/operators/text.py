@@ -864,3 +864,37 @@ def temperature_resample(
         .filter(uniform_hash(F.col(id_col)) < F.col("keep_prob"))
         .select(*df.columns, F.round("keep_prob", 6).alias("keep_prob"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Markup stripping — the HTML→text step of a pretraining ingest
+# ---------------------------------------------------------------------------
+
+
+def strip_markup(col: Column) -> Column:
+    """Extract readable text from HTML-ish markup: drop script/style
+    blocks and comments, strip tags, decode the five XML entities plus
+    ``&nbsp;``, squeeze whitespace.  A chain of codegen'd
+    ``regexp_replace`` — every pattern is RE2-safe (no backreferences,
+    no lookaround), so ANY engine replays the identical extraction
+    (the DuckDB oracle runs the same chain).  This is the
+    trafilatura-lite ingest step; at 100 TB it runs at scan speed as a
+    pure projection."""
+    out = col
+    for pat in (
+        r"(?is)<script[^>]*>.*?</script>",
+        r"(?is)<style[^>]*>.*?</style>",
+        r"(?s)<!--.*?-->",
+        r"<[^>]+>",
+    ):
+        out = F.regexp_replace(out, pat, " ")
+    for ent, ch in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # LAST, so &amp;lt; decodes to &lt; not <
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -1264,3 +1264,76 @@ def leakage_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "group_id", "split")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "html_extract_documents",
+    sql=r"""
+    WITH enc AS (
+        SELECT doc_id, lang,
+               replace(replace(replace(text, '&', '&amp;'),
+                               '<', '&lt;'), '>', '&gt;') AS t
+        FROM documents),
+    html AS (
+        SELECT doc_id, lang,
+               '<html><head><title>T</title><script type="x">if(a<1){b}'
+               || '</script><style>p{color:red}</style></head><body><h1>'
+               || lang || '</h1><!-- meta --><p>' || t
+               || '</p></body></html>' AS h
+        FROM enc),
+    s1 AS (SELECT doc_id, lang,
+                  regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g')
+                      AS h FROM html),
+    s2 AS (SELECT doc_id, lang,
+                  regexp_replace(h, '(?is)<style[^>]*>.*?</style>', ' ', 'g')
+                      AS h FROM s1),
+    s3 AS (SELECT doc_id, lang,
+                  regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+    s4 AS (SELECT doc_id, lang,
+                  regexp_replace(h, '<[^>]+>', ' ', 'g') AS h FROM s3),
+    dec AS (
+        SELECT doc_id, lang,
+               replace(replace(replace(replace(replace(replace(h,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS h
+        FROM s4)
+    SELECT doc_id, lang,
+           trim(regexp_replace(h, '\s+', ' ', 'g')) AS extracted_text
+    FROM dec ORDER BY doc_id
+    """,
+)
+def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping end-to-end (operators/text.py::strip_markup —
+    the trafilatura-lite HTML→text ingest step): each document is
+    deterministically wrapped in an HTML page (script + style blocks,
+    a comment, entity-encoded body) and then extracted; the value hash
+    covers the full encode→strip→decode round-trip, and the DuckDB
+    oracle replays the identical RE2-safe regex chain.  Pure
+    projection — scan speed at any corpus size."""
+    from prod_recommendation_pyspark_spark.operators.text import strip_markup
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    enc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>T</title><script type="x">if(a<1){b}'
+            "</script><style>p{color:red}</style></head><body><h1>"
+        ),
+        F.col("lang"),
+        F.lit("</h1><!-- meta --><p>"),
+        enc,
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        strip_markup(html).alias("extracted_text"),
+    ).orderBy("doc_id")

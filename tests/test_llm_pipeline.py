@@ -408,3 +408,28 @@ def test_leakage_safe_split_no_cross_split_near_dups(spark):
     )
     assert multi == 0
     split.unpersist()
+
+
+def test_strip_markup_edge_cases(spark):
+    """Script/style/comment blocks vanish, tags strip, the five XML
+    entities + nbsp decode, &amp; decodes LAST so double-encoded
+    entities survive as entities, and markup-free text round-trips."""
+    from prod_recommendation_pyspark_spark.operators.text import strip_markup
+
+    rows = [
+        (1, '<script a>x<b</script>Keep<style>.c{}</style>'),
+        (2, '<!-- gone --><p a="1">A &amp; B &lt;x&gt;&nbsp;&quot;q&quot; &#39;s&#39;</p>'),
+        (3, 'no markup at all'),
+        (4, '&amp;lt; stays an entity'),
+        (5, '<SCRIPT>upper</SCRIPT>case<BR/>tag'),
+    ]
+    df = spark.createDataFrame(rows, ["i", "h"])
+    got = {
+        r.i: r.t
+        for r in df.select("i", strip_markup(F.col("h")).alias("t")).collect()
+    }
+    assert got[1] == "Keep"
+    assert got[2] == 'A & B <x> "q" \'s\''
+    assert got[3] == "no markup at all"
+    assert got[4] == "&lt; stays an entity"
+    assert got[5] == "case tag"
