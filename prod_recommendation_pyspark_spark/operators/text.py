@@ -898,3 +898,30 @@ def strip_markup(col: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonicalize a URL for dedup (the crawl-pipeline URL-level
+    dedup that runs BEFORE content dedup): lowercase scheme+host,
+    strip default ports (:80 http / :443 https), drop the fragment,
+    drop tracking params (utm_*, fbclid, gclid — whole-param regex,
+    then tidy separators), collapse a dangling '?', and trim one
+    trailing slash off a non-root path.  All RE2-safe codegen'd
+    string/regex ops — engine-replayable, scan speed."""
+    # lowercase scheme://host[:port] only (path/query stay cased)
+    out = F.concat(
+        F.lower(F.regexp_extract(col, r"^([^/]+//[^/?#]*)", 1)),
+        F.regexp_replace(col, r"^[^/]+//[^/?#]*", ""),
+    )
+    # no lookahead (RE2 has none): capture the delimiter-or-eos instead
+    out = F.regexp_replace(out, r"^(http://[^/?#]*):80([/?#]|$)", r"$1$2")
+    out = F.regexp_replace(out, r"^(https://[^/?#]*):443([/?#]|$)", r"$1$2")
+    out = F.regexp_replace(out, r"#.*$", "")  # fragment
+    # tracking params, three positional passes so separators stay valid:
+    # mid/terminal &p=v; leading ?p=v& (another param follows); lone ?p=v
+    track = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+    out = F.regexp_replace(out, r"&" + track, "")
+    out = F.regexp_replace(out, r"\?" + track + r"&", "?")
+    out = F.regexp_replace(out, r"\?" + track + r"$", "")
+    out = F.regexp_replace(out, r"([^:/])/$", r"$1")  # trailing slash (eos)
+    return out

@@ -1337,3 +1337,74 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         strip_markup(html).alias("extracted_text"),
     ).orderBy("doc_id")
+
+
+@register(
+    "url_dedup_documents",
+    sql=r"""
+    WITH variants AS (
+        SELECT doc_id,
+               'https://data.example.com/corpus/' || lang || '/' || doc_id
+                   AS url
+        FROM documents
+        UNION ALL
+        SELECT doc_id,
+               'HTTPS://DATA.Example.COM:443/corpus/' || lang || '/' || doc_id
+               || '/?utm_source=feed&utm_medium=rss#top' AS url
+        FROM documents),
+    n0 AS (SELECT doc_id,
+                  lower(regexp_extract(url, '^([^/]+//[^/?#]*)', 1))
+                  || regexp_replace(url, '^[^/]+//[^/?#]*', '') AS u
+           FROM variants),
+    n1 AS (SELECT doc_id, regexp_replace(u,
+               '^(http://[^/?#]*):80([/?#]|$)', '\1\2') AS u FROM n0),
+    n2 AS (SELECT doc_id, regexp_replace(u,
+               '^(https://[^/?#]*):443([/?#]|$)', '\1\2') AS u FROM n1),
+    n3 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM n2),
+    n4 AS (SELECT doc_id, regexp_replace(u,
+               '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g') AS u FROM n3),
+    n5 AS (SELECT doc_id, regexp_replace(u,
+               '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?') AS u FROM n4),
+    n6 AS (SELECT doc_id, regexp_replace(u,
+               '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u FROM n5),
+    n7 AS (SELECT doc_id, regexp_replace(u, '([^:/])/$', '\1') AS u FROM n6)
+    SELECT u AS url, count(*) AS n_variants, min(doc_id) AS doc_id
+    FROM n7 GROUP BY u ORDER BY doc_id
+    """,
+)
+def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/text.py::normalize_url — the crawl
+    pipeline's cheapest dedup, run BEFORE any content is compared):
+    every document gets two deterministic URL variants — canonical,
+    and a messy twin (uppercased host, explicit :443, two utm params,
+    fragment, trailing slash) — which must collapse to ONE normalized
+    key with n_variants = 2.  The value hash covers every
+    normalization rule; the oracle replays the identical RE2 chain."""
+    from prod_recommendation_pyspark_spark.operators.text import normalize_url
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    base = F.concat(
+        F.lit("https://data.example.com/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id"),
+    )
+    messy = F.concat(
+        F.lit("HTTPS://DATA.Example.COM:443/corpus/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id"),
+        F.lit("/?utm_source=feed&utm_medium=rss#top"),
+    )
+    variants = docs.select(
+        "doc_id", F.explode(F.array(base, messy)).alias("url")
+    )
+    return (
+        variants.select("doc_id", normalize_url(F.col("url")).alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("doc_id"),
+        )
+        .orderBy("doc_id")
+    )

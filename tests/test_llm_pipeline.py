@@ -433,3 +433,26 @@ def test_strip_markup_edge_cases(spark):
     assert got[3] == "no markup at all"
     assert got[4] == "&lt; stays an entity"
     assert got[5] == "case tag"
+
+
+def test_normalize_url_rules(spark):
+    """Every canonicalization rule, including the RE2-safe delimiter
+    capture for default ports and tracking-param separator repair."""
+    from prod_recommendation_pyspark_spark.operators.text import normalize_url
+
+    cases = {
+        "HTTP://WWW.Ex.COM:80/Path/?utm_source=x&id=7#f":
+            "http://www.ex.com/Path/?id=7",
+        "https://Site.org:443/a?gclid=z": "https://site.org/a",
+        "https://s.io/p?utm_a=1&utm_b=2&keep=3": "https://s.io/p?keep=3",
+        "http://host.com/": "http://host.com",
+        "http://host.com:8080/x": "http://host.com:8080/x",  # non-default port kept
+        "https://h.io/CaseKept/Path": "https://h.io/CaseKept/Path",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["u"])
+    got = {
+        r.u: r.n
+        for r in df.select("u", normalize_url(F.col("u")).alias("n")).collect()
+    }
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u])
