@@ -673,6 +673,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.9,
     centroids: DataFrame | None = None,
     max_cluster: int | None = None,
+    round_digits: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023):
     partition the corpus into ``k`` clusters, then score pairwise
@@ -696,7 +697,14 @@ def semantic_dedup_pairs(
     sub-clusters and pairs form only within a sub-cluster — bounding
     every task's quadratic work at the cost of cross-sub-split recall
     inside the giant cluster (~1/n_splits for a uniform split; a
-    cluster that degenerate should be re-clustered instead)."""
+    cluster that degenerate should be re-clustered instead).
+
+    The emitted ``cosine`` is rounded to ``round_digits`` BEFORE the
+    ``>= threshold`` comparison, so the keep/drop gate operates on a
+    quantized value any engine reproduces — a raw float-epsilon
+    difference between cosine kernels (normalize-then-fold here vs
+    e.g. ``list_cosine_similarity`` elsewhere) cannot flip a
+    borderline pair's fate."""
     from prod_recommendation_pyspark_spark.operators.clustering import (
         kmeans_assign,
     )
@@ -751,7 +759,7 @@ def semantic_dedup_pairs(
     return (
         a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot)
+        .withColumn("cosine", F.round(dot, round_digits))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cluster", "cosine")
     )

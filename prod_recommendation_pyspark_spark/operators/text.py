@@ -370,6 +370,95 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Segment-level corpus dedup with document reassembly (CCNet line dedup)
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 20,
+    max_occurrences: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicated-segment removal with in-place document
+    reassembly — the CCNet/RefinedWeb "line dedup" pass (Wenzek et al.
+    2020 §3.1 dedups paragraphs across shards; boilerplate like cookie
+    banners and navigation chrome repeats verbatim across millions of
+    pages and should vanish from EVERY document, not just one copy).
+    Documents here carry no newline structure, so the unit is a
+    deterministic tiling: consecutive ``seg_words``-word windows
+    (stride = window, last tile short).  Every tile whose normalized
+    text occurs more than ``max_occurrences`` times ACROSS THE CORPUS
+    is dropped from all documents; survivors are stitched back in
+    original order.
+
+    Returns ``(id, n_segments, n_kept, clean_text)`` for every input
+    row — empty documents keep ``n_segments = 0`` and an empty
+    ``clean_text`` (the LEFT join back), so no row silently vanishes.
+
+    Shape at 100 TB: tiling is a pure projection (HOF transform over a
+    sequence — no Python); the occurrence count is ONE shuffle keyed
+    by segment text (cardinality ≤ total tiles, with partial map-side
+    aggregation); the keep-filter is a shuffle join on the same key;
+    reassembly is one shuffle on the doc id with ``array_sort`` fixing
+    ``collect_list``'s nondeterministic arrival order.  At scale, swap
+    the segment string for its 8-byte ``xxhash64`` as the join key and
+    cap pathological keys exactly like MinHash ``max_bucket`` — the
+    string form is kept here so the DuckDB oracle replays it
+    verbatim."""
+    words = (
+        F.when(
+            ~F.col(text_col).rlike(r"\S"), F.array().cast("array<string>")
+        )
+        .otherwise(tokens(F.lower(F.col(text_col))))
+        .alias("__w")
+    )
+    base = df.select(F.col(id_col), words)
+    n_seg = F.ceil(F.size("__w") / F.lit(seg_words)).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice("__w", i * seg_words + 1, seg_words), " "
+        ),
+    )
+    # sequence(0, -1) would count DOWN — guard the empty doc explicitly
+    segged = base.select(
+        id_col,
+        F.when(F.size("__w") == 0, F.array().cast("array<string>"))
+        .otherwise(tiles)
+        .alias("__segs"),
+    )
+    exploded = segged.select(
+        id_col, F.posexplode("__segs").alias("pos", "seg")
+    )
+    counts = exploded.groupBy("seg").agg(F.count(F.lit(1)).alias("__c"))
+    kept = exploded.join(counts, "seg").filter(
+        F.col("__c") <= max_occurrences
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        segged.select(F.col(id_col), F.size("__segs").alias("n_segments"))
+        .join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling k-gram hash + window minimum)
 # ---------------------------------------------------------------------------
 
@@ -850,14 +939,22 @@ def temperature_resample(
 
     Shape: one tiny groupBy for the domain histogram (broadcast back),
     then a pure filter — the histogram is |domains| rows at any corpus
-    size.  Returns surviving rows with ``keep_prob`` attached."""
+    size.  Returns surviving rows with ``keep_prob`` attached.
+
+    The gate compares against ``round(keep_prob, 12)``: ``pow`` is not
+    guaranteed correctly rounded, so JVM ``Math.pow`` and another
+    engine's libm can differ by 1 ULP — quantizing to 12 digits makes
+    the keep/drop decision operate on an engine-identical value (a row
+    flips only if the true probability sits within ~1e-13 of a 1e-12
+    boundary AND the hash lands in that sliver — measure-zero in
+    practice vs the raw 1-ULP gate)."""
     counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
     min_n = counts.agg(F.min("__n").alias("__min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         domain_col,
-        F.pow(F.col("__n") / F.col("__min_n"), F.lit(alpha - 1.0)).alias(
-            "keep_prob"
-        ),
+        F.round(
+            F.pow(F.col("__n") / F.col("__min_n"), F.lit(alpha - 1.0)), 12
+        ).alias("keep_prob"),
     )
     return (
         df.join(F.broadcast(rates), domain_col)
@@ -906,8 +1003,10 @@ def normalize_url(col: Column) -> Column:
     strip default ports (:80 http / :443 https), drop the fragment,
     drop tracking params (utm_*, fbclid, gclid — whole-param regex,
     then tidy separators), collapse a dangling '?', and trim one
-    trailing slash off a non-root path.  All RE2-safe codegen'd
-    string/regex ops — engine-replayable, scan speed."""
+    trailing slash — including the ROOT slash (``https://x.com/`` →
+    ``https://x.com``), which is exactly the collapse a dedup key
+    wants since both forms name the same resource.  All RE2-safe
+    codegen'd string/regex ops — engine-replayable, scan speed."""
     # lowercase scheme://host[:port] only (path/query stay cased)
     out = F.concat(
         F.lower(F.regexp_extract(col, r"^([^/]+//[^/?#]*)", 1)),
@@ -923,5 +1022,6 @@ def normalize_url(col: Column) -> Column:
     out = F.regexp_replace(out, r"&" + track, "")
     out = F.regexp_replace(out, r"\?" + track + r"&", "?")
     out = F.regexp_replace(out, r"\?" + track + r"$", "")
+    out = F.regexp_replace(out, r"\?$", "")  # dangling '?' (http://x/p?)
     out = F.regexp_replace(out, r"([^:/])/$", r"$1")  # trailing slash (eos)
     return out

@@ -558,3 +558,361 @@ def range_frame_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- TPC-H Q7 shape: bidirectional nation-pair volume by year ---------------
+@register(
+    "q7_volume_shipping_nations",
+    sql="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l.l_shipdate) AS INT) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between a nation PAIR in both
+    directions, by ship year — the disjunctive two-nation predicate
+    over a 6-way join that a naive planner turns into a blowup and
+    Catalyst plans as two broadcast nation joins + a residual OR
+    filter.
+
+    Scale: both nation joins broadcast; the l_shipdate range pushes
+    into the lineitem scan; the OR filter runs before the aggregate
+    shuffle, so the shuffle carries ~ (2/25)² of the joined rows."""
+    cat = Catalog(spark, sf_dir)
+    n1 = cat.table("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = cat.table("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    lines = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        cat.table("supplier")
+        .join(lines, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --- TPC-H Q10 shape: returned-item revenue ranking -------------------------
+@register(
+    "q10_returned_item_revenue",
+    sql="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS c_acctbal, n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in one
+    quarter.  The global ORDER BY ... LIMIT is planned as TakeOrdered
+    (per-partition top-20 then a 20-row merge on the driver — no full
+    sort at any scale); ties broken by c_custkey so both engines pick
+    the identical 20.  Revenue is rounded IN DECIMAL SPACE
+    (``decimal(38,6) → decimal(38,2)`` — exact, HALF_UP in both
+    engines) rather than ``round(double, 2)``: a sum landing exactly
+    on a .xx5 boundary (observed: 307843.595 at sf0.01) rounds
+    differently between Spark's shortest-string HALF_UP and DuckDB's
+    binary-value rounding."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    returned = cat.table("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        cat.table("customer")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(returned, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "nation",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q12 shape (adapted): ship-delay class × priority class -----------
+@register(
+    "q12_ship_delay_priority",
+    sql="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 0
+                THEN 'EARLY'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                THEN 'ON_TIME' ELSE 'LATE' END AS delay_class,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY delay_class
+    ORDER BY delay_class
+    """,
+)
+def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to this schema (no l_shipmode /
+    l_commitdate / l_receiptdate — the driver's lineitem carries only
+    l_shipdate): lines shipped in 1996 are bucketed by order→ship
+    delay (EARLY / ON_TIME ≤ 90 days / LATE) and each bucket counts
+    high- vs low-priority lines — Q12's signature conditional
+    two-way count preserved intact.
+
+    Scale: one equi-join shuffle (orders is the small side; AQE picks
+    broadcast when it fits) and a 3-group aggregate; the l_shipdate
+    year pushes into the scan."""
+    cat = Catalog(spark, sf_dir)
+    lines = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.table("orders")
+        .join(lines, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.when(delay < 0, "EARLY")
+            .when(delay <= 90, "ON_TIME")
+            .otherwise("LATE")
+            .alias("delay_class")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share -----------------------------------
+@register(
+    "q14_promo_revenue_share",
+    sql="""
+    SELECT round(
+               100.0
+               * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                                    THEN l.l_extendedprice * (1 - l.l_discount)
+                                    ELSE 0.0 END AS DECIMAL(38,6)))
+                      AS DOUBLE)
+               / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))) AS DOUBLE),
+               4) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: the PROMO share of one month's discounted revenue —
+    a global conditional-aggregate ratio.  Both sums accumulate in
+    DECIMAL(38,6) so the single division (and the 4-digit round) is
+    engine-identical; the part join broadcasts (part ≪ lineitem) and
+    the month filter pushes into the scan."""
+    cat = Catalog(spark, sf_dir)
+    lines = cat.table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        lines.join(
+            F.broadcast(cat.table("part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0) * dsum(promo_vol) / dsum(vol), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+# --- TPC-H Q18 shape: large-volume-order customers --------------------------
+@register(
+    "q18_large_volume_customers",
+    sql="""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 300)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300 (top ~0.5%
+    of orders at every SF of this data), with their customers, ranked
+    by order value.  The HAVING pre-aggregate shrinks the fact side
+    BEFORE any join — at 100 TB the big-order key set is small enough
+    that both joins become broadcasts under AQE.  l_quantity is
+    integer-valued, so the double sum is exact in any order — no
+    decimal accumulation needed."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(cat.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q22 shape (adapted): dormant high-balance customers --------------
+@register(
+    "q22_dormant_high_balance",
+    sql="""
+    WITH ab AS (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / count(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0)
+    SELECT n.n_name AS nation, count(*) AS numcust,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adapted (the schema has no c_phone, and every
+    customer has SOME order at small SFs, so "never ordered" is
+    replaced by "no order since 1999" — dormant accounts): customers
+    with above-positive-average balance and no recent order, counted
+    per nation.  Q22's two signature shapes survive intact: the
+    scalar subquery (avg balance, computed with the exact-decimal sum
+    so the float gate ``c_acctbal > avg`` is engine-identical) and
+    the NOT EXISTS anti-join.
+
+    Scale: the scalar avg is a 1-row broadcast; the anti-join
+    shuffles on custkey (AQE broadcasts the filtered orders side when
+    it fits); nation broadcasts."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.table("customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum(F.col("c_acctbal")) / F.count("c_acctbal")).alias("avg_bal")
+    )
+    recent = cat.table("orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )

@@ -118,7 +118,8 @@ def lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
     r AS (SELECT lang,
-                 pow(n * 1.0 / (SELECT min(n) FROM c), -0.5) AS keep_prob
+                 round(pow(n * 1.0 / (SELECT min(n) FROM c), -0.5), 12)
+                     AS keep_prob
           FROM c)
     SELECT doc_id, lang, round(keep_prob, 6) AS keep_prob
     FROM documents JOIN r USING (lang)
@@ -152,11 +153,10 @@ def temperature_resample_documents(spark: SparkSession, sf_dir: str) -> DataFram
         FROM emb CROSS JOIN cent GROUP BY vec_id, v),
     pairs AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster AS cluster,
-               list_cosine_similarity(a.v, b.v) AS cosine
+               round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         FROM assign a JOIN assign b
           ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b, CAST(cluster AS INT) AS cluster,
-           round(cosine, 4) AS cosine
+    SELECT id_a, id_b, CAST(cluster AS INT) AS cluster, cosine
     FROM pairs WHERE cosine >= 0.4
     ORDER BY id_a, id_b
     """,
@@ -168,12 +168,14 @@ def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     broadcast argmin assignment) makes the quadratic cosine step local
     to each cluster — the cross-cluster O(n²) never materializes.  The
     oracle replays the identical centroids, L2 assignment, and cosine
-    threshold."""
+    threshold.  Both engines round the cosine to 4 digits BEFORE the
+    ``>= 0.4`` gate, so kernel-order float epsilon cannot flip a
+    borderline pair between them."""
     emb = Catalog(spark, sf_dir).table("embeddings")
     pairs = semantic_dedup_pairs(emb, "vec_id", "embedding", k=8, threshold=0.4)
-    return pairs.select(
-        "id_a", "id_b", "cluster", F.round("cosine", 4).alias("cosine")
-    ).orderBy("id_a", "id_b")
+    return pairs.select("id_a", "id_b", "cluster", "cosine").orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(
@@ -228,7 +230,8 @@ def semantic_dedup_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
         WHERE rn = 1),
     hist AS (SELECT lang, count(*) AS n FROM deduped GROUP BY lang),
     rates AS (SELECT lang,
-                     pow(n * 1.0 / (SELECT min(n) FROM hist), -0.5) AS keep_prob
+                     round(pow(n * 1.0 / (SELECT min(n) FROM hist), -0.5), 12)
+                         AS keep_prob
               FROM hist)
     SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
            round(avg_logprob, 4) AS avg_logprob,

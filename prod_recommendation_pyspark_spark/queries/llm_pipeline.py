@@ -1367,9 +1367,10 @@ def html_extract_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?') AS u FROM n4),
     n6 AS (SELECT doc_id, regexp_replace(u,
                '\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS u FROM n5),
-    n7 AS (SELECT doc_id, regexp_replace(u, '([^:/])/$', '\1') AS u FROM n6)
+    n7 AS (SELECT doc_id, regexp_replace(u, '\?$', '') AS u FROM n6),
+    n8 AS (SELECT doc_id, regexp_replace(u, '([^:/])/$', '\1') AS u FROM n7)
     SELECT u AS url, count(*) AS n_variants, min(doc_id) AS doc_id
-    FROM n7 GROUP BY u ORDER BY doc_id
+    FROM n8 GROUP BY u ORDER BY doc_id
     """,
 )
 def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1408,3 +1409,49 @@ def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "segment_dedup_documents",
+    sql=r"""
+    WITH w AS (SELECT doc_id,
+                      CASE WHEN regexp_matches(text, '\S')
+                           THEN string_split_regex(trim(lower(text)), '\s+')
+                           ELSE [] END AS w
+               FROM documents),
+    seg AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                   array_to_string(
+                       w[CAST(i*3+1 AS BIGINT):CAST(i*3+3 AS BIGINT)],
+                       ' ') AS seg
+            FROM w, unnest(range(0, CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)),
+    cnt AS (SELECT seg, count(*) AS c FROM seg GROUP BY seg),
+    kept AS (SELECT doc_id, pos, seg
+             FROM seg JOIN cnt USING (seg) WHERE c <= 1),
+    re AS (SELECT doc_id, count(*) AS n_kept,
+                  string_agg(seg, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(ceil(len(w)/3.0) AS INT) AS n_segments
+            FROM w)
+    SELECT t.doc_id, t.n_segments,
+           coalesce(re.n_kept, 0) AS n_kept,
+           coalesce(re.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN re USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-segment removal with reassembly
+    (operators/text.py::segment_dedup — the CCNet line-dedup pass):
+    3-word tiles that occur more than once ANYWHERE in the corpus are
+    dropped from every document, and survivors are stitched back in
+    original order.  At sf0.01 ~15% of tile keys are corpus-dups, so
+    every stage provably fires.  The value hash covers the tiling,
+    the global occurrence count, the keep-filter, AND the
+    order-preserving reassembly (``string_agg ORDER BY pos`` vs
+    ``array_sort(collect_list(struct))``)."""
+    from prod_recommendation_pyspark_spark.operators.text import segment_dedup
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    return segment_dedup(
+        docs, "doc_id", "text", seg_words=3, max_occurrences=1
+    ).orderBy("doc_id")

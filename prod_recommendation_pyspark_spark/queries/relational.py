@@ -865,7 +865,9 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum).  The skipping benefit itself (per-file min/max span
     shrinkage on BOTH columns) is pinned by a pyarrow footer-stats
     pytest."""
-    import os
+    import atexit
+    import shutil
+    import tempfile
 
     from prod_recommendation_pyspark_spark.operators.layout import (
         write_zordered,
@@ -873,8 +875,13 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = Catalog(spark, sf_dir).table("events")
-    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".tmp_zorder")
+    # Per-invocation temp dir: concurrent runs (parallel bench/oracle
+    # sweeps, pytest-xdist) each get an isolated path, and nothing
+    # lands in the repo tree.  The returned DataFrame scans these
+    # files lazily, so cleanup is deferred to process exit rather
+    # than racing the consumer's collect().
+    base = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     write_zordered(ev, f"{base}/events_z", ["user_id", "value"], bits=16,
                    n_files=8)
     back = spark.read.parquet(f"{base}/events_z")

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # functions/exact.py documents non-ANSI overflow semantics
+        # (decimal overflow → NULL, div-by-zero → NULL/NaN).  Spark 4
+        # defaults ansi.enabled=true, under which those sites would
+        # THROW instead — pin it off so the documented contract holds
+        # regardless of the Spark version's default.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # Measured (bench.py A/B, sf0.1): a 32g heap makes the ALS

@@ -448,6 +448,9 @@ def test_normalize_url_rules(spark):
         "http://host.com/": "http://host.com",
         "http://host.com:8080/x": "http://host.com:8080/x",  # non-default port kept
         "https://h.io/CaseKept/Path": "https://h.io/CaseKept/Path",
+        "http://d.io/p?": "http://d.io/p",  # dangling '?' collapses
+        "http://d.io/p/?": "http://d.io/p",  # '?' then trailing slash
+        "https://root.io/": "https://root.io",  # root slash collapses too
     }
     df = spark.createDataFrame([(u,) for u in cases], ["u"])
     got = {
