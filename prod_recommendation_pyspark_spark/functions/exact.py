@@ -17,8 +17,16 @@ quantizes tiny values to 1e-6 and NULLs (non-ANSI) on overflow; see
 documented trade-off.
 
 The DuckDB oracle twin of ``dsum(c, 2)`` is
-``round(CAST(sum(CAST(c AS DECIMAL(38,6))) AS DOUBLE), 2)`` — mirror
-the op order exactly.
+``CAST(round(sum(CAST(c AS DECIMAL(38,6))), 2) AS DOUBLE)`` — mirror
+the op order exactly.  The round happens IN DECIMAL SPACE: rounding
+the exact decimal sum is itself exact (HALF_UP in Spark, half-away-
+from-zero in DuckDB — identical for every value), whereas rounding
+after the double cast re-introduces the engine-divergent boundary the
+decimal accumulation existed to kill (Spark rounds the double's
+shortest decimal string, DuckDB rounds its binary value — a sum
+landing exactly on .xx5, observed in the wild at sf0.01, splits
+them).  Note DuckDB's decimal→decimal downcast TRUNCATES; only its
+``round()`` matches Spark.
 """
 
 from __future__ import annotations
@@ -28,10 +36,14 @@ from pyspark.sql import functions as F
 
 
 def dsum(col: Column, round_to: int | None = None, scale: int = 6) -> Column:
-    """Exact decimal-accumulated sum, returned as double (optionally
-    rounded)."""
-    out = F.sum(col.cast(f"decimal(38,{scale})")).cast("double")
-    return F.round(out, round_to) if round_to is not None else out
+    """Exact decimal-accumulated sum, returned as double.  When
+    ``round_to`` is given the round is applied to the DECIMAL sum
+    (exact, engine-identical) before the double cast — see the module
+    docstring for why double-space rounding is not equivalent."""
+    s = F.sum(col.cast(f"decimal(38,{scale})"))
+    if round_to is None:
+        return s.cast("double")
+    return F.round(s, round_to).cast("double")
 
 
 def davg(col: Column, round_to: int | None = None, scale: int = 6) -> Column:

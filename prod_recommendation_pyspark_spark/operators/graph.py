@@ -1,0 +1,103 @@
+"""Iterative graph propagation — PageRank on a DataFrame edge list.
+
+Complements ``operators/dedup.py::connected_components`` (the other
+iterative-join operator): components answers "which nodes are the same
+entity", PageRank answers "which nodes matter" — the importance score a
+recommendation pipeline wants over its customer↔supplier / doc↔link
+graph.
+
+Spark-first design: each iteration is one shuffle join (edges × ranks
+on src) + one keyed aggregation (contributions by dst) — the classic
+Pregel step expressed as DataFrames so Catalyst/AQE plan it (broadcast
+the rank table while it fits, shuffle-hash when it doesn't).  No RDDs,
+no driver-side graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 0,
+    round_each: int | None = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    ``(node, rank)`` for every node that appears as a source OR a
+    destination.
+
+    Semantics (the simple power-iteration variant): rank starts at
+    1/N; each step every node sends ``rank/out_degree`` down its out-
+    edges and collects ``(1-d)/N + d·Σ incoming``.  Dangling nodes
+    (no out-edges) simply leak their mass — the usual teleport
+    redistribution is omitted so the recurrence stays a pure
+    join+aggregate (and the DuckDB oracle can replay it as unrolled
+    CTEs).
+
+    Cross-engine determinism: the per-edge contribution
+    ``rank / out_degree`` is one row-local double division; the
+    per-node Σ accumulates in DECIMAL(38,30) (associative — a double
+    sum would be partitioning-order-dependent, the ULP class
+    functions/exact.py documents; scale 30 keeps the double→decimal
+    cast's string-vs-binary discrepancy ~1e-21, far below any later
+    rounding boundary); the damping arithmetic is row-local double
+    ops, and each iteration's rank is quantized to ``round_each``
+    digits so residual 1e-17-scale engine noise cannot compound
+    across iterations.  Prefer a damping whose double is exact (0.5,
+    0.75, 0.25) when an external oracle must replay the literals.
+
+    Scale shape at 100 TB: the edge list shuffles ONCE onto src
+    (re-used every iteration via the join key), ranks are |V| rows —
+    broadcastable until the graph is billions of nodes, after which
+    AQE switches to shuffle-hash on the same keys.  For deep
+    iteration counts pass ``checkpoint_every`` (e.g. 5) to
+    ``localCheckpoint`` the rank table and cut the growing lineage —
+    the same guard ``connected_components`` uses; at 3 unrollable
+    iterations it is unnecessary.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for i in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__deg"))
+                .cast("decimal(38,30)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("double").alias("__in"))
+        )
+        new_rank = (
+            F.lit(1.0 - damping) / F.col("__n")
+            + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+        )
+        if round_each is not None:
+            new_rank = F.round(new_rank, round_each)
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_df))
+            .join(contribs, "node", "left")
+            .select("node", new_rank.alias("rank"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

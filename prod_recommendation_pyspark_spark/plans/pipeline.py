@@ -262,6 +262,9 @@ def run_prod_rec(
 class PostprocessConfig:
     num_peers: int = 30  # inference_postprocess.py:164
     topk_products: int = 20  # :165
+    # decimal-space round applied to confidence before its double cast
+    # (None = emit the full-precision value) — see functions/exact.py
+    round_confidence: int | None = None
 
 
 def run_postprocess(
@@ -277,7 +280,11 @@ def run_postprocess(
     rating.  ``item_map`` optionally trim-joined for product names."""
     cfg = cfg or PostprocessConfig()
     conf = confidence_table(
-        peers, prod, num_peers=cfg.num_peers, topk=cfg.topk_products
+        peers,
+        prod,
+        num_peers=cfg.num_peers,
+        topk=cfg.topk_products,
+        round_to=cfg.round_confidence,
     )
     pen = penetration_table(
         peers, prod, num_peers=cfg.num_peers, topk=cfg.topk_products

@@ -23,8 +23,8 @@ from prod_recommendation_pyspark_spark.sources.catalog import Catalog
     "q5_regional_supplier_revenue",
     sql="""
     SELECT n.n_name AS nation,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o    ON c.c_custkey = o.o_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -194,8 +194,8 @@ def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "q19_disjunctive_predicate_revenue",
     sql="""
-    SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_type = 'SMALL'  AND p.p_size BETWEEN 1 AND 10
@@ -239,7 +239,7 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
     SELECT c_nationkey, count(*) AS n_customers,
            round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
                  / count(*), 4) AS avg_bal,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS total_bal
     FROM customer
     GROUP BY c_nationkey
@@ -485,7 +485,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(c_nationkey) AS INT)  AS g_nation,
            CAST(grouping(c_mktsegment) AS INT) AS g_segment,
            count(*) AS n,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS total_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_nationkey), (c_mktsegment), ())
@@ -520,7 +520,7 @@ def grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT event_id, user_id,
            CAST(floor(epoch(ts)) AS BIGINT) AS sec,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 4)
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))) OVER w, 4) AS DOUBLE)
                AS trailing_hour_value,
            count(*) OVER w              AS trailing_hour_events
     FROM events
@@ -549,11 +549,10 @@ def range_frame_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.unix_timestamp("ts").alias("sec"),
             F.round(
-                F.sum(F.col("value").cast("decimal(38,6)"))
-                .over(w)
-                .cast("double"),
-                4,
-            ).alias("trailing_hour_value"),
+                F.sum(F.col("value").cast("decimal(38,6)")).over(w), 4
+            )
+            .cast("double")
+            .alias("trailing_hour_value"),
             F.count(F.lit(1)).over(w).alias("trailing_hour_events"),
         )
         .orderBy("event_id")
@@ -565,7 +564,7 @@ def range_frame_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping_nations",
     sql="""
     SELECT supp_nation, cust_nation, l_year,
-           round(CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(volume AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -864,7 +863,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                / count(c_acctbal) AS avg_bal
         FROM customer WHERE c_acctbal > 0.0)
     SELECT n.n_name AS nation, count(*) AS numcust,
-           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS totacctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -916,3 +915,259 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- TPC-H Q6 shape: pure scan-filter aggregate -----------------------------
+@register(
+    "q6_forecast_revenue_change",
+    sql="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan→filter→global-aggregate — zero joins,
+    zero shuffles beyond the final 1-row reduce.  Every predicate
+    (date range, discount band, quantity cap) pushes into the parquet
+    scan as PushedFilters, so at 100 TB the stage reads only row
+    groups whose min/max stats overlap the bands.  The discount BETWEEN
+    compares the stored doubles against the same literals in both
+    engines — no arithmetic, no epsilon."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --- TPC-H Q8 shape: national market share ----------------------------------
+@register(
+    "q8_national_market_share",
+    sql="""
+    WITH v AS (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3'
+                                    THEN volume ELSE 0.0 END
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS mkt_share
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of a region's order volume for one
+    part type, by order year — the widest join graph in the suite
+    (8 tables, nation joined TWICE under different roles).
+
+    Scale: part/supplier/nation/region broadcast (or AQE-picked); the
+    fact chain shuffles once on orderkey and once on custkey; both
+    decimal sums ride one aggregate, and the share is a single
+    deterministic double division (see functions/exact.py on why
+    division rounds stay in double space)."""
+    cat = Catalog(spark, sf_dir)
+    n1 = cat.table("nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = cat.table("nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    orders = cat.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.table("part")
+        .filter(F.col("p_type") == "STANDARD")
+        .join(cat.table("lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(cat.table("supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(cat.table("region")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                dsum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / dsum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --- TPC-H Q15 shape: top supplier via scalar-max subquery ------------------
+@register(
+    "q15_top_supplier_revenue",
+    sql="""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))), 2) AS total_revenue_d
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(rev.total_revenue_d AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.supplier_no
+    WHERE rev.total_revenue_d = (SELECT max(total_revenue_d) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with the maximum quarterly revenue —
+    the scalar-max-subquery shape (the spec's REVENUE view becomes a
+    CTE).  The ``= max`` equality gate runs on the EXACT 2-decimal
+    DECIMAL revenue in both engines, so a float ULP cannot drop or
+    duplicate the argmax row — the classic hazard of this query.
+
+    Scale: the revenue aggregate is one shuffle on suppkey; the 1-row
+    max broadcasts; the supplier join broadcasts the (tiny) winning
+    set."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(38,6)")
+                ),
+                2,
+            ).alias("total_revenue_d")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_d").alias("max_rev"))
+    return (
+        cat.table("supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_d") == F.col("max_rev"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_d").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Iterative graph: PageRank over the customer↔supplier trade graph -------
+def _pr_iter_sql(k: int) -> str:
+    """One unrolled PageRank step (mirrors operators/graph.py::pagerank
+    op-for-op: double division per edge, DECIMAL(38,30) sum, damping
+    0.5 — an exact binary double — then round-10 quantization)."""
+    return f"""
+    c{k} AS (SELECT e.dst AS node,
+                    CAST(sum(CAST(p.rank / d.deg AS DECIMAL(38,30)))
+                         AS DOUBLE) AS cin
+             FROM edges e
+             JOIN r{k - 1} p ON e.src = p.node
+             JOIN deg d ON e.src = d.src
+             GROUP BY e.dst),
+    r{k} AS (SELECT nodes.node,
+                    round((1 - 0.5) / nn.n
+                          + 0.5 * coalesce(c{k}.cin, 0.0), 10) AS rank
+             FROM nodes CROSS JOIN nn
+             LEFT JOIN c{k} ON c{k}.node = nodes.node)"""
+
+
+@register(
+    "pagerank_trade_graph",
+    sql=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {_pr_iter_sql(1)},
+    {_pr_iter_sql(2)},
+    {_pr_iter_sql(3)}
+    SELECT node, rank FROM r3
+    ORDER BY rank DESC, node
+    LIMIT 50
+    """,
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the bidirectional
+    customer↔supplier trade graph (an edge per distinct pair that
+    ever traded, supplier ids offset into their own key space) —
+    3 power iterations, damping 0.5, top-50 nodes.  The iterative
+    join+aggregate shape a recommendation engine uses for node
+    importance; the oracle replays every iteration as unrolled CTEs,
+    so the value hash pins the whole recurrence, not just the final
+    projection.
+
+    Scale: each iteration is one shuffle of the edge list keyed by
+    src + one by dst; ranks stay broadcastable until |V| ~ billions;
+    ``checkpoint_every`` caps lineage for deep iteration counts."""
+    from prod_recommendation_pyspark_spark.operators.graph import pagerank
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.table("orders")
+        .join(
+            cat.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    pr = pagerank(edges, iterations=3, damping=0.5, round_each=10)
+    return pr.orderBy(F.col("rank").desc(), "node").limit(50)

@@ -39,7 +39,7 @@ def _epoch_us(col: str) -> F.Column:
            CAST(floor(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT) AS window_end,
            event_type,
            count(*)             AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY window_start, event_type
@@ -71,7 +71,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type, value
         FROM events, unnest([0, 1, 2, 3]) AS t(k))
     SELECT window_start, window_start + 3600 AS window_end, event_type,
-           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+           count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
     FROM expanded
     GROUP BY window_start, event_type
     ORDER BY window_start, event_type
@@ -115,7 +115,7 @@ def sliding_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(min(ts))) AS BIGINT)        AS window_start,
            CAST(floor(epoch(max(ts))) + 1800 AS BIGINT) AS window_end,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
     FROM sess
     GROUP BY user_id, sid
     ORDER BY user_id, window_start

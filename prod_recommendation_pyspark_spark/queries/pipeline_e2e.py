@@ -112,7 +112,9 @@ def _pipeline_tables(
     )
     eci_map = firmo.select("eci", "cid")
     prod = run_prod_rec(spark, pup, eci_map, freeze_ratings=True)
-    return run_postprocess(spark, peers, prod, cfg=PostprocessConfig())
+    return run_postprocess(
+        spark, peers, prod, cfg=PostprocessConfig(round_confidence=4)
+    )
 
 
 _STAGES_SQL = f"""
@@ -230,9 +232,10 @@ _STAGES_SQL = f"""
         WHERE pe.prospect IS NOT NULL
           AND pr.rating IS NOT NULL AND pr.rating <> 0),
     summed AS (SELECT prospect, product,
-                      CAST(sum(confidence) AS DOUBLE) AS confidence
+                      sum(confidence) AS confidence
                FROM scored GROUP BY prospect, product)
-    SELECT prospect, product, round(confidence, 4) AS confidence, rnk
+    SELECT prospect, product,
+           CAST(round(confidence, 4) AS DOUBLE) AS confidence, rnk
     FROM (SELECT *, rank() OVER (PARTITION BY prospect
                                  ORDER BY confidence DESC, product) AS rnk
           FROM summed)
@@ -244,12 +247,14 @@ def pipeline_e2e_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-stage composition, confidence output: Stage-1 hybrid peer
     search feeds Stage-3's peer fan-out; Stage-2's frozen ratings feed
     its product side.  The single CORRECTNESS row that proves the
-    stages compose (round-4 verdict item 2)."""
+    stages compose (round-4 verdict item 2).  Rank and round both
+    operate on the exact DECIMAL confidence sum (decimal-space
+    rounding — functions/exact.py)."""
     conf, _ = _pipeline_tables(spark, sf_dir)
     return conf.select(
         "prospect",
         "product",
-        F.round("confidence", 4).alias("confidence"),
+        "confidence",
         "rnk",
     ).orderBy("prospect", "rnk")
 

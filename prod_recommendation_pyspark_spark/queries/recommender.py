@@ -215,9 +215,10 @@ def _products(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE pe.prospect IS NOT NULL
           AND pr.rating IS NOT NULL AND pr.rating <> 0),
     summed AS (SELECT prospect, product,
-                      CAST(sum(confidence) AS DOUBLE) AS confidence
+                      sum(confidence) AS confidence
                FROM scored GROUP BY prospect, product)
-    SELECT prospect, product, round(confidence, 4) AS confidence, rnk
+    SELECT prospect, product,
+           CAST(round(confidence, 4) AS DOUBLE) AS confidence, rnk
     FROM (SELECT *, rank() OVER (PARTITION BY prospect
                                  ORDER BY confidence DESC, product) AS rnk
           FROM summed)
@@ -229,17 +230,21 @@ def confidence_table_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-3 confidence table end-to-end
     (inference_postprocess.py:69-96; B17 AND-fix): peers fan out to
     their products, confidence = score·rating/NUM_PEERS, sum per
-    (prospect, product), top-20 desc per prospect."""
+    (prospect, product), top-20 desc per prospect.  Ranking and the
+    4-digit round both happen on the exact DECIMAL sum (decimal-space
+    rounding — see functions/exact.py), so no float boundary can
+    flip a value or a rank between engines."""
     table = confidence_table(
         _peers(spark, sf_dir),
         _products(spark, sf_dir),
         num_peers=30,
         topk=20,
+        round_to=4,
     )
     return table.select(
         "prospect",
         "product",
-        F.round("confidence", 4).alias("confidence"),
+        "confidence",
         "rnk",
     ).orderBy("prospect", "rnk")
 

@@ -26,15 +26,15 @@ from prod_recommendation_pyspark_spark.sources.readers import latest_snapshot
     "q1_pricing_summary",
     sql="""
     SELECT l_returnflag, l_linestatus,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS sum_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS sum_base_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                               AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS sum_disc_price,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                               AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS sum_charge,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
                  / count(*), 4) AS avg_qty,
@@ -87,8 +87,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH revenue AS (
         SELECT n.n_name AS nation, c.c_mktsegment AS segment,
-               round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6)))
-                          AS DOUBLE), 2) AS revenue,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
                count(*) AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -142,9 +141,9 @@ def topk_segments_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue_broadcast_join",
     sql="""
     SELECT p.p_brand AS brand,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                               AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
-           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
+           CAST(round(sum(CAST(l.l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS total_qty
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -411,7 +410,7 @@ def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dated AS (SELECT *, CAST(ts AS DATE) AS snapshot_date FROM events),
          latest AS (SELECT max(snapshot_date) AS d FROM dated)
     SELECT event_type, count(*) AS n,
-           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_value
     FROM dated, latest WHERE dated.snapshot_date = latest.d
     GROUP BY event_type
     ORDER BY event_type
@@ -470,7 +469,7 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(n.n_name, 'ALL') AS nation,
            coalesce(c.c_mktsegment, 'ALL') AS segment,
            count(*) AS n_customers,
-           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_bal
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_bal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
     ORDER BY nation, segment
@@ -506,9 +505,9 @@ def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     sql="""
     SELECT o_orderpriority,
-           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 2) AS F,
-           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 2) AS O,
-           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(38,6))) AS DOUBLE), 2) AS P
+           CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(38,6))), 2) AS DOUBLE) AS F,
+           CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(38,6))), 2) AS DOUBLE) AS O,
+           CAST(round(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(38,6))), 2) AS DOUBLE) AS P
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -534,7 +533,7 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle — dialect-portability is the test.
 _Q3_SQL = """
     SELECT l_orderkey,
-           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority
     FROM customer, orders, lineitem
@@ -564,7 +563,7 @@ def q3_shipping_priority_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL')    AS status,
            coalesce(o_orderpriority, 'ALL')  AS priority,
            count(*) AS n_orders,
-           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_price
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY status, priority
@@ -896,10 +895,10 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_agg_returnflag",
     sql="""
     SELECT l_returnflag,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS sum_qty,
            count(*)                       AS n_rows,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS sum_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -928,9 +927,9 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("pp"),
         ],
         final_aggs=[
-            F.round(F.sum("pq").cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum("pq"), 2).cast("double").alias("sum_qty"),
             F.sum("pc").alias("n_rows"),
-            F.round(F.sum("pp").cast("double"), 2).alias("sum_price"),
+            F.round(F.sum("pp"), 2).cast("double").alias("sum_price"),
         ],
     ).orderBy("l_returnflag")
 

@@ -44,6 +44,7 @@ def confidence_table(
     rating_col: str = "rating",
     num_peers: int = NUM_PEERS,
     topk: int = TOPK_PRODUCTS,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Peer-similarity-weighted product confidence, top-K per prospect.
 
@@ -51,6 +52,13 @@ def confidence_table(
     products on the peer key → confidence = score·rating/num_peers →
     drop null prospects / sentinel rows → sum per (prospect, product)
     → windowed top-K desc.
+
+    The sum stays DECIMAL through the ranking, and ``round_to`` (when
+    given) rounds IN DECIMAL SPACE before the final double cast —
+    rounding after the cast re-opens the engine-divergent boundary
+    (Spark rounds the double's shortest decimal string, DuckDB its
+    binary value; see functions/exact.py).  The returned ``confidence``
+    column is double either way.
     """
     joined = _joined_peer_products(peers, products, peer_col)
     scored = (
@@ -71,9 +79,11 @@ def confidence_table(
         .filter(F.col(rating_col).isNotNull() & (F.col(rating_col) != 0))  # B17: AND
     )
     summed = scored.groupBy(prospect_col, product_col).agg(
-        F.sum("confidence").cast("double").alias("confidence")
+        # stays DECIMAL(38,12): exact ordering for the rank below, and
+        # the optional round happens on the exact value
+        F.sum("confidence").alias("confidence")
     )
-    return windowed_topk(
+    ranked = windowed_topk(
         summed,
         prospect_col,
         [F.col("confidence").desc(), F.col(product_col)],
@@ -81,6 +91,12 @@ def confidence_table(
         rank_fn=F.rank,
         rank_col="rnk",
     )
+    out = (
+        F.round("confidence", round_to)
+        if round_to is not None
+        else F.col("confidence")
+    )
+    return ranked.withColumn("confidence", out.cast("double"))
 
 
 def penetration_table(

@@ -88,3 +88,26 @@ def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
     df = spark.createDataFrame(rows, "id long, v array<double>")
     _, cents = kmeans_fit(df, "id", "v", k=3, max_iter=3)
     assert cents.count() == 3  # no cluster vanished
+
+
+def test_pagerank_hand_computed(spark):
+    """3-node graph, one iteration checked by hand: 1→2, 2→1, 3→1,
+    damping 0.5, N=3, r0 = 1/3 each.  After one step:
+    rank(1) = 1/6 + 0.5·(r(2)/1 + r(3)/1) = 1/2,
+    rank(2) = 1/6 + 0.5·(r(1)/1)        = 1/3,
+    rank(3) = 1/6 + 0.5·0               = 1/6.
+    Total mass stays 1.0 (no dangling nodes here)."""
+    from prod_recommendation_pyspark_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1)], "src long, dst long"
+    )
+    got = {
+        r.node: round(r.rank, 9)
+        for r in pagerank(edges, iterations=1, damping=0.5).collect()
+    }
+    assert got == {1: round(0.5, 9), 2: round(1 / 3, 9), 3: round(1 / 6, 9)}
+    total = sum(
+        r.rank for r in pagerank(edges, iterations=3, damping=0.5).collect()
+    )
+    assert abs(total - 1.0) < 1e-9

@@ -459,3 +459,33 @@ def test_normalize_url_rules(spark):
     }
     for u, want in cases.items():
         assert got[u] == want, (u, got[u])
+
+
+def test_segment_dedup_semantics(spark):
+    """Corpus-duplicated tiles vanish from EVERY document; unique ones
+    survive in order; empty docs keep a row with n_segments=0."""
+    from prod_recommendation_pyspark_spark.operators.text import segment_dedup
+
+    rows = [
+        (1, "the cookie banner uses cookies here is real content one"),
+        (2, "the cookie banner uses cookies totally different article text"),
+        (3, "unique words only nothing shared with any other doc"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in segment_dedup(
+            df, "doc_id", "text", seg_words=5, max_occurrences=1
+        ).collect()
+    }
+    # the shared 5-word prefix tile is dropped from BOTH docs 1 and 2
+    assert out[1].clean_text == "here is real content one"
+    assert out[2].clean_text == "totally different article text"
+    assert out[1].n_segments == 2 and out[1].n_kept == 1
+    # doc 3 fully survives, both tiles, original order
+    assert out[3].clean_text == "unique words only nothing shared with any other doc"
+    assert out[3].n_segments == 2 and out[3].n_kept == 2
+    # whitespace-only doc: present, zero segments, empty text
+    assert out[4].n_segments == 0 and out[4].n_kept == 0
+    assert out[4].clean_text == ""
