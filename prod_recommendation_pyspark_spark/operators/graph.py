@@ -61,16 +61,26 @@ def pagerank(
     the same guard ``connected_components`` uses; at 3 unrollable
     iterations it is unnecessary.
     """
+    from pyspark import StorageLevel
+
+    # Persist the loop-invariant tables: without this, Spark's lineage
+    # recomputes the full edge derivation (scans + joins upstream of
+    # `edges`) once per REFERENCE — the plan audit showed the source
+    # tables scanned 8x for 3 iterations.  MEMORY_AND_DISK so a
+    # 100 TB-derived edge list spills rather than OOMs.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_df = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )

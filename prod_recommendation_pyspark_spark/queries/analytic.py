@@ -51,8 +51,8 @@ def q5_regional_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.table("customer")
         .join(
             cat.table("orders").filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             ),
             F.col("c_custkey") == F.col("o_custkey"),
         )
@@ -96,8 +96,8 @@ def q4_exists_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     input is ~12% of the table."""
     cat = Catalog(spark, sf_dir)
     orders = cat.table("orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     big_lines = cat.table("lineitem").filter(F.col("l_quantity") >= 45)
     return (
@@ -601,8 +601,8 @@ def q7_volume_shipping_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     lines = cat.table("lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     return (
         cat.table("supplier")
@@ -669,8 +669,8 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-value rounding."""
     cat = Catalog(spark, sf_dir)
     orders = cat.table("orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     returned = cat.table("lineitem").filter(F.col("l_returnflag") == "R")
     return (
@@ -738,8 +738,8 @@ def q12_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     year pushes into the scan."""
     cat = Catalog(spark, sf_dir)
     lines = cat.table("lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     delay = F.datediff(
         F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
@@ -788,8 +788,8 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     the month filter pushes into the scan."""
     cat = Catalog(spark, sf_dir)
     lines = cat.table("lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
@@ -896,7 +896,7 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum(F.col("c_acctbal")) / F.count("c_acctbal")).alias("avg_bal")
     )
     recent = cat.table("orders").filter(
-        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -941,8 +941,8 @@ def q6_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -1001,8 +1001,8 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
     orders = cat.table("orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -1063,13 +1063,15 @@ def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the revenue aggregate is one shuffle on suppkey; the 1-row
     max broadcasts; the supplier join broadcasts the (tiny) winning
-    set."""
+    set.  ``rev`` is persisted because it feeds BOTH the max and the
+    join — DataFrames have no CTE reuse, so without it the lineitem
+    scan+aggregate runs twice (seen in the plan audit)."""
     cat = Catalog(spark, sf_dir)
     rev = (
         cat.table("lineitem")
         .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
@@ -1082,6 +1084,7 @@ def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2,
             ).alias("total_revenue_d")
         )
+        .persist()
     )
     mx = rev.agg(F.max("total_revenue_d").alias("max_rev"))
     return (

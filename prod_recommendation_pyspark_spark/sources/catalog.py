@@ -15,6 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Tables whose timestamp columns carry INSTANT semantics (event time:
+# windows, watermarks, epoch math) — NTZ columns here are converted to
+# instants on read; everything else keeps NTZ for scan pushdown.
+INSTANT_TABLES = frozenset({"events"})
+
 TESTDATA_TABLES = (
     "region",
     "nation",
@@ -55,19 +60,31 @@ class Catalog:
                     c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                 )
             # Parquet µs timestamps with isAdjustedToUTC=false read as
-            # TIMESTAMP_NTZ under Spark 4, which many time functions
-            # (unix_micros, watermarks-with-interval-arith) reject.
-            # Convert naive→instant TIMEZONE-INDEPENDENTLY: the NTZ
-            # delta from the NTZ epoch is a pure wall-clock count of
-            # microseconds, so the resulting instant equals DuckDB's
-            # naive-as-UTC reading under ANY session timezone (a plain
-            # cast would shift by the session TZ, and pinning the
-            # session TZ here would be a global side effect).
-            from pyspark.sql import types as T
+            # TIMESTAMP_NTZ under Spark 4 and are KEPT as NTZ for the
+            # relational tables — three reasons: (1) predicate
+            # pushdown: a blanket naive→instant projection here
+            # wrapped every date column in an expression, so
+            # `o_orderdate >= lit` filters could not reach the parquet
+            # scan (observed: all TPC-H date filters scanning full
+            # tables); (2) NTZ comparisons/functions are
+            # session-timezone-independent; (3) NTZ IS DuckDB's naive
+            # TIMESTAMP — oracle parity with no conversion at all.
+            # Query-side code compares NTZ columns against
+            # `lit(...).cast("timestamp_ntz")` literals, which push
+            # down as GreaterThanOrEqual/LessThan on the scan.
+            #
+            # The EVENTS table is the exception: its ts column feeds
+            # instant-domain ops (time windows, watermark twins,
+            # unix_micros epoch math, as-of joins), so NTZ columns are
+            # converted to instants TZ-independently.  At SFs where
+            # events.ts is stored as TIMESTAMP(NANOS) the nanos path
+            # above already produced instants and this is a no-op.
+            if name in INSTANT_TABLES:
+                from pyspark.sql import types as T
 
-            for f in df.schema.fields:
-                if isinstance(f.dataType, T.TimestampNTZType):
-                    df = df.withColumn(f.name, _ntz_as_utc_instant(f.name))
+                for f in df.schema.fields:
+                    if isinstance(f.dataType, T.TimestampNTZType):
+                        df = df.withColumn(f.name, _ntz_as_utc_instant(f.name))
             self._cache[name] = df
         return self._cache[name]
 

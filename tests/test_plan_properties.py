@@ -195,3 +195,24 @@ def test_ivf_partitioned_store_prunes_lists(spark, tmp_path):
     # and the pruned read returns exactly the probed lists' rows
     want = assigned.filter(F.col("ivf_list").isin(probes)).count()
     assert pruned.count() == want > 0
+
+
+def test_date_range_predicates_push_into_scan(spark):
+    """The date-range filters must reach the parquet scan as comparison
+    predicates (row-group pruning at 100 TB), not just IsNotNull — a
+    blanket NTZ→instant projection in the catalog once wrapped every
+    date column in an expression and silently reduced the pushed set
+    to IsNotNull, full-scanning the fact table under every date
+    filter."""
+    for name, col in [
+        ("q6_forecast_revenue_change", "l_shipdate"),
+        ("q4_exists_order_priority", "o_orderdate"),
+    ]:
+        plan = _plan(spark, name)
+        pushed = [
+            seg[:400] for seg in plan.split("PushedFilters")[1:]
+        ]
+        assert any(
+            f"GreaterThanOrEqual({col}" in seg or f"LessThan({col}" in seg
+            for seg in pushed
+        ), (name, pushed)
