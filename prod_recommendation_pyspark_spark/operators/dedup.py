@@ -345,6 +345,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the SSJoin /
+    PPJoin candidate scheme — Chaudhuri, Ganti & Kaushik, ICDE 2006;
+    Xiao et al., WWW 2008): returns the identical pair set as the
+    brute shingle self-join, but the candidate join touches only each
+    document's PREFIX tokens instead of every shingle.
+
+    Why this scales where brute does not: for Jaccard ≥ t, any true
+    pair overlaps in ≥ ⌈t·|x|⌉ shingles, so under ANY global token
+    order two matching sets must share a token among their first
+    ``|x| - ⌈t·|x|⌉ + 1`` (the prefix).  Ordering tokens by ascending
+    document frequency puts the RAREST tokens in the prefix — the
+    candidate join keys are exactly the tokens with the smallest
+    fan-out, inverting brute force's worst property (ubiquitous
+    boilerplate shingles dominating the shuffle).  Unlike MinHash+LSH
+    this is exact: no recall loss, no banding parameters.
+
+    Shape: one df-count shuffle, one window (per-doc rank by (df,
+    token)), the prefix equi-join (rare keys, bounded fan-out), then
+    exact verification restricted to candidates via
+    ``ngram_jaccard_pairs(candidates=...)``.  The ⌈t·n⌉ is computed as
+    ``ceil(t·n − 1e-9)``: float ⌈⌉ may overshoot by 1 on exact
+    products (0.8·35 = 28.000…004 → 29), which would SHORTEN a prefix
+    and could drop a boundary pair — the epsilon only ever lengthens
+    prefixes (more candidates, never fewer), and verification keeps
+    the result exact."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(id_col).orderBy("__df", "s")
+    ranked = sh.join(dfreq, "s").withColumn(
+        "__rn", F.row_number().over(w)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    prefix_len = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    )
+    pref = ranked.join(sizes, id_col).filter(F.col("__rn") <= prefix_len)
+    a = pref.select(F.col(id_col).alias("id_a"), "s")
+    b = pref.select(F.col(id_col).alias("id_b"), "s")
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_words, threshold, candidates=cands
+    )
+
+
 def simhash(col: Column, bits: int = 64) -> Column:
     """SimHash of whitespace tokens, all-native: per-bit vote =
     Σ(±1 per token hash bit), signature bit = vote > 0.  Returns the

@@ -1025,3 +1025,91 @@ def normalize_url(col: Column) -> Column:
     out = F.regexp_replace(out, r"\?$", "")  # dangling '?' (http://x/p?)
     out = F.regexp_replace(out, r"([^:/])/$", r"$1")  # trailing slash (eos)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters — per-partition Misra-Gries + exact recount
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    k: int = 1000,
+    min_frac: float = 0.002,
+) -> DataFrame:
+    """EXACT frequent items over a (possibly huge-cardinality) item
+    stream with bounded per-task memory: returns every item whose
+    occurrence count exceeds ``min_frac`` of all occurrences, with its
+    exact count — WITHOUT ever shuffling the full item cardinality.
+
+    Two phases (the classic sketch-then-verify pattern):
+
+    1. Per-partition Misra-Gries summaries (capacity ``k``) via
+       ``mapInPandas`` — O(k) memory per task regardless of
+       cardinality.  Completeness: an item with global frequency
+       > N/k must exceed n_p/k in at least one partition (averaging
+       argument), and MG never evicts an item above its partition's
+       n_p/k — so the union of partition candidates is a SUPERSET of
+       every global heavy hitter whenever ``min_frac ≥ 1/k``.
+    2. Exact recount restricted to candidates: broadcast semi-join
+       (≤ k·partitions candidate rows) then a groupBy whose shuffle
+       key cardinality is bounded by the candidate set, not the
+       vocabulary.
+
+    Contrast with plain groupBy-HAVING: same answer, but groupBy
+    shuffles EVERY distinct item; at 100 TB of text the shingle
+    vocabulary is itself TB-scale while the candidates are k·tasks
+    rows.  ``mapInPandas`` is justified here because the per-partition
+    MG loop is inherently sequential-stateful — no Catalyst aggregate
+    expresses "decrement all counters on overflow".
+
+    Requires ``min_frac >= 1.0 / k`` (raises otherwise — below that
+    the sketch cannot guarantee completeness and the result would be
+    silently approximate)."""
+    import pandas as pd
+
+    if min_frac < 1.0 / k:
+        raise ValueError(
+            f"min_frac={min_frac} < 1/k={1.0 / k}: completeness guarantee "
+            "needs min_frac >= 1/k (raise k or the threshold)"
+        )
+
+    src = items.select(F.col(item_col).alias("item"))
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it in pdf["item"]:
+                if it is None:
+                    continue
+                if it in counters:
+                    counters[it] += 1
+                elif len(counters) < k:
+                    counters[it] = 1
+                else:
+                    dead = [c for c in counters if counters[c] == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({"item": list(counters.keys())})
+
+    cands = src.mapInPandas(
+        mg_partition, schema="item string"
+    ).distinct()
+    total = src.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        src.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("__total") * F.lit(min_frac))
+        .select(
+            "item",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("__total"), 6).alias(
+                "frac"
+            ),
+        )
+    )

@@ -173,6 +173,30 @@ def ngram_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("prefix_filter_jaccard_pairs", sql=_JACCARD_SQL)
+def prefix_filter_jaccard_pairs_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Jaccard ≥ 0.8 pairs via PPJoin-style prefix filtering
+    (operators/dedup.py::prefix_filter_jaccard_pairs): the candidate
+    join touches only each doc's rarest-token prefix, yet the oracle
+    is the SAME brute-force SQL as ngram_jaccard_pairs_brute — the
+    value hash proves candidates lose nothing.  The exact scale path
+    where MinHash trades recall and brute trades the shuffle."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    return (
+        prefix_filter_jaccard_pairs(
+            docs, "doc_id", "text", shingle_words=3, threshold=0.8
+        )
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("simhash_near_dup_pairs")  # no oracle: Spark-internal hash family
 def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(63-bit, token-level) pairs with Hamming distance ≤ 8 via
@@ -1455,3 +1479,42 @@ def segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_dedup(
         docs, "doc_id", "text", seg_words=3, max_occurrences=1
     ).orderBy("doc_id")
+
+
+@register(
+    "heavy_hitters_bigrams",
+    sql=r"""
+    WITH toks AS (SELECT string_split_regex(text, '\s+') AS w FROM documents),
+    g AS (SELECT array_to_string(w[CAST(i AS BIGINT):CAST(i + 1 AS BIGINT)],
+                                 ' ') AS item
+          FROM toks,
+               unnest(range(1, CAST(greatest(len(w) - 1, 1) AS BIGINT) + 1))
+                   AS t(i)),
+    n AS (SELECT count(*) AS total FROM g),
+    c AS (SELECT item, count(*) AS n_occurrences FROM g GROUP BY item)
+    SELECT item, n_occurrences,
+           round(n_occurrences / total, 6) AS frac
+    FROM c CROSS JOIN n
+    WHERE n_occurrences > total * 0.00125
+    ORDER BY item
+    """,
+)
+def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent word-bigrams above 0.125% of all occurrences
+    (operators/text.py::heavy_hitters — per-partition Misra-Gries
+    sketch, candidate union, exact recount).  The oracle is a plain
+    GROUP BY ... HAVING: hash equality proves the bounded-memory
+    two-phase plan loses nothing vs the full-cardinality shuffle it
+    replaces at 100 TB."""
+    from prod_recommendation_pyspark_spark.operators.text import heavy_hitters
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    words = F.split(F.col("text"), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    items = docs.select(F.explode(grams).alias("item"))
+    return heavy_hitters(items, "item", k=1000, min_frac=0.00125).orderBy(
+        "item"
+    )

@@ -489,3 +489,84 @@ def test_segment_dedup_semantics(spark):
     # whitespace-only doc: present, zero segments, empty text
     assert out[4].n_segments == 0 and out[4].n_kept == 0
     assert out[4].clean_text == ""
+
+
+def test_prefix_filter_jaccard_exact_boundary(spark):
+    """Prefix filtering must equal brute force, including a pair at
+    EXACTLY the threshold (J = 8/10 = 0.8): float-ceil overshoot on
+    t*n would shorten the prefix and drop it."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    words = "a b c d e f g h i j".split()
+    rows = [
+        (1, " ".join(words + ["k"])),   # 9 trigram shingles
+        (2, " ".join(words + ["x"])),   # shares 8 of them -> J = 0.8
+        (3, "totally different text with nothing shared at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    key = lambda d: {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in d.collect()
+    }
+    brute = key(ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.8))
+    pref = key(prefix_filter_jaccard_pairs(df, "doc_id", "text", 3, 0.8))
+    assert (1, 2, 0.8) in brute
+    assert pref == brute
+
+
+def test_prefix_filter_equals_brute_on_corpus(spark):
+    """Full corpus equivalence at sf0.001 — the exactness claim."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    key = lambda d: {
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in d.collect()
+    }
+    brute = key(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8))
+    pref = key(prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, 0.8))
+    assert brute and pref == brute
+
+
+def test_heavy_hitters_sketch_under_eviction(spark):
+    """With capacity k far below the cardinality, Misra-Gries evicts
+    constantly — yet the two-phase result must still equal the plain
+    groupBy whenever min_frac >= 1/k (the completeness guarantee)."""
+    from prod_recommendation_pyspark_spark.operators.text import heavy_hitters
+
+    # 3 hot items (1000/500/300 occurrences) drowned in 2000 distinct
+    # singletons; k=20 forces heavy eviction pressure in every task.
+    rows = (
+        [("hot_a",)] * 1000
+        + [("hot_b",)] * 500
+        + [("hot_c",)] * 300
+        + [(f"noise_{i}",) for i in range(2000)]
+    )
+    df = spark.createDataFrame(rows, ["item"]).repartition(8)
+    total = len(rows)
+    got = {
+        (r.item, r.n_occurrences)
+        for r in heavy_hitters(df, "item", k=20, min_frac=0.06).collect()
+    }
+    want = {
+        (r.item, r.n)
+        for r in df.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total * 0.06)
+        .collect()
+    }
+    assert got == {("hot_a", 1000), ("hot_b", 500), ("hot_c", 300)} == want
+
+
+def test_heavy_hitters_rejects_unsafe_threshold(spark):
+    from prod_recommendation_pyspark_spark.operators.text import heavy_hitters
+
+    df = spark.createDataFrame([("x",)], ["item"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "item", k=10, min_frac=0.05)  # 0.05 < 1/10
