@@ -954,3 +954,86 @@ def sq8_approx_dot(
         lambda acc, x: acc + x,
     )
     return int_dot * sa * sb / F.lit(127.0 * 127.0)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking — retrieval post-processing
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    qid_col: str,
+    cand_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 5,
+    lam: float = 0.5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) over a per-query candidate set: greedily select ``k``
+    items maximizing ``λ·relevance − (1−λ)·max_cosine_to_selected`` —
+    the standard retrieval post-processor that trades a little
+    relevance for diversity so the top-k isn't k near-duplicates.
+
+    Input: one row per (query, candidate) with the candidate's
+    relevance and its raw vector.  Output: ``(qid, step, cand, score)``
+    — step 1..k in selection order; step 1's score is the relevance
+    itself (nothing selected yet).
+
+    Spark shape: greedy selection is inherently sequential per query —
+    exactly the ``applyInPandas`` case (a genuine custom stateful
+    operator; no Catalyst expression iterates "argmax against the
+    running selection").  One shuffle groups candidates by query; each
+    task then runs an O(n·k·d) NumPy loop over its ≤n candidates.  At
+    100 TB of queries the parallelism is per-query — ideal — and the
+    candidate sets are top-n retrieval outputs, so n is small by
+    construction.
+
+    Engine-replayable determinism (an external oracle can unroll the
+    greedy loop): pairwise cosines are rounded to ``round_digits``
+    BEFORE any comparison (kernel epsilon can't flip an argmax);
+    ``λ = 0.5`` keeps the blend arithmetic exact in binary; ties break
+    on the candidate id ascending."""
+    import pandas as _pd
+
+    out_schema = (
+        f"{qid_col} long, step int, {cand_col} long, score double"
+    )
+
+    def per_query(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        qid = pdf[qid_col].iloc[0]
+        sub = pdf.sort_values(cand_col).reset_index(drop=True)
+        ids = sub[cand_col].to_numpy()
+        rel = sub[rel_col].to_numpy(dtype=np.float64)
+        mat = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = np.round(unit @ unit.T, round_digits)
+        n = len(ids)
+        selected: list[int] = []
+        rows = []
+        for step in range(1, min(k, n) + 1):
+            best_i, best_score = -1, None
+            for i in range(n):
+                if i in selected:
+                    continue
+                if not selected:
+                    score = rel[i]
+                else:
+                    score = lam * rel[i] - (1.0 - lam) * sims[
+                        i, selected
+                    ].max()
+                # strict > : ties keep the earlier (smaller) cand id,
+                # since candidates are scanned in ascending-id order
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            rows.append((qid, step, int(ids[best_i]), float(best_score)))
+        return _pd.DataFrame(
+            rows, columns=[qid_col, "step", cand_col, "score"]
+        )
+
+    return cands.groupBy(qid_col).applyInPandas(per_query, out_schema)

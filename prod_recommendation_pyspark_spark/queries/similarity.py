@@ -771,3 +771,98 @@ def sq8_quantized_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("tgt_id", "nbr_id", "score")
         .orderBy("tgt_id", "nbr_id")
     )
+
+
+# --- MMR diversified re-ranking over retrieval candidates -------------------
+def _mmr_step_sql(k: int) -> str:
+    """One unrolled greedy MMR step (mirrors
+    operators/similarity.py::mmr_rerank op-for-op: 4-rounded cosines,
+    λ = 0.5 — exact binary halves — candidate-id tiebreak)."""
+    return f"""
+    m{k} AS (SELECT c.qid, c.cid, c.rel, max(s.s) AS ms
+             FROM cand c
+             JOIN sel{k - 1} p ON p.qid = c.qid
+             JOIN sim s ON s.qid = c.qid AND s.i = c.cid AND s.j = p.cid
+             LEFT JOIN sel{k - 1} x ON x.qid = c.qid AND x.cid = c.cid
+             WHERE x.cid IS NULL
+             GROUP BY c.qid, c.cid, c.rel),
+    p{k} AS (SELECT qid, cid, 0.5 * rel - 0.5 * ms AS score,
+                    row_number() OVER (PARTITION BY qid
+                        ORDER BY 0.5 * rel - 0.5 * ms DESC, cid) AS rn
+             FROM m{k}),
+    sel{k} AS (SELECT qid, cid, step, score FROM sel{k - 1}
+               UNION ALL
+               SELECT qid, cid, {k} AS step, score FROM p{k} WHERE rn = 1)"""
+
+
+@register(
+    "mmr_diversify_embeddings",
+    sql=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 25 = 0),
+    c0 AS (SELECT q.qid, e.vec_id AS cid,
+                  CAST(e.embedding AS DOUBLE[]) AS cv,
+                  round(list_cosine_similarity(
+                      q.qv, CAST(e.embedding AS DOUBLE[])), 4) AS rel
+           FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+    cand AS (SELECT qid, cid, cv, rel FROM (
+                 SELECT *, row_number() OVER (PARTITION BY qid
+                     ORDER BY rel DESC, cid) AS rn FROM c0)
+             WHERE rn <= 12),
+    sim AS (SELECT a.qid, a.cid AS i, b.cid AS j,
+                   round(list_cosine_similarity(a.cv, b.cv), 4) AS s
+            FROM cand a JOIN cand b ON a.qid = b.qid),
+    sel1 AS (SELECT qid, cid, 1 AS step, rel AS score FROM (
+                 SELECT qid, cid, rel, row_number() OVER (PARTITION BY qid
+                     ORDER BY rel DESC, cid) AS rn FROM cand)
+             WHERE rn = 1),
+    {_mmr_step_sql(2)},
+    {_mmr_step_sql(3)},
+    {_mmr_step_sql(4)},
+    {_mmr_step_sql(5)}
+    SELECT qid, step, cid, score FROM sel5
+    ORDER BY qid, step
+    """,
+)
+def mmr_diversify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 (operators/similarity.py::mmr_rerank,
+    λ = 0.5) over per-query top-12 cosine candidates — every 25th
+    vector is a query.  The oracle unrolls all five greedy steps as
+    CTEs, so the value hash pins the entire selection sequence, not
+    just the final set: quantized cosines + exact-half blending +
+    id tiebreaks make the recurrence engine-identical."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        l2_normalize,
+        mmr_rerank,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    norm = l2_normalize(emb, "embedding", "nvec").select(
+        "vec_id", "nvec", F.col("embedding").cast("array<double>").alias("cv")
+    )
+    q = norm.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("nvec").alias("qv")
+    )
+    pairs = norm.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "nvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        "cv",
+        F.round(dot, 4).alias("rel"),
+    )
+    cand = windowed_topk(
+        scored, "qid", [F.col("rel").desc(), F.col("cid")], 12
+    ).select("qid", "cid", "cv", "rel")
+    return mmr_rerank(
+        cand, "qid", "cid", "rel", "cv", k=5, lam=0.5, round_digits=4
+    ).orderBy("qid", "step")

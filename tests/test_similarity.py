@@ -416,3 +416,32 @@ def test_sq8_quantization_error_bound_and_recall(spark):
     }
     recall = len(sq8 & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """Hand-built case: two near-duplicate high-relevance candidates
+    and one orthogonal mid-relevance one.  Pure relevance would rank
+    the twins 1-2; MMR (λ=0.5) must pick the orthogonal candidate at
+    step 2 because the twin's similarity penalty sinks it."""
+    from pyspark.sql import functions as F
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        mmr_rerank,
+    )
+
+    rows = [
+        (1, 10, 0.90, [1.0, 0.0]),
+        (1, 11, 0.89, [0.999, 0.0447]),  # near-dup of 10 (cos ≈ 0.999)
+        (1, 12, 0.50, [0.0, 1.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["qid", "cid", "rel", "cv"])
+    got = [
+        (r.step, r.cid, round(r.score, 6))
+        for r in mmr_rerank(df, "qid", "cid", "rel", "cv", k=3, lam=0.5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert [g[1] for g in got] == [10, 12, 11]
+    assert got[0] == (1, 10, 0.9)            # step 1 = raw relevance
+    assert got[1] == (2, 12, round(0.5 * 0.5 - 0.5 * 0.0, 6))
+    # step 3: the twin, penalized by its ~0.999 similarity to cid 10
+    assert got[2][2] == round(0.5 * 0.89 - 0.5 * 0.999, 6)
