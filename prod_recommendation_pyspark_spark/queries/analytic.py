@@ -1174,3 +1174,115 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
     pr = pagerank(edges, iterations=3, damping=0.5, round_each=10)
     return pr.orderBy(F.col("rank").desc(), "node").limit(50)
+
+
+# --- Quantile binning: data-driven bucket boundaries ------------------------
+@register(
+    "quantile_bins_totalprice",
+    sql="""
+    WITH qs AS (SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                       quantile_cont(o_totalprice, 0.50) AS q2,
+                       quantile_cont(o_totalprice, 0.75) AS q3
+                FROM orders)
+    SELECT CASE WHEN o_totalprice <  q1 THEN 'Q1'
+                WHEN o_totalprice <  q2 THEN 'Q2'
+                WHEN o_totalprice <  q3 THEN 'Q3'
+                ELSE 'Q4' END AS bucket,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders CROSS JOIN qs
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def quantile_bins_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning with DATA-DRIVEN boundaries (vs
+    ``bucketize_totalprice``'s fixed splits): exact quartiles from one
+    aggregate (``F.percentile`` ≡ DuckDB ``quantile_cont`` — already
+    value-proven by ``percentiles_price_by_status``), broadcast back
+    as a 1-row frame, then a pure CASE projection + grouped counts.
+    The two-phase compute-splits-then-apply pattern every feature
+    pipeline's quantile discretizer uses; the bucket gates compare
+    identical doubles in both engines."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    qs = orders.agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.50).alias("q2"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    p = F.col("o_totalprice")
+    return (
+        orders.crossJoin(F.broadcast(qs))
+        .groupBy(
+            F.when(p < F.col("q1"), "Q1")
+            .when(p < F.col("q2"), "Q2")
+            .when(p < F.col("q3"), "Q3")
+            .otherwise("Q4")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(p, 2).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- Per-group closed-form linear regression from exact moments -------------
+@register(
+    "regression_price_vs_quantity",
+    sql="""
+    WITH m AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sy,
+               CAST(sum(CAST(l_quantity * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(l_quantity * l_quantity
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept
+    FROM m
+    ORDER BY l_returnflag
+    """,
+)
+def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares line (price ~ quantity) from
+    EXACT decimal moment sums — the closed-form
+    ``slope = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²)`` computed from
+    DECIMAL(38,6)-accumulated Σx, Σy, Σxy, Σxx, so every input to the
+    float arithmetic is engine-identical (built-in ``regr_slope``
+    accumulates raw doubles — summation-order ULP drift across
+    engines, the exact class functions/exact.py documents).  One
+    grouped aggregate, five sums, zero extra passes — the grouped
+    analytics a feature store derives trend features with."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.select(
+            "l_returnflag",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
