@@ -289,3 +289,61 @@ def curation_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_logprob", 4).alias("avg_logprob"),
         "keep_prob",
     ).orderBy("doc_id")
+
+
+@register(
+    "token_entropy_by_lang",
+    sql=r"""
+    WITH w AS (SELECT lang,
+                      unnest(string_split_regex(trim(lower(text)), '\s+'))
+                          AS term
+               FROM documents WHERE regexp_matches(text, '\S')),
+    cnt AS (SELECT lang, term, count(*) AS c FROM w GROUP BY lang, term),
+    tot AS (SELECT lang, sum(c) AS n, count(*) AS n_distinct
+            FROM cnt GROUP BY lang)
+    SELECT cnt.lang,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(tot.n_distinct AS BIGINT) AS n_distinct,
+           round(CAST(sum(CAST(
+                     round(-(c / tot.n) * ln(c / tot.n), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS entropy
+    FROM cnt JOIN tot USING (lang)
+    GROUP BY cnt.lang, tot.n, tot.n_distinct
+    ORDER BY cnt.lang
+    """,
+)
+def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each language's token distribution — the
+    corpus-diversity diagnostic a data-mixing pipeline tracks per
+    domain (low entropy flags boilerplate-dominated or degenerate
+    slices).  Σ −p·ln p with each term quantized to 12 digits BEFORE
+    the DECIMAL accumulation, so the only residual cross-engine
+    surface is a 1-ULP ``ln`` difference landing exactly on a 1e-12
+    boundary (the lm_score class); the sum itself is exact and
+    order-independent.  Two bounded-key shuffles: (lang, term) counts,
+    then per-lang totals broadcast back."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    w = docs.filter(F.col("text").rlike(r"\S")).select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    cnt = w.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * F.log(p), 12).cast("decimal(38,12)")
+    return (
+        cnt.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n", "n_distinct")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("entropy"))
+        .select(
+            "lang",
+            F.col("n").alias("n_tokens"),
+            "n_distinct",
+            "entropy",
+        )
+        .orderBy("lang")
+    )
