@@ -221,3 +221,55 @@ def test_streaming_incremental_dedup_matches_batch(spark):
     }
     assert got == cands
     keys.unpersist()
+
+
+def test_stream_merge_upsert_matches_batch(spark, tmp_path):
+    """foreachBatch CDC maintenance: streaming the change files into
+    the merge target must yield the same final table as applying the
+    batch merge_upsert over the same changes — stream/batch parity for
+    the maintenance path (same operator, different driver)."""
+    import pyspark.sql.functions as F
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        merge_upsert,
+    )
+    from prod_recommendation_pyspark_spark.streaming.maintenance import (
+        StreamMergeTarget,
+        stream_merge_upsert,
+    )
+
+    initial = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, False),   # update
+            (4, "d", 40.0, False),    # insert
+            (3, None, 0.0, True),     # delete
+        ],
+        "id long, name string, score double, is_delete boolean",
+    )
+    # stage changes as files for the stream source
+    chg_dir = str(tmp_path / "changes")
+    changes.coalesce(1).write.parquet(chg_dir)
+
+    tgt = StreamMergeTarget(
+        spark, str(tmp_path / "target"), keys=["id"], delete_col="is_delete"
+    )
+    tgt.init(initial)
+    stream = spark.readStream.schema(changes.schema).parquet(chg_dir)
+    q = stream_merge_upsert(stream, tgt, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {tuple(r) for r in tgt.current().collect()}
+    want = {
+        tuple(r)
+        for r in merge_upsert(
+            initial, changes, ["id"], delete_col="is_delete"
+        ).collect()
+    }
+    assert got == want
+    assert got == {(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)}
