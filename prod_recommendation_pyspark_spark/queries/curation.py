@@ -347,3 +347,59 @@ def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "kl_divergence_by_lang",
+    sql=r"""
+    WITH w AS (SELECT lang,
+                      unnest(string_split_regex(trim(lower(text)), '\s+'))
+                          AS term
+               FROM documents WHERE regexp_matches(text, '\S')),
+    lc AS (SELECT lang, term, count(*) AS c FROM w GROUP BY lang, term),
+    lt AS (SELECT lang, sum(c) AS n FROM lc GROUP BY lang),
+    gc AS (SELECT term, sum(c) AS gc FROM lc GROUP BY term),
+    gt AS (SELECT sum(c) AS gn FROM lc)
+    SELECT lc.lang,
+           round(CAST(sum(CAST(
+                     round((c / lt.n) * ln((c / lt.n) / (gc / gt.gn)), 12)
+                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl_from_corpus
+    FROM lc JOIN lt USING (lang) JOIN gc USING (term) CROSS JOIN gt
+    GROUP BY lc.lang
+    ORDER BY lc.lang
+    """,
+)
+def kl_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_lang ‖ P_corpus) over token distributions — the
+    data-mixing diagnostic paired with ``token_entropy_by_lang``: how
+    far each language slice's usage diverges from the global mix
+    (spikes flag domain drift or contamination).  Every lang term is
+    present in the corpus distribution by construction, so no
+    zero-denominator terms exist; each p·ln(p/q) term is quantized to
+    12 digits before the DECIMAL accumulation (order-independent sum;
+    residual = the 1-ULP ln class).  Shuffles: (lang, term) counts,
+    term-level corpus counts, per-lang totals — all bounded keys."""
+    docs = Catalog(spark, sf_dir).table("documents")
+    w = docs.filter(F.col("text").rlike(r"\S")).select(
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    lc = w.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    lt = lc.groupBy("lang").agg(F.sum("c").alias("n"))
+    gc = lc.groupBy("term").agg(F.sum("c").alias("gc"))
+    gt = lc.agg(F.sum("c").alias("gn"))
+    p = F.col("c") / F.col("n")
+    q = F.col("gc") / F.col("gn")
+    term = F.round(p * F.log(p / q), 12).cast("decimal(38,12)")
+    return (
+        lc.join(F.broadcast(lt), "lang")
+        .join(gc, "term")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("lang")
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("kl_from_corpus")
+        )
+        .orderBy("lang")
+    )

@@ -640,10 +640,14 @@ def sink_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetry (quoting, type coercion, header handling) breaks the
     value hash against the plain ``nation`` oracle.
 
-    The scratch dir lives under the repo and is rewritten per run
-    (mode=overwrite); ``single_file`` exercises the reference's
+    Per-invocation temp dir (same isolation as ``zorder_layout_events``
+    — concurrent sweeps must not overwrite each other's files mid-read;
+    cleanup deferred to process exit since the returned plan scans the
+    files lazily); ``single_file`` exercises the reference's
     coalesce(1) report shape (search_ranking_peers.py:168-173)."""
-    import os
+    import atexit
+    import shutil
+    import tempfile
 
     from prod_recommendation_pyspark_spark.sources.readers import (
         read_csv,
@@ -660,8 +664,8 @@ def sink_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = Catalog(spark, sf_dir).table("nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".tmp_roundtrip")
+    base = tempfile.mkdtemp(prefix="spark_graft_roundtrip_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     write_csv(nation, f"{base}/nation_csv", single_file=True)
     write_parquet(nation, f"{base}/nation_parquet")
     write_json(nation, f"{base}/nation_json")
@@ -966,4 +970,50 @@ def modulo_split_customer_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
         )
         .orderBy("split", "segment")
+    )
+
+
+# --- S-family: schema evolution across file batches -------------------------
+@register(
+    "schema_evolution_nation",
+    sql="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 12 THEN NULL
+                ELSE n_regionkey END AS n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def schema_evolution_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (the S-family case every long-lived
+    dataset hits: files written before a column existed live next to
+    files written after): batch 1 (keys < 12) is written WITHOUT
+    ``n_regionkey``, batch 2 with it; ``mergeSchema=true`` reads both
+    under the union schema, old rows surfacing NULL for the new
+    column.  The value hash pins the union-schema semantics — a reader
+    that dropped the column, defaulted it to 0, or refused the mixed
+    directory all fail.  At 100 TB mergeSchema's footer sampling is
+    the cost knob: evolve-by-ADD keeps it cheap, and a table format's
+    schema registry replaces it entirely — this is the plain-parquet
+    contract."""
+    import atexit
+    import shutil
+    import tempfile
+
+    nation = Catalog(spark, sf_dir).table("nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_evolve_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    old = nation.filter(F.col("n_nationkey") < 12).drop("n_regionkey")
+    new = nation.filter(F.col("n_nationkey") >= 12)
+    old.write.parquet(f"{base}/t/batch=1")
+    new.write.parquet(f"{base}/t/batch=2")
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/t")
+        .drop("batch")
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        "n_nationkey"
     )
