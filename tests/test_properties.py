@@ -338,3 +338,88 @@ def test_merge_upsert_matches_python_reference(spark, tgt, src):
         else:
             want[k] = v
     assert got == set(want.items())
+
+
+@EXAMPLES
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("a b c d e".split()), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_segment_dedup_matches_python_reference(spark, docs):
+    """segment_dedup ≡ a direct Python replay of the tiling + global
+    count + keep + reassembly over tiny random corpora (5-word vocab
+    makes cross-doc tile collisions common)."""
+    from collections import Counter
+
+    from prod_recommendation_pyspark_spark.operators.text import segment_dedup
+
+    seg_words, cap = 2, 1
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.clean_text)
+        for r in segment_dedup(
+            df, "doc_id", "text", seg_words=seg_words, max_occurrences=cap
+        ).collect()
+    }
+    # python reference
+    tiles = {}
+    for i, ws in enumerate(docs):
+        tiles[i] = [
+            " ".join(ws[j : j + seg_words])
+            for j in range(0, len(ws), seg_words)
+        ]
+    counts = Counter(t for ts in tiles.values() for t in ts)
+    for i, ws in enumerate(docs):
+        keep = [t for t in tiles[i] if counts[t] <= cap]
+        assert got[i] == (len(tiles[i]), len(keep), " ".join(keep)), (
+            i,
+            docs,
+        )
+
+
+@EXAMPLES
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_pagerank_matches_python_reference(spark, edges):
+    """pagerank ≡ a direct Python power iteration on random small
+    digraphs (self-loops and parallel edges included — parallel edges
+    legitimately weight the contribution, mirroring the operator)."""
+    from prod_recommendation_pyspark_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=2, damping=0.5).collect()
+    }
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(2):
+        contrib = {u: 0.0 for u in nodes}
+        # exact decimal-free reference: accumulate in sorted edge order;
+        # the operator's DECIMAL sum is exact so order cannot matter
+        for s, d in sorted(edges):
+            contrib[d] += rank[s] / deg[s]
+        rank = {
+            u: round(0.5 / n + 0.5 * contrib[u], 10) for u in nodes
+        }
+    assert set(got) == set(nodes)
+    for u in nodes:
+        assert abs(got[u] - rank[u]) < 1e-9, (u, edges, got[u], rank[u])
