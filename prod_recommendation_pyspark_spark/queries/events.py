@@ -427,3 +427,79 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist.select(
         "user_id", "state", "valid_from", "valid_to", "is_current"
     ).orderBy("user_id", "valid_from")
+
+
+# --- Funnel analysis: ordered-step conversion per user ----------------------
+@register(
+    "funnel_conversion_events",
+    sql="""
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT v.user_id,
+           CAST(epoch_us(v.t1) AS BIGINT) AS view_us,
+           CAST(epoch_us(c.t2) AS BIGINT) AS click_us,
+           CAST(epoch_us(p.t3) AS BIGINT) AS purchase_us,
+           CAST(1 + CAST(c.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS INT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    ORDER BY v.user_id
+    """,
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (view → click-after-view →
+    purchase-after-click) per user — the product-analytics staple
+    whose ORDER constraint a naive per-type min gets wrong (a click
+    BEFORE the first view must not count).  Three chained conditional
+    mins: each stage joins the previous stage's timestamp and keeps
+    only later events.
+
+    Scale: three passes over the (type-filtered, predicate-pushed)
+    events scan, each one groupBy shuffle on user_id; stages 2-3 join
+    on user_id against the prior stage's ONE-ROW-PER-USER table, so
+    AQE broadcasts them as the funnel narrows.  Emitted timestamps are
+    epoch µs — engine- and timezone-neutral."""
+    ev = Catalog(spark, sf_dir).table("events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            _epoch_us("t1").alias("view_us"),
+            _epoch_us("t2").alias("click_us"),
+            _epoch_us("t3").alias("purchase_us"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+        .orderBy("user_id")
+    )
