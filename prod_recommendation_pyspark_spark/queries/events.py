@@ -503,3 +503,70 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- Cohort retention: signup week × activity week --------------------------
+@register(
+    "cohort_retention_events",
+    sql="""
+    WITH su AS (SELECT user_id,
+                       CAST(floor(epoch(min(ts)) / 604800) AS BIGINT)
+                           AS cohort_week
+                FROM events WHERE event_type = 'signup'
+                GROUP BY user_id),
+    act AS (SELECT DISTINCT e.user_id, su.cohort_week,
+                   CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS week
+            FROM events e JOIN su ON e.user_id = su.user_id
+            WHERE CAST(floor(epoch(e.ts) / 604800) AS BIGINT)
+                  >= su.cohort_week)
+    SELECT cohort_week,
+           CAST(week - cohort_week AS BIGINT) AS weeks_since_signup,
+           count(*) AS n_active
+    FROM act
+    GROUP BY cohort_week, weeks_since_signup
+    ORDER BY cohort_week, weeks_since_signup
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle — users bucketed by signup week
+    (first 'signup' event), counted as active in each later week they
+    emit ANY event: the companion analytic to the conversion funnel
+    (one answers "do they convert", this answers "do they come
+    back").  Weeks are epoch-aligned 7-day buckets (floor(epoch/604800)
+    — engine-identical integer arithmetic, no calendar/TZ semantics to
+    disagree on).
+
+    Scale: one groupBy shuffle for the signup table (one row per
+    user — AQE broadcasts it as the join side), one distinct shuffle
+    on (user, cohort, week), one bounded-key aggregate.  Pre-signup
+    activity is excluded (the cohort definition, and the guard that
+    makes the triangle lower-triangular)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    week = F.floor(_epoch_us("ts") / F.lit(604800000000)).cast("long")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select(
+            "user_id",
+            F.floor(_epoch_us("t0") / F.lit(604800000000))
+            .cast("long")
+            .alias("cohort_week"),
+        )
+    )
+    act = (
+        ev.select("user_id", week.alias("week"))
+        .join(su, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias(
+                "weeks_since_signup"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_week", "weeks_since_signup")
+    )
