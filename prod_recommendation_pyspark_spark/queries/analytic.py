@@ -1286,3 +1286,177 @@ def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- RFM customer segmentation ----------------------------------------------
+@register(
+    "rfm_segmentation_customers",
+    sql="""
+    WITH rfm AS (
+        SELECT c.c_custkey,
+               date_diff('day', DATE '1990-01-01',
+                         CAST(max(o.o_orderdate) AS DATE)) AS recency_day,
+               count(*) AS frequency,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS monetary
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey),
+    scored AS (
+        SELECT *,
+               ntile(4) OVER (ORDER BY recency_day, c_custkey) AS r_score,
+               ntile(4) OVER (ORDER BY frequency, c_custkey)   AS f_score,
+               ntile(4) OVER (ORDER BY monetary, c_custkey)    AS m_score
+        FROM rfm)
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           count(*) AS n_customers,
+           CAST(round(sum(CAST(monetary AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS segment_value
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value quartiling
+    (recency of last order, order frequency, monetary total), each
+    dimension ntile(4)-scored with a custkey tiebreak so quartile
+    boundaries are deterministic in both engines, then segment-level
+    rollup.  Recency is integer days since an epoch date (NTZ→date is
+    timezone-free in both engines); monetary sums are exact decimal.
+
+    Scale: one join+groupBy shuffle builds the per-customer RFM table;
+    the three ntiles are global windows over ONE ROW PER CUSTOMER —
+    the projection is already aggregated, so the single-partition
+    window is |customers| rows, not the fact table (acceptable to
+    ~100M customers; beyond that swap ntile for percentile-split
+    joins like quantile_bins)."""
+    cat = Catalog(spark, sf_dir)
+    from pyspark.sql import Window
+
+    rfm = (
+        cat.table("customer")
+        .join(cat.table("orders"), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.max("o_orderdate").alias("t_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice"), 2).alias("monetary"),
+        )
+        .select(
+            "c_custkey",
+            F.datediff(
+                F.col("t_last").cast("date"),
+                F.lit("1990-01-01").cast("date"),
+            ).alias("recency_day"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(4)
+        .over(Window.orderBy("recency_day", "c_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy("frequency", "c_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary", "c_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("monetary"), 2).alias("segment_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# --- Market-basket association rules over order contents --------------------
+@register(
+    "brand_association_rules",
+    sql="""
+    WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob),
+    sup AS (SELECT p_brand, count(*) AS s FROM ob GROUP BY p_brand),
+    pairs AS (SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+                     count(*) AS s_ab
+              FROM ob a JOIN ob b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.p_brand <> b.p_brand
+              GROUP BY a.p_brand, b.p_brand)
+    SELECT antecedent, consequent,
+           CAST(s_ab AS BIGINT) AS pair_support,
+           round(s_ab / sa.s, 6) AS confidence,
+           round((s_ab / sa.s) / (sc.s / n.n_orders), 6) AS lift
+    FROM pairs
+    JOIN sup sa ON pairs.antecedent = sa.p_brand
+    JOIN sup sc ON pairs.consequent = sc.p_brand
+    CROSS JOIN n
+    WHERE s_ab >= n.n_orders * 0.02
+    ORDER BY antecedent, consequent
+    """,
+)
+def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order contents (brand →
+    brand): pair support from a within-order self-join on DISTINCT
+    (order, brand) rows, confidence = sup(a,b)/sup(a), lift =
+    confidence / P(b).  All ratios are single divisions of exact
+    integer counts — engine-identical doubles — rounded for emission.
+
+    Scale: the within-order self-join is the classic basket blowup —
+    bounded here because baskets are small (items-per-order ≤ ~7); at
+    100 TB cap basket size (or sample giant baskets) exactly like
+    MinHash's ``max_bucket``, and prune brands below min-support
+    BEFORE the pair join (the sup table is the df-cap).  Min support
+    is RELATIVE (2% of orders) so the rule set stays decision-sized
+    at every scale factor."""
+    cat = Catalog(spark, sf_dir)
+    ob = (
+        cat.table("lineitem")
+        .join(
+            F.broadcast(cat.table("part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.select(F.count_distinct("l_orderkey").alias("n_orders"))
+    sup = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
+    a = ob.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("antecedent")
+    )
+    b = ob.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("consequent")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    sa = sup.select(F.col("p_brand").alias("antecedent"), F.col("s").alias("sa"))
+    sc = sup.select(F.col("p_brand").alias("consequent"), F.col("s").alias("sc"))
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("s_ab") >= F.col("n_orders") * 0.02)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_ab").alias("pair_support"),
+            F.round(F.col("s_ab") / F.col("sa"), 6).alias("confidence"),
+            F.round(
+                (F.col("s_ab") / F.col("sa"))
+                / (F.col("sc") / F.col("n_orders")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
