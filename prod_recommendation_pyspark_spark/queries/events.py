@@ -570,3 +570,67 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active"))
         .orderBy("cohort_week", "weeks_since_signup")
     )
+
+
+# --- Exponentially weighted moving average per user (exact α = 0.5) ---------
+@register(
+    "ewma_user_value_events",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id,
+               list(value ORDER BY ts, event_id) AS vals
+        FROM events GROUP BY user_id)
+    SELECT user_id,
+           CAST(len(vals) AS BIGINT) AS n_events,
+           round(list_reduce(CAST(vals AS DOUBLE[]),
+                             (acc, x) -> 0.5 * x + 0.5 * acc), 6) AS ewma
+    FROM ordered
+    ORDER BY user_id
+    """,
+)
+def ewma_user_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (y₁ = x₁, yᵢ = α·xᵢ + (1−α)·yᵢ₋₁)
+    — the sequential smoother behind rate limiting / anomaly baselines.
+    α = 0.5 deliberately: every weight is a power of two, so the whole
+    recursion is EXACT double arithmetic and any engine folding the
+    same ordered list gets bit-identical results (a generic α would
+    carry rounding at every step).  The fold is a Catalyst
+    ``aggregate`` HOF over the per-user time-ordered value array —
+    sequential per key but one expression, no Python; the oracle is
+    DuckDB's ``list_reduce`` over the identically ordered list.
+
+    Scale: one groupBy shuffle; per-user arrays are |events-per-user|
+    — for genuinely unbounded keys switch to the
+    ``applyInPandasWithState`` streaming form (same recursion,
+    incremental)."""
+    ev = Catalog(spark, sf_dir).table("events")
+    ordered = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        _epoch_us("ts").alias("us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ).alias("rows")
+        )
+        .select(
+            "user_id",
+            F.transform(F.col("rows"), lambda r: r["v"]).alias("vals"),
+        )
+    )
+    fold = F.aggregate(
+        F.slice(
+            F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))
+        ),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    ).orderBy("user_id")
