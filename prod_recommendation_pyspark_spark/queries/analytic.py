@@ -1460,3 +1460,131 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+# --- Pareto / cumulative-contribution analysis ------------------------------
+@register(
+    "pareto_brand_revenue",
+    sql="""
+    WITH rev AS (
+        SELECT p.p_brand AS brand,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                   AS DECIMAL(38,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand),
+    tot AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(38,6))) AS DOUBLE)
+                       AS total FROM rev),
+    ranked AS (
+        SELECT brand, revenue,
+               CAST(sum(CAST(revenue AS DECIMAL(38,6)))
+                        OVER (ORDER BY revenue DESC, brand)
+                    AS DOUBLE) AS cum_revenue
+        FROM rev)
+    SELECT brand, revenue,
+           round(cum_revenue / tot.total, 6) AS cum_share,
+           CAST(round(cum_revenue / tot.total, 6) <= 0.8 AS BOOLEAN)
+               AS in_head
+    FROM ranked CROSS JOIN tot
+    ORDER BY revenue DESC, brand
+    """,
+)
+def pareto_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (cumulative-contribution) analysis: brands ranked by
+    revenue with running cumulative share and the 80%-head flag — the
+    concentration diagnostic behind "which 20% of SKUs drive 80% of
+    revenue".  The running sum accumulates the ALREADY-ROUNDED
+    per-brand revenues in DECIMAL (exact at any partitioning), the
+    share is one double division, and the head flag gates on the
+    ROUNDED share so no float boundary can flip it between engines.
+
+    Scale: per-brand aggregate is one shuffle; the running-total
+    window is over |brands| pre-aggregated rows (fine to millions of
+    groups; beyond that, two-phase: range-partition by revenue +
+    per-partition offsets)."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.table("lineitem")
+        .join(
+            F.broadcast(cat.table("part")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(dsum(F.col("revenue")).alias("total"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "brand")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col("revenue").cast("decimal(38,6)")).over(w).cast("double")
+    share = F.round(cum / F.col("total"), 6)
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "revenue",
+            share.alias("cum_share"),
+            (share <= 0.8).alias("in_head"),
+        )
+        .orderBy(F.col("revenue").desc(), "brand")
+    )
+
+
+# --- Event-type transition matrix (first-order Markov counts) ---------------
+@register(
+    "event_transition_matrix",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    cnt AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type),
+    tot AS (SELECT prev_type, sum(n) AS row_n FROM cnt GROUP BY prev_type)
+    SELECT cnt.prev_type, cnt.next_type,
+           CAST(cnt.n AS BIGINT) AS n_transitions,
+           round(cnt.n / tot.row_n, 6) AS p_transition
+    FROM cnt JOIN tot USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    consecutive event types per user (ordered by ts with event_id
+    tiebreak — deterministic under ties) — the sequence-analytics
+    staple feeding next-action models and anomaly detection.  One
+    lag window per user + one bounded-key aggregate (≤ |types|²
+    rows); each probability is a single division of exact integer
+    counts."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("n").alias("n_transitions"),
+            F.round(F.col("n") / F.col("row_n"), 6).alias("p_transition"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
