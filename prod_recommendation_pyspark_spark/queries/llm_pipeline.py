@@ -1518,3 +1518,44 @@ def heavy_hitters_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(items, "item", k=1000, min_frac=0.00125).orderBy(
         "item"
     )
+
+
+@register(
+    "weighted_sample_documents",
+    sql="""
+    WITH u AS (
+        SELECT doc_id, n_chars,
+               ((((doc_id % 4294967296) // 65536) * 2654435761 % 4294967296)
+                * 65536 + (doc_id % 65536) * 2654435761) % 4294967296
+               / 4294967296.0 AS u
+        FROM documents WHERE n_chars > 0)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           round(pow(u, 1.0 / n_chars), 12) AS draw_key
+    FROM u
+    ORDER BY draw_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    A-Res / Efraimidis-Spirakis scheme: draw key ``u^(1/w)``, keep the
+    top-k — here w = document length, so longer documents are
+    proportionally likelier, the classic length-weighted corpus
+    draw).  ``u`` is the portable integer hash (reshuffle-stable, no
+    RNG state) and the key is rounded to 12 digits before ranking so
+    ``pow``'s 1-ULP engine variance cannot reorder the cut; doc_id
+    breaks exact ties.  Top-k plans as TakeOrdered — per-partition
+    heads + a k-row driver merge, no global sort at any scale."""
+    from prod_recommendation_pyspark_spark.operators.text import uniform_hash
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(
+        F.col("n_chars") > 0
+    )
+    key = F.round(
+        F.pow(uniform_hash(F.col("doc_id")), 1.0 / F.col("n_chars")), 12
+    )
+    return (
+        docs.select("doc_id", "n_chars", key.alias("draw_key"))
+        .orderBy(F.col("draw_key").desc(), "doc_id")
+        .limit(100)
+    )
