@@ -634,3 +634,112 @@ def ewma_user_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("long").alias("n_events"),
         F.round(fold, 6).alias("ewma"),
     ).orderBy("user_id")
+
+
+# --- Rolling 7-day active users (sliding distinct count) --------------------
+@register(
+    "rolling_wau_events",
+    sql="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        FROM events),
+    expanded AS (
+        SELECT DISTINCT user_id, day + k AS window_day
+        FROM days, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(k)),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM days)
+    SELECT window_day, count(*) AS active_users
+    FROM expanded CROSS JOIN bounds
+    WHERE window_day BETWEEN bounds.lo AND bounds.hi
+    GROUP BY window_day
+    ORDER BY window_day
+    """,
+)
+def rolling_wau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the production
+    engagement metric whose naive form is a per-day COUNT(DISTINCT)
+    over a sliding range (re-scanning 7 days of events per output
+    day).  Here each (user, active-day) pair is deduped once, then
+    EXPANDED to the ≤7 window-days it contributes to — the sliding
+    window becomes one distinct + one bounded aggregate, the same
+    granule trick as ``sliding_windows_events``/``range_join``.
+    Epoch-aligned integer days, truncated to days inside the observed
+    range (leading/trailing partial windows at the edges are still
+    emitted by both engines identically).
+
+    Scale: the (user, day) distinct is the only user-cardinality
+    shuffle; expansion is ×7 on the DEDUPED pairs, not raw events."""
+    ev = Catalog(spark, sf_dir).table("events")
+    days = ev.select(
+        "user_id",
+        F.floor(_epoch_us("ts") / F.lit(86400000000)).cast("long").alias(
+            "day"
+        ),
+    ).distinct()
+    expanded = (
+        days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("window_day"),
+        )
+        .distinct()
+    )
+    bounds = days.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("window_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("window_day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("window_day")
+    )
+
+
+# --- Frequent event-type trigram sequences ----------------------------------
+@register(
+    "event_trigram_sequences",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS p1,
+               lag(event_type, 2) OVER w AS p2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (SELECT p2 AS step1, p1 AS step2, event_type AS step3
+            FROM seq WHERE p2 IS NOT NULL),
+    tot AS (SELECT count(*) AS n FROM tri)
+    SELECT step1, step2, step3, count(*) AS n_occurrences
+    FROM tri CROSS JOIN tot
+    GROUP BY step1, step2, step3, tot.n
+    HAVING count(*) >= tot.n * 0.005
+    ORDER BY step1, step2, step3
+    """,
+)
+def event_trigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step behavioral sequences per user (consecutive
+    event-type trigrams, deterministic tie order) — the sequence-mining
+    companion to the first-order transition matrix: which PATHS, not
+    just which hops, dominate.  Two lag windows over one per-user sort
+    (Spark evaluates both in a single Window exec) + one ≤|types|³
+    bounded aggregate with a RELATIVE min-support cut (0.5% of all
+    trigrams — scale-invariant, non-empty at every SF)."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    ).filter(F.col("step1").isNotNull())
+    tot = seq.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        seq.groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_occurrences") >= F.col("n") * 0.005)
+        .select("step1", "step2", "step3", "n_occurrences")
+        .orderBy("step1", "step2", "step3")
+    )
