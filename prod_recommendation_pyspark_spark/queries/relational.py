@@ -1017,3 +1017,35 @@ def schema_evolution_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("n_nationkey", "n_name", "n_regionkey").orderBy(
         "n_nationkey"
     )
+
+
+# --- S-family: ORC sink/scan round-trip --------------------------------------
+@register(
+    "orc_roundtrip_nation",
+    sql="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def orc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan round-trip — the columnar format beside parquet
+    (Spark ships the ORC reader/writer natively; same predicate
+    pushdown / column pruning machinery).  The value hash pins the
+    lossless type round-trip against the plain table; per-invocation
+    temp dir as in the other sink queries."""
+    import atexit
+    import shutil
+    import tempfile
+
+    nation = Catalog(spark, sf_dir).table("nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    nation.write.mode("overwrite").orc(f"{base}/nation_orc")
+    return (
+        spark.read.orc(f"{base}/nation_orc")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    )
