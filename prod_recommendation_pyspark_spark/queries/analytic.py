@@ -1425,6 +1425,9 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "p_brand")
         .distinct()
+        # four branches (order count, both support sides, pair join)
+        # hang off this table — persist or the scan+distinct runs 4x
+        .persist()
     )
     n = ob.select(F.count_distinct("l_orderkey").alias("n_orders"))
     sup = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
