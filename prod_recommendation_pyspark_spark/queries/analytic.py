@@ -1591,3 +1591,110 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --- Item-item collaborative-filtering similarity ---------------------------
+@register(
+    "item_item_cosine_topk",
+    sql="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey),
+    pairs AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                     count(*) AS cooccur
+              FROM op a JOIN op b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY a.l_partkey, b.l_partkey),
+    sym AS (SELECT item_a, item_b, cooccur FROM pairs
+            UNION ALL
+            SELECT item_b AS item_a, item_a AS item_b, cooccur FROM pairs),
+    scored AS (SELECT s.item_a, s.item_b,
+                      CAST(s.cooccur AS BIGINT) AS cooccur,
+                      round(CAST(s.cooccur AS DOUBLE)
+                            / sqrt(CAST(ca.c AS DOUBLE)
+                                   * CAST(cb.c AS DOUBLE)), 6) AS cosine
+               FROM sym s
+               JOIN cnt ca ON s.item_a = ca.l_partkey
+               JOIN cnt cb ON s.item_b = cb.l_partkey),
+    ranked AS (SELECT *, row_number() OVER (
+                   PARTITION BY item_a
+                   ORDER BY cosine DESC, item_b) AS rnk
+               FROM scored)
+    SELECT item_a, item_b, cooccur, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY item_a, rnk
+    """,
+)
+def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine over
+    binary order-occurrence vectors, sim(a,b) = c_ab / sqrt(c_a*c_b),
+    top-5 neighbours per item — the memory-based recommender that
+    complements the ALS model path (reference
+    recommender_prod_rec.py computes only the factorized variant).
+
+    Floats: cooccur and the two marginals are exact integers; the
+    score is one division and one sqrt of their doubles — both IEEE
+    correctly-rounded single ops, so engines agree bit-for-bit — and
+    ranking happens on the ROUNDED score with an item tiebreak (the
+    float-gate rule from the round-5 advice).
+
+    Scale: the within-order self-join is bounded by basket size
+    (≤ ~7 items/order ⇒ ≤ 21 pairs per order) — linear in orders,
+    not quadratic in items; the marginal-count join-back broadcasts
+    (one row per distinct item).  At 100 TB, cap giant baskets like
+    MinHash's ``max_bucket`` and co-partition ``op`` by orderkey so
+    the pair join is shuffle-free after the distinct."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    op = (
+        cat.table("lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        # marginals + both pair-join sides hang off this table
+        .persist()
+    )
+    cnt = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    a = op.select("l_orderkey", F.col("l_partkey").alias("item_a"))
+    b = op.select("l_orderkey", F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("cooccur"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "cooccur",
+        )
+    )
+    ca = cnt.select(F.col("l_partkey").alias("item_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("item_b"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("cooccur").cast("long").alias("cooccur"),
+            F.round(
+                F.col("cooccur").cast("double")
+                / F.sqrt(
+                    F.col("ca").cast("double") * F.col("cb").cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("item_b")
+    )
+    return (
+        scored.select(
+            "*", F.row_number().over(w).cast("int").alias("rnk")
+        )
+        .filter(F.col("rnk") <= 5)
+        .orderBy("item_a", "rnk")
+    )

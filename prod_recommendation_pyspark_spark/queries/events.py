@@ -743,3 +743,104 @@ def event_trigram_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("step1", "step2", "step3", "n_occurrences")
         .orderBy("step1", "step2", "step3")
     )
+
+
+# --- Rolling z-score anomaly detection over hourly event volumes ------------
+@register(
+    "anomaly_zscore_events",
+    sql="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+               count(*) AS cnt
+        FROM events GROUP BY event_type, hour),
+    win AS (
+        SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt,
+               count(*)        OVER w AS n,
+               CAST(sum(cnt)   OVER w AS DOUBLE) AS s1,
+               CAST(sum(cnt * cnt) OVER w AS DOUBLE) AS s2
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    z AS (
+        SELECT event_type, hour, cnt,
+               CASE WHEN n = 24
+                     AND (s2 - s1 * s1 / 24.0) / 23.0 > 0
+                    THEN round((cnt - s1 / 24.0)
+                               / sqrt((s2 - s1 * s1 / 24.0) / 23.0), 6)
+                    END AS z_score
+        FROM win)
+    SELECT event_type, hour, cnt, z_score,
+           CAST(CASE WHEN z_score IS NULL THEN NULL
+                     ELSE abs(z_score) >= 3.0 END AS BOOLEAN) AS is_anomaly
+    FROM z
+    ORDER BY event_type, hour
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: hourly event volume per
+    type scored against the trailing 24 fully-observed hourly buckets
+    (ROWS frame excludes the current row), |z| >= 3 flagged — the
+    ops-monitoring staple for traffic spikes/drops.
+
+    Floats: the window aggregates are exact integer sums (counts and
+    squared counts); mean and variance derive from them via a FIXED
+    shared expression order — (s2 - s1*s1/24)/23 — so both engines
+    execute the identical double op sequence, and the gate tests the
+    ROUNDED z (float-gate rule).  Warmup rows (fewer than 24 trailing
+    buckets) and zero-variance windows emit NULL, not a guess.
+
+    Scale: one shuffle to the hourly rollup (map-side combine does
+    the heavy lifting — output is |types| x |hours|, tiny), then a
+    per-type ordered window over the bucket series, never over raw
+    events.  Hash-partitioned by event_type, so a 1000-executor run
+    scores types independently; a skewed type costs only its own
+    bucket count, which is time-bounded."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(_epoch_us("ts") / F.lit(3600000000))
+            .cast("long")
+            .alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    win = hourly.select(
+        "event_type",
+        "hour",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).cast("double").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.lit(24.0)) / F.lit(
+        23.0
+    )
+    z = F.when(
+        (F.col("n") == 24) & (var > 0),
+        F.round(
+            (F.col("cnt") - F.col("s1") / F.lit(24.0)) / F.sqrt(var), 6
+        ),
+    )
+    return (
+        win.select("event_type", "hour", "cnt", z.alias("z_score"))
+        .select(
+            "*",
+            F.when(
+                F.col("z_score").isNotNull(),
+                F.abs(F.col("z_score")) >= 3.0,
+            )
+            .cast("boolean")
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
