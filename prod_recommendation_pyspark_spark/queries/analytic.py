@@ -1698,3 +1698,443 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("item_a", "rnk")
     )
+
+
+# --- TPC-H Q21 analog: suppliers who kept orders waiting ---------------------
+@register(
+    "q21_waiting_suppliers",
+    sql="""
+    WITH ll AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                    THEN 1 ELSE 0 END AS is_late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'),
+    os AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN is_late = 1
+                                   THEN l_suppkey END) AS n_late_supp
+        FROM ll GROUP BY l_orderkey)
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM ll l1
+    JOIN os ON os.l_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late = 1 AND os.n_supp >= 2 AND os.n_late_supp = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted to this
+    schema: no l_receiptdate/l_commitdate, so "late" = shipped more
+    than 90 days after the order date (q12's lateness rule); no
+    nation column filter so small SFs keep a meaningful result.  The
+    correlated EXISTS ("another supplier participated") and NOT
+    EXISTS ("no OTHER supplier was late") collapse into one per-order
+    summary — n_supp >= 2 AND n_late_supp = 1 — turning two
+    correlated subqueries into a single aggregate join, while the
+    count keeps Q21's per-lineitem granularity.
+
+    Scale: the order summary is one map-side-combinable aggregate on
+    the SAME key (l_orderkey) the detail join uses, so the shuffle
+    partitioning is reused; supplier join-back broadcasts.  No
+    per-row subquery re-execution anywhere — the classic Q21 trap."""
+    cat = Catalog(spark, sf_dir)
+    ll = (
+        cat.table("lineitem")
+        .join(
+            cat.table("orders").filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                > 90,
+                1,
+            )
+            .otherwise(0)
+            .alias("is_late"),
+        )
+        # feeds BOTH the per-order summary and the detail side of the
+        # final join — unpersisted, the lineitem+orders join runs twice
+        .persist()
+    )
+    os_ = ll.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    return (
+        ll.filter(F.col("is_late") == 1)
+        .join(
+            os_.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(cat.table("supplier")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# --- Triangle counting on the part co-purchase graph -------------------------
+@register(
+    "triangle_count_parts",
+    sql="""
+    WITH inst AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM inst a JOIN inst b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY u, v HAVING count(*) >= 2),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT u AS node FROM co
+                  UNION ALL SELECT v AS node FROM co) t
+            GROUP BY node),
+    ed AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND co.u < co.v)
+                       THEN co.u ELSE co.v END AS src,
+                  CASE WHEN du.d < dv.d OR (du.d = dv.d AND co.u < co.v)
+                       THEN co.v ELSE co.u END AS dst
+           FROM co
+           JOIN deg du ON du.node = co.u
+           JOIN deg dv ON dv.node = co.v),
+    tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM ed e1
+            JOIN ed e2 ON e1.src = e2.src AND e1.dst < e2.dst
+            JOIN co e3 ON e3.u = e1.dst AND e3.v = e2.dst),
+    corners AS (SELECT a AS part FROM tri
+                UNION ALL SELECT b AS part FROM tri
+                UNION ALL SELECT c AS part FROM tri)
+    SELECT part, count(*) AS n_triangles
+    FROM corners GROUP BY part
+    ORDER BY n_triangles DESC, part
+    LIMIT 20
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts linked
+    when bought together in >= 2 orders), top-20 parts by triangle
+    participation — the graph-analytics cohesion metric alongside
+    pagerank and connected components.
+
+    Algorithm: degree-ordered orientation (each undirected edge
+    points from its lower-(degree, id) endpoint), so every wedge is
+    enumerated exactly once from its lowest corner and out-degrees
+    are bounded by O(sqrt(m)) — the standard distributed triangle
+    count that survives skewed hubs; a hub of degree d contributes
+    wedges only through its (few) higher-ordered neighbours, never
+    d^2 pairs.  The closing-edge probe joins back to the undirected
+    edge list on its canonical (min, max) key.
+
+    Scale: co-occurrence is bounded by basket size (linear in
+    orders); the wedge join shuffles on src and the closing probe on
+    the canonical pair key — both equi-joins AQE can re-balance.  The
+    min-support HAVING is the density throttle: it keeps the edge
+    list sparse at every SF so the wedge fan-out stays near-linear."""
+    cat = Catalog(spark, sf_dir)
+    inst = (
+        cat.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = inst.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = inst.select("l_orderkey", F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        # degree calc + orientation + closing-edge probe reuse this
+        .persist()
+    )
+    deg = (
+        co.select(F.col("u").alias("node"))
+        .unionByName(co.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ed = (
+        co.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = ed.select(F.col("src"), F.col("dst").alias("b"))
+    e2 = ed.select(F.col("src"), F.col("dst").alias("c"))
+    tri = (
+        e1.join(e2, "src")
+        .filter(F.col("b") < F.col("c"))
+        .join(
+            co.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            ["b", "c"],
+        )
+        .select(F.col("src").alias("a"), "b", "c")
+    )
+    # one explode pass, NOT a 3-way union of tri projections — the
+    # union form re-evaluates the wedge join once per corner column
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("part")
+    )
+    return (
+        corners.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "part")
+        .limit(20)
+    )
+
+
+# --- Autocorrelation of the daily revenue series ------------------------------
+@register(
+    "autocorr_daily_revenue",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS rev
+        FROM orders GROUP BY 1),
+    lags AS (SELECT CAST(UNNEST(range(1, 8)) AS INT) AS lag),
+    pairs AS (
+        SELECT l.lag, d.rev, p.rev AS prev_rev
+        FROM daily d
+        CROSS JOIN lags l
+        JOIN daily p ON p.day = d.day - l.lag)
+    SELECT lag,
+           count(*) AS n_pairs,
+           round(corr(rev, prev_rev), 4) AS autocorr
+    FROM pairs GROUP BY lag ORDER BY lag
+    """,
+)
+def autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily order-revenue series —
+    the seasonality diagnostic (a weekly cycle shows up as a lag-7
+    peak).  Calendar lags, not row lags: the pair join matches
+    day - lag exactly, so missing days shorten n_pairs instead of
+    silently misaligning the series.
+
+    Scale: the series is one map-side-combinable aggregate of orders
+    (|days| rows ~ thousands regardless of SF); the lag expansion and
+    Pearson corr run over |days| x 7 rows.  The heavy table is
+    touched exactly once.  Daily revenue is summed in decimal space
+    (``dsum``) so both engines see bit-identical series values;
+    corr's one-pass accumulation may differ in summation order, so
+    the emitted coefficient is rounded to 4 decimals."""
+    daily = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum(F.col("o_totalprice"), 2).alias("rev"))
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    prev = daily.select(
+        F.col("day").alias("pday"), F.col("rev").alias("prev_rev")
+    )
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(prev, F.col("pday") == F.date_sub(F.col("day"), F.col("lag")))
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("rev", "prev_rev"), 4).alias("autocorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+# --- Common-neighbor link prediction on the part co-purchase graph ------------
+@register(
+    "link_prediction_parts",
+    sql="""
+    WITH inst AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    co AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM inst a JOIN inst b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY u, v HAVING count(*) >= 2),
+    und AS (SELECT u AS a, v AS b FROM co
+            UNION ALL SELECT v AS a, u AS b FROM co),
+    deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY a),
+    ctr AS (SELECT und.a, und.b FROM und
+            JOIN deg ON deg.node = und.a WHERE deg.d <= 64),
+    cn AS (SELECT w1.b AS u, w2.b AS v, count(*) AS common_neighbors
+           FROM ctr w1 JOIN ctr w2
+             ON w1.a = w2.a AND w1.b < w2.b
+           GROUP BY u, v),
+    nonadj AS (SELECT cn.* FROM cn
+               LEFT JOIN co ON co.u = cn.u AND co.v = cn.v
+               WHERE co.u IS NULL)
+    SELECT n.u AS u, n.v AS v, n.common_neighbors AS common_neighbors,
+           round(n.common_neighbors
+                 / (du.d + dv.d - n.common_neighbors), 6) AS jaccard
+    FROM nonadj n
+    JOIN deg du ON du.node = n.u
+    JOIN deg dv ON dv.node = n.v
+    ORDER BY common_neighbors DESC, u, v
+    LIMIT 20
+    """,
+)
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: for part pairs
+    NOT currently connected, count common neighbors and score the
+    neighborhood Jaccard — "parts that share many co-purchase
+    partners but were never bought together", the classic
+    collaborative candidate generator.
+
+    Scale: wedges are enumerated only through centers of degree <= 64
+    (a documented semantic of the query, mirrored in the oracle) —
+    the standard hub cap that bounds the quadratic wedge fan-out a
+    celebrity node would generate; a center of degree d yields
+    d(d-1)/2 <= 2016 pairs.  The common-neighbor count and the
+    adjacency anti-join are both equi-shuffles on the canonical
+    (u, v) pair key; scores derive from exact integer counts, so the
+    only float op is one IEEE division, identical in both engines."""
+    cat = Catalog(spark, sf_dir)
+    inst = (
+        cat.table("lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = inst.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = inst.select("l_orderkey", F.col("l_partkey").alias("v"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+        # feeds both directions of und AND the adjacency anti-join
+        .persist()
+    )
+    und = co.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(co.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ctr = und.join(
+        F.broadcast(deg.filter(F.col("d") <= 64)), und.a == F.col("node")
+    ).select("a", "b")
+    w1 = ctr.select("a", F.col("b").alias("u"))
+    w2 = ctr.select("a", F.col("b").alias("v"))
+    cn = (
+        w1.join(w2, "a")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    nonadj = cn.join(co, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common_neighbors").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+# --- CUSUM changepoint scan over daily revenue --------------------------------
+@register(
+    "cusum_changepoint_revenue",
+    sql="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2) AS rev
+        FROM orders GROUP BY 1),
+    cents AS (SELECT day, rev, CAST(rev * 100 AS BIGINT) AS rev_cents
+              FROM daily),
+    t AS (SELECT sum(rev_cents) AS total_cents,
+                 count(*) AS n FROM cents),
+    c AS (SELECT day, rev,
+                 sum(cents.rev_cents * t.n - t.total_cents)
+                     OVER (ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cusum_n_cents
+          FROM cents CROSS JOIN t)
+    SELECT day, CAST(rev AS DOUBLE) AS daily_rev,
+           cusum_n_cents
+    FROM c ORDER BY abs(cusum_n_cents) DESC, day LIMIT 10
+    """,
+)
+def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily order-revenue series: the
+    top-10 days by |cumulative deviation from the series mean| — the
+    day where |CUSUM| peaks is the classic single-changepoint
+    estimate for a level shift.
+
+    Exactness: revenue is held in integer CENTS and the deviation is
+    scaled by the series length (``n*rev - total`` instead of
+    ``rev - total/n``), so the whole statistic — including the
+    running window sum — is bigint arithmetic with NO float op
+    anywhere; the argmax ranking cannot drift between engines.  The
+    scaling is monotone, so the ranking equals the classic CUSUM's.
+
+    Scale: one map-side-combinable aggregate over orders; the window
+    runs over the |days|-row series (thousands of rows regardless of
+    SF — a single-partition global window is the right plan for a
+    driver-bounded series, and is documented as such)."""
+    from pyspark.sql import Window
+
+    daily = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+            ).alias("rev")
+        )
+    )
+    cents = daily.select(
+        "day", "rev", (F.col("rev") * 100).cast("long").alias("rev_cents")
+    )
+    t = cents.agg(
+        F.sum("rev_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = cents.crossJoin(F.broadcast(t)).select(
+        "day",
+        "rev",
+        F.sum(
+            F.col("rev_cents") * F.col("n") - F.col("total_cents")
+        )
+        .over(w)
+        .alias("cusum_n_cents"),
+    )
+    return c.select(
+        "day",
+        F.col("rev").cast("double").alias("daily_rev"),
+        "cusum_n_cents",
+    ).orderBy(F.abs(F.col("cusum_n_cents")).desc(), "day").limit(10)

@@ -403,3 +403,84 @@ def kl_divergence_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- Static mixture rebalancing weights ---------------------------------------
+@register(
+    "mixture_balance_weights",
+    sql="""
+    WITH c AS (SELECT lang, source, count(*) AS n_docs
+               FROM documents GROUP BY lang, source),
+    t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+                 count(*) AS n_groups FROM c),
+    w AS (SELECT c.lang, c.source, c.n_docs,
+                 round(c.n_docs / t.total, 6) AS actual_share,
+                 least(t.total / (t.n_groups * c.n_docs), 8.0) AS w_capped
+          FROM c CROSS JOIN t),
+    z AS (SELECT CAST(sum(CAST(n_docs * w_capped AS DECIMAL(38,18)))
+                      AS DOUBLE) AS norm FROM w)
+    SELECT w.lang AS lang, w.source AS source,
+           w.n_docs AS n_docs, w.actual_share AS actual_share,
+           round(w.w_capped, 6) AS weight,
+           round(w.n_docs * w.w_capped / z.norm, 6) AS balanced_share
+    FROM w CROSS JOIN z
+    ORDER BY lang, source
+    """,
+)
+def mixture_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static training-mixture rebalancing: per (lang, source) domain,
+    the sampling weight that moves the corpus toward a UNIFORM
+    domain mixture, with upsampling capped at 8x (rare domains are
+    repeated at most 8 times rather than dominating the sample), and
+    the resulting post-balance share after renormalization.  This is
+    the classic static data-mixture step (uniform-target reweighting
+    with a repetition cap) that precedes temperature resampling.
+
+    Scale: one map-side-combinable count per domain; everything after
+    operates on |domains| rows with the two scalar totals broadcast.
+    Weights derive from exact integer counts through IEEE division
+    (identical in both engines); emitted values are rounded."""
+    c = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    t = c.agg(
+        F.sum("n_docs").alias("total"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    w = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("actual_share"),
+        F.least(
+            F.col("total") / (F.col("n_groups") * F.col("n_docs")),
+            F.lit(8.0),
+        ).alias("w_capped"),
+    )
+    # norm is summed in decimal space: a double sum over |domains|
+    # rows is summation-order-sensitive and the engines iterate the
+    # groups in different orders
+    z = w.agg(
+        F.sum(
+            (F.col("n_docs") * F.col("w_capped")).cast("decimal(38,18)")
+        )
+        .cast("double")
+        .alias("norm")
+    )
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "actual_share",
+            F.round("w_capped", 6).alias("weight"),
+            F.round(
+                F.col("n_docs") * F.col("w_capped") / F.col("norm"), 6
+            ).alias("balanced_share"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -844,3 +844,86 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# --- Multi-touch attribution ------------------------------------------------
+@register(
+    "attribution_touch_events",
+    sql="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               first_value(CASE WHEN event_type IN ('click', 'view')
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS first_ch,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS last_ch
+        FROM events),
+    attributed AS (
+        SELECT 'first_touch' AS attribution_model, first_ch AS channel, value
+        FROM seq WHERE event_type = 'purchase' AND first_ch IS NOT NULL
+        UNION ALL
+        SELECT 'last_touch' AS attribution_model, last_ch AS channel, value
+        FROM seq WHERE event_type = 'purchase' AND last_ch IS NOT NULL)
+    SELECT attribution_model, channel,
+           count(*) AS n_purchases,
+           CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS attributed_revenue
+    FROM attributed
+    GROUP BY attribution_model, channel
+    ORDER BY attribution_model, channel
+    """,
+)
+def attribution_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch purchase attribution: each purchase
+    is credited to the first / most recent preceding touch event
+    (click or view) in the same user's history, and revenue rolls up
+    per (model, channel).
+
+    Spark shape: ONE window pass per user computes both the first and
+    the last preceding touch (``first``/``last`` with ``ignorenulls``
+    over a rows-unbounded-preceding-to--1 frame, ordered by
+    ``(ts, event_id)`` so same-timestamp ties are deterministic), and
+    a ``stack`` unpivots the two models without re-evaluating the
+    window — no self-join against the touch history, which is the
+    naive attribution shape that explodes at scale.  The only shuffle
+    is the user_id window partition plus the final 2x|channels|-row
+    aggregate."""
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w).alias("first_ch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_ch"),
+    )
+    attributed = (
+        seq.filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "stack(2, 'first_touch', first_ch, 'last_touch', last_ch)"
+            " AS (attribution_model, channel)",
+            "value",
+        )
+        .filter(F.col("channel").isNotNull())
+    )
+    return (
+        attributed.groupBy("attribution_model", "channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value"), 2).alias("attributed_revenue"),
+        )
+        .orderBy("attribution_model", "channel")
+    )
