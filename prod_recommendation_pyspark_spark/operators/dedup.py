@@ -824,3 +824,49 @@ def semantic_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cluster", "cosine")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle-set CONTAINMENT:
+    ``c / min(|A|, |B|)`` — the Broder containment measure.  Catches a
+    short document embedded verbatim inside a much longer one, which
+    Jaccard structurally misses (the big union drives ``c/(na+nb-c)``
+    toward 0 no matter how complete the overlap).  The canonical case
+    in crawl corpora: a page quoted whole inside an aggregator.
+
+    Same shuffle shape as ``ngram_jaccard_pairs`` brute: explode
+    distinct shingles, self-join on the shingle key, count.  At scale,
+    cap shingle document-frequency upstream (boilerplate shingles
+    dominate the join fan-out) or feed LSH candidates and verify only
+    those, exactly as the Jaccard path does.  The score is a single
+    IEEE division of exact integer counts — engine-identical."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "containment", F.col("c") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "na", "nb", "containment")
+    )

@@ -93,6 +93,42 @@ def asof_join(
     buffering it.  Right rows should be unique per (key, ts) for
     deterministic ties — pre-dedupe if needed.
     """
+    return _asof_impl(
+        left, right, key, left_ts, right_ts, right_cols, forward=False
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Forward as-of join: for every left row, attach the EARLIEST
+    right row of the same ``key`` with ``right_ts >= left_ts`` (NULLs
+    when no later right row exists) — "time to next purchase"-style
+    lookups.  Same one-shuffle union+running-window construction as
+    ``asof_join``, with the window ordered by ts DESCENDING: in that
+    order "most recently seen right row" IS the smallest following
+    timestamp, and right rows still sort before left rows at equal
+    timestamps so the match is inclusive."""
+    return _asof_impl(
+        left, right, key, left_ts, right_ts, right_cols, forward=True
+    )
+
+
+def _asof_impl(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    *,
+    forward: bool,
+) -> DataFrame:
     rp = F.struct(*[F.col(c) for c in right_cols]).alias("__rp")
     l_cols = left.columns
     l = left.select(
@@ -114,9 +150,14 @@ def asof_join(
         ).alias("__lp"),
         rp,
     )
+    order = (
+        [F.col("__ats").desc(), F.col("__tag")]
+        if forward
+        else [F.col("__ats"), F.col("__tag")]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ats", "__tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = (

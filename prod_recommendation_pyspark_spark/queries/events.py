@@ -927,3 +927,65 @@ def attribution_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("attribution_model", "channel")
     )
+
+
+# --- Forward as-of: click to NEXT purchase ------------------------------------
+@register(
+    "asof_click_to_next_purchase",
+    sql="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id, ts ORDER BY event_id) AS rn
+            FROM events WHERE event_type = 'purchase')
+        WHERE rn = 1)
+    SELECT c.event_id AS click_id, c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) AS BIGINT) - CAST(epoch_us(c.ts) AS BIGINT)
+               AS latency_us,
+           round(p.value, 4) AS purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND p.ts >= c.ts
+    ORDER BY click_id
+    """,
+)
+def asof_click_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each click is paired with the same user's
+    earliest purchase at or after the click — time-to-conversion per
+    click, the mirror of ``asof_click_to_view``'s backward lookup.
+    Purchases are deduped to one per (user, ts) (lowest event_id) for
+    deterministic ties; the oracle is DuckDB's native forward ASOF
+    (``p.ts >= c.ts`` matches the smallest following timestamp)."""
+    from prod_recommendation_pyspark_spark.operators.events import (
+        asof_join_forward,
+    )
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        dedup_first_by_key,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = dedup_first_by_key(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts", "value"
+        ),
+        ["user_id", "ts"],
+        order_by=[F.col("event_id")],
+    )
+    joined = asof_join_forward(
+        clicks, purchases, "user_id", "ts", "ts", ["event_id", "ts", "value"]
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        _epoch_us("ts").alias("click_us"),
+        F.col("asof_event_id").alias("purchase_id"),
+        (_epoch_us("asof_ts") - _epoch_us("ts")).alias("latency_us"),
+        F.round("asof_value", 4).alias("purchase_value"),
+    ).orderBy("click_id")

@@ -1559,3 +1559,52 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("draw_key").desc(), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "containment_dedup_pairs",
+    sql="""
+    WITH
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, sa.n AS na, sb.n AS nb,
+           round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / least(sa.n, sb.n) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups (c / min set size >= 0.7):
+    catches short-doc-inside-long-doc duplication that the symmetric
+    Jaccard queries structurally miss — the aggregator/quote case.
+    Same brute shingle self-join as ``ngram_jaccard_pairs_brute`` with
+    a different, asymmetric score; at 100 TB, feed it LSH candidates
+    exactly as the Jaccard verify path does."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    return (
+        ngram_containment_pairs(
+            docs, "doc_id", "text", shingle_words=3, threshold=0.7
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "na",
+            "nb",
+            F.round("containment", 4).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
