@@ -110,4 +110,12 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
+    # Materialize the result (|V| rows of (node, rank) — bounded), then
+    # release the loop-invariant caches: without this, every pagerank
+    # call in a long-lived session (bench sweeps, 147-query oracle
+    # runs) leaves three MEMORY_AND_DISK tables behind until LRU
+    # pressure evicts them.
+    ranks = ranks.localCheckpoint(eager=True)
+    for cached in (e, nodes, deg):
+        cached.unpersist()
     return ranks

@@ -998,8 +998,13 @@ def mmr_rerank(
     on the candidate id ascending."""
     import pandas as _pd
 
+    # Derive id types from the input so string / int / long id columns
+    # all round-trip through Arrow unchanged (a hardcoded `long` would
+    # raise an Arrow type error for any non-long caller).
+    qid_t = cands.schema[qid_col].dataType.simpleString()
+    cand_t = cands.schema[cand_col].dataType.simpleString()
     out_schema = (
-        f"{qid_col} long, step int, {cand_col} long, score double"
+        f"{qid_col} {qid_t}, step int, {cand_col} {cand_t}, score double"
     )
 
     def per_query(pdf: _pd.DataFrame) -> _pd.DataFrame:
@@ -1031,7 +1036,7 @@ def mmr_rerank(
                 if best_score is None or score > best_score:
                     best_i, best_score = i, score
             selected.append(best_i)
-            rows.append((qid, step, int(ids[best_i]), float(best_score)))
+            rows.append((qid, step, ids[best_i], float(best_score)))
         return _pd.DataFrame(
             rows, columns=[qid_col, "step", cand_col, "score"]
         )

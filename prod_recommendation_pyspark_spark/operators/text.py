@@ -380,6 +380,7 @@ def segment_dedup(
     text_col: str,
     seg_words: int = 20,
     max_occurrences: int = 1,
+    hash_key: bool = False,
 ) -> DataFrame:
     """Corpus-wide duplicated-segment removal with in-place document
     reassembly — the CCNet/RefinedWeb "line dedup" pass (Wenzek et al.
@@ -402,14 +403,23 @@ def segment_dedup(
     by segment text (cardinality ≤ total tiles, with partial map-side
     aggregation); the keep-filter is a shuffle join on the same key;
     reassembly is one shuffle on the doc id with ``array_sort`` fixing
-    ``collect_list``'s nondeterministic arrival order.  At scale, swap
-    the segment string for its 8-byte ``xxhash64`` as the join key and
-    cap pathological keys exactly like MinHash ``max_bucket`` — the
-    string form is kept here so the DuckDB oracle replays it
-    verbatim."""
+    ``collect_list``'s nondeterministic arrival order.
+
+    ``hash_key=True`` is the 100 TB path: the occurrence count and the
+    keep-join shuffle on the segment's 8-byte ``xxhash64`` instead of
+    the full segment string (~100 bytes/key at ``seg_words=20``) —
+    ~10× less shuffle volume for those two exchanges, at the cost of
+    treating a 64-bit hash collision as a duplicate (probability
+    ~n²/2⁶⁵ — negligible against the dedup's own false-positive
+    tolerance).  The default keeps the string key so the DuckDB oracle
+    replays the join verbatim."""
+    # NULL text must take the empty-doc branch too: `~rlike` is NULL
+    # for NULL input, which would fall through to tokens(NULL) and
+    # yield NULL n_segments instead of the documented n_segments=0.
     words = (
         F.when(
-            ~F.col(text_col).rlike(r"\S"), F.array().cast("array<string>")
+            F.col(text_col).isNull() | ~F.col(text_col).rlike(r"\S"),
+            F.array().cast("array<string>"),
         )
         .otherwise(tokens(F.lower(F.col(text_col))))
         .alias("__w")
@@ -432,8 +442,14 @@ def segment_dedup(
     exploded = segged.select(
         id_col, F.posexplode("__segs").alias("pos", "seg")
     )
-    counts = exploded.groupBy("seg").agg(F.count(F.lit(1)).alias("__c"))
-    kept = exploded.join(counts, "seg").filter(
+    join_key = "seg"
+    if hash_key:
+        exploded = exploded.withColumn("__k", F.xxhash64("seg"))
+        join_key = "__k"
+    counts = exploded.groupBy(join_key).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    kept = exploded.join(counts, join_key).filter(
         F.col("__c") <= max_occurrences
     )
     reassembled = kept.groupBy(id_col).agg(
@@ -1076,12 +1092,18 @@ def heavy_hitters(
         )
 
     src = items.select(F.col(item_col).alias("item"))
+    # Candidate schema mirrors the input item type so bigint items
+    # (pre-hashed shingles) survive the round-trip and the left_semi
+    # join below compares like types — a hardcoded `string` would
+    # silently stringify them and the join would match nothing.
+    item_type = items.schema[item_col].dataType.simpleString()
 
     def mg_partition(batches):
-        counters: dict[str, int] = {}
+        counters: dict = {}
         for pdf in batches:
             for it in pdf["item"]:
-                if it is None:
+                # numeric nulls arrive as NaN through Arrow, not None
+                if it is None or pd.isna(it):
                     continue
                 if it in counters:
                     counters[it] += 1
@@ -1093,10 +1115,10 @@ def heavy_hitters(
                         counters[c] -= 1
                     for c in dead:
                         del counters[c]
-        yield pd.DataFrame({"item": list(counters.keys())})
+        yield pd.DataFrame({"item": pd.Series(list(counters.keys()))})
 
     cands = src.mapInPandas(
-        mg_partition, schema="item string"
+        mg_partition, schema=f"item {item_type}"
     ).distinct()
     total = src.agg(F.count(F.lit(1)).alias("__total"))
     return (

@@ -1402,7 +1402,9 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY antecedent, consequent
     """,
 )
-def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def brand_association_rules(
+    spark: SparkSession, sf_dir: str, max_basket: int | None = None
+) -> DataFrame:
     """Market-basket association rules over order contents (brand →
     brand): pair support from a within-order self-join on DISTINCT
     (order, brand) rows, confidence = sup(a,b)/sup(a), lift =
@@ -1410,12 +1412,16 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer counts — engine-identical doubles — rounded for emission.
 
     Scale: the within-order self-join is the classic basket blowup —
-    bounded here because baskets are small (items-per-order ≤ ~7); at
-    100 TB cap basket size (or sample giant baskets) exactly like
-    MinHash's ``max_bucket``, and prune brands below min-support
-    BEFORE the pair join (the sup table is the df-cap).  Min support
-    is RELATIVE (2% of orders) so the rule set stays decision-sized
-    at every scale factor."""
+    bounded here because baskets are small (items-per-order ≤ ~7).
+    ``max_basket`` is the 100 TB guard: a basket of b brands yields
+    b·(b−1) pair rows, so one pathological 10⁴-brand basket alone
+    emits 10⁸ rows into the pair shuffle; capping keeps each order's
+    contribution ≤ max_basket·(max_basket−1) (deterministic cap: the
+    first ``max_basket`` brands in lexical order, so reruns agree —
+    the same bounded-key discipline as MinHash ``max_bucket``).  The
+    registered query leaves it None so the DuckDB oracle replays the
+    uncapped semantics.  Min support is RELATIVE (2% of orders) so the
+    rule set stays decision-sized at every scale factor."""
     cat = Catalog(spark, sf_dir)
     ob = (
         cat.table("lineitem")
@@ -1425,10 +1431,19 @@ def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "p_brand")
         .distinct()
-        # four branches (order count, both support sides, pair join)
-        # hang off this table — persist or the scan+distinct runs 4x
-        .persist()
     )
+    if max_basket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("l_orderkey").orderBy("p_brand")
+        ob = (
+            ob.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_basket)
+            .drop("__rn")
+        )
+    # four branches (order count, both support sides, pair join)
+    # hang off this table — persist or the scan+distinct runs 4x
+    ob = ob.persist()
     n = ob.select(F.count_distinct("l_orderkey").alias("n_orders"))
     sup = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("s"))
     a = ob.select(
@@ -1871,9 +1886,13 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # No broadcast hint on the degree tables: they are |V| rows
+    # (unbounded in the part count), so a forced broadcast over-commits
+    # executor memory at scale — AQE picks broadcast while they're
+    # small and degrades to shuffle-hash when they're not.
     ed = (
-        co.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        co.join(du, "u")
+        .join(dv, "v")
         .select(
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
@@ -2030,8 +2049,10 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
+    # deg is |V| rows — unbounded — so no forced broadcast; AQE
+    # chooses broadcast only while the filtered table is actually small
     ctr = und.join(
-        F.broadcast(deg.filter(F.col("d") <= 64)), und.a == F.col("node")
+        deg.filter(F.col("d") <= 64), und.a == F.col("node")
     ).select("a", "b")
     w1 = ctr.select("a", F.col("b").alias("u"))
     w2 = ctr.select("a", F.col("b").alias("v"))
@@ -2045,8 +2066,8 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
     return (
-        nonadj.join(F.broadcast(du), "u")
-        .join(F.broadcast(dv), "v")
+        nonadj.join(du, "u")
+        .join(dv, "v")
         .select(
             "u",
             "v",

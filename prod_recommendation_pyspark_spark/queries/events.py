@@ -335,6 +335,58 @@ def click_view_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_e2e_hourly_counts",
+    sql="""
+    WITH wm AS (SELECT epoch(max(ts)) - 7200 AS w FROM events),
+    agg AS (
+        SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, total_value
+    FROM agg CROSS JOIN wm
+    WHERE agg.window_start + 3600 <= wm.w
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_e2e_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE end-to-end Structured Streaming pipeline, registered as
+    a query (SURVEY §7 Phase F close-out): file landing dir →
+    watermarked tumbling hourly counts (APPEND mode) → idempotent
+    ``foreachBatch`` parquet sink, driven by ``availableNow`` — then
+    the sink is read back as the result.
+
+    The oracle replays the watermark contract itself: append mode
+    emits exactly the windows whose end ≤ final watermark
+    (``max(ts) − 2 hours``), so the driver hash-checks not just the
+    aggregate values but WHICH windows a watermark finalizes.  The
+    decimal-accumulated ``total_value`` makes the incremental sum
+    bit-identical to the oracle's.  Restart/replay idempotence of the
+    sink is pinned by the streaming pytests (a rerun on the same
+    checkpoint processes nothing; a replayed batch_id overwrites its
+    own partition)."""
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.streaming.pipeline import (
+        run_events_hourly_pipeline,
+        stage_landing_dir,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark_graft_stream_e2e_")
+    landing = stage_landing_dir(
+        f"{sf_dir}/events.parquet", f"{base}/landing"
+    )
+    res = run_events_hourly_pipeline(
+        spark, landing, f"{base}/out", f"{base}/ckpt"
+    )
+    return res.select(
+        "window_start", "event_type", "n_events", "total_value"
+    ).orderBy("window_start", "event_type")
+
+
+@register(
     "watermark_dedup_events",
     sql="""
     SELECT DISTINCT user_id, event_type

@@ -86,11 +86,20 @@ def streaming_windowed_counts(
     events: DataFrame, duration: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
     """Watermarked tumbling-window counts per event type — the
-    streaming twin of ``tumbling_window_agg``."""
+    streaming twin of ``tumbling_window_agg``.  ``total_value``
+    accumulates in DECIMAL (associative — exact regardless of
+    micro-batch arrival order) and is rounded before the double cast,
+    so the incremental streaming sum is bit-identical to the batch
+    twin and to a DuckDB oracle."""
+    from prod_recommendation_pyspark_spark.functions.exact import dsum
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
         .select(
             F.unix_timestamp("window.start").alias("window_start"),
             "event_type",

@@ -51,27 +51,58 @@ class StreamMergeTarget:
         self.base_dir = base_dir
         self.keys = keys
         self.delete_col = delete_col
-        self.version = 0
+        # Recover from the durable pointer so a fresh driver (streaming
+        # restart) resumes at the real latest version, not v0 — and so
+        # checkpoint-replayed batch ids can be recognized and skipped.
+        self.version, self.last_batch_id = self._read_pointer()
 
     def _path(self, version: int) -> str:
         return os.path.join(self.base_dir, f"v{version}")
 
+    def _pointer_path(self) -> str:
+        return os.path.join(self.base_dir, "_LATEST")
+
+    def _read_pointer(self) -> tuple[int, int]:
+        try:
+            with open(self._pointer_path()) as f:
+                version, last_id = f.read().split()
+                return int(version), int(last_id)
+        except (OSError, ValueError):
+            return 0, -1
+
+    def _write_pointer(self) -> None:
+        # write-then-rename: the pointer is either the old or the new
+        # value, never a torn read
+        tmp = self._pointer_path() + ".tmp"
+        os.makedirs(self.base_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(f"{self.version} {self.last_batch_id}")
+        os.replace(tmp, self._pointer_path())
+
     def init(self, initial: DataFrame) -> None:
         initial.write.mode("overwrite").parquet(self._path(0))
         self.version = 0
+        self.last_batch_id = -1
+        self._write_pointer()
 
     def current(self) -> DataFrame:
         return self.spark.read.parquet(self._path(self.version))
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        # batch_id makes replays idempotent at-least-once: re-applying
-        # the same merge is a no-op for upserts (same rows win again)
+        # Idempotent replay: after a driver restart the checkpoint
+        # re-delivers the in-flight batch; the durable pointer carries
+        # the last APPLIED id across restarts, so a replayed id is a
+        # no-op instead of a double merge against a stale version.
+        if batch_id <= self.last_batch_id:
+            return
         merged = merge_upsert(
             self.current(), batch, self.keys, delete_col=self.delete_col
         )
         nxt = self.version + 1
         merged.write.mode("overwrite").parquet(self._path(nxt))
         self.version = nxt
+        self.last_batch_id = batch_id
+        self._write_pointer()
 
 
 def stream_merge_upsert(

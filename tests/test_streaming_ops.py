@@ -273,3 +273,49 @@ def test_stream_merge_upsert_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got == {(1, "a", 10.0), (2, "b2", 21.0), (4, "d", 40.0)}
+
+
+def test_e2e_pipeline_rerun_is_noop_and_matches_oracle(spark, duck, tmp_path):
+    """The registered end-to-end pipeline (landing dir → watermarked
+    hourly counts → idempotent foreachBatch sink): a rerun on the same
+    checkpoint processes nothing (identical sink contents), and the
+    emitted window set matches the watermark contract the DuckDB
+    oracle replays (windows with end <= max(ts) - 2h)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from oracle_util import assert_matches_oracle
+
+    from prod_recommendation_pyspark_spark.queries import ORACLES
+    from prod_recommendation_pyspark_spark.streaming.pipeline import (
+        run_events_hourly_pipeline,
+        stage_landing_dir,
+    )
+
+    landing = stage_landing_dir(
+        f"{SF_SMOKE}/events.parquet", str(tmp_path / "landing")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    first = run_events_hourly_pipeline(spark, landing, out, ckpt)
+    rows1 = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in first.collect()
+    )
+    assert rows1, "pipeline should emit finalized windows"
+
+    # rerun with the same checkpoint: the source offsets are already
+    # committed, so nothing is reprocessed and the sink is unchanged
+    second = run_events_hourly_pipeline(spark, landing, out, ckpt)
+    rows2 = sorted(
+        (r.window_start, r.event_type, r.n_events, r.total_value)
+        for r in second.collect()
+    )
+    assert rows2 == rows1
+
+    assert_matches_oracle(
+        first.select(
+            "window_start", "event_type", "n_events", "total_value"
+        ),
+        duck,
+        ORACLES["streaming_e2e_hourly_counts"],
+    )
