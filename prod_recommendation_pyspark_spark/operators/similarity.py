@@ -78,10 +78,29 @@ def spread_small_input(df: DataFrame, parallelism: int | None = None) -> DataFra
     or broadcast-join scoring pipelined onto that scan then runs
     serially on one core no matter how many executors exist.  On a
     real cluster big inputs get splits for free and this is a no-op
-    (no shuffle added), so it is safe to leave in the 100 TB path."""
-    sc = df.sparkSession.sparkContext
-    par = parallelism or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    (no shuffle added), so it is safe to leave in the 100 TB path.
+
+    The narrowness probe is DataFrame-native: Catalyst's planning
+    statistics (``optimizedPlan().stats().sizeInBytes`` — the same
+    estimate the broadcast-join threshold reads) divided by
+    ``spark.sql.files.maxPartitionBytes`` approximates the scan's
+    split count with zero plan→RDD conversion.  The previous
+    ``df.rdd.getNumPartitions()`` probe forced an RDD lineage build
+    on every call — planning-only cost, but per-query and avoidable.
+    On an estimate failure the input is left untouched (no shuffle is
+    the safe default)."""
+    spark = df.sparkSession
+    par = parallelism or spark.sparkContext.defaultParallelism
+    try:
+        # py4j maps the Scala BigInt straight to a Python int
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        max_bytes = spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+        )
+        est_splits = max(1, -(-size // max(1, max_bytes)))
+    except Exception:
+        return df
+    if est_splits < par:
         return df.repartition(par)
     return df
 
