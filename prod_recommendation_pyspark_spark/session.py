@@ -38,7 +38,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with scale-sane defaults."""
+    """Build (or fetch) a SparkSession with scale-sane defaults.
+
+    ``extra_conf`` is the documented passthrough for deployment-
+    specific settings the reference hard-coded in its job files —
+    e.g. cloud-storage auth/encryption (``spark.hadoop.fs.s3a.*``
+    including server-side-encryption algorithm/key), committer
+    choices, or a metastore URI.  Passing them here (or in
+    ``spark-defaults.conf``) keeps environment concerns out of query
+    code; nothing in the engine reads them."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
