@@ -369,6 +369,103 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_words: int = 8,
+    min_overlap: int = 1,
+    bits_per_key: int = 10,
+    n_probes: int = 3,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom-filter prefilter — EXACTLY the
+    same result (false positives are removed by an exact verify), but
+    the corpus side never shuffles its full shingle stream.
+
+    Why this is the 100 TB shape: the exact operator's semi-join
+    shuffles EVERY corpus shingle (TB-scale at crawl size) to meet the
+    tiny benchmark side.  Here the benchmark's shingle set — driver-
+    bounded by contract, eval sets are small — is folded into a Bloom
+    bitset (``bits_per_key`` bits/key, ``n_probes`` xxhash64 probes;
+    fp ≈ (1-e^(-k/b))^k ≈ 2% at 10/3) that rides a one-row broadcast;
+    the membership test is pure codegen'd bit arithmetic evaluated in
+    the corpus scan projection, so only the ~fp fraction of shingles
+    ever reaches the exact-verify join.  This is the manual analog of
+    Spark's runtime bloom-filter join pruning, applied where the
+    optimizer can't see it (the threshold semantics live above the
+    join).
+
+    Exactness: candidates = {true hits} ∪ {fp}; the verify join keeps
+    only true hits, so output ≡ ``decontaminate`` row-for-row (pinned
+    by pytest and by sharing the exact operator's DuckDB oracle).
+
+    Driver contract: one collect of the benchmark's DISTINCT probe
+    positions (≤ n_probes · |benchmark shingles|, bounded by the
+    benchmark's size — same class as centroid/dictionary collects)."""
+    import math
+
+    from prod_recommendation_pyspark_spark.operators.dedup import word_shingles
+
+    spark = corpus.sparkSession
+    b_sh = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("__s")
+    ).distinct()
+    n_keys = b_sh.count()
+    m_bits = 1 << max(6, math.ceil(math.log2(max(1, n_keys * bits_per_key))))
+    n_words = m_bits // 64
+    probes = [
+        F.pmod(F.xxhash64(F.lit(i), F.col("__s")), F.lit(m_bits)).alias(f"__p{i}")
+        for i in range(n_probes)
+    ]
+    # distinct SET positions only — the probe hashes are computed by
+    # the SAME Spark expression the corpus side uses, so no
+    # cross-language hash reimplementation can drift
+    pos = (
+        b_sh.select(F.explode(F.array(*[p for p in probes])).alias("p"))
+        .distinct()
+        .collect()
+    )
+    words = [0] * n_words
+    for r in pos:
+        words[r.p // 64] |= 1 << (r.p % 64)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits_df = spark.createDataFrame([(signed,)], "__bits array<bigint>")
+
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_words)).alias("__s"),
+    ).crossJoin(F.broadcast(bits_df))
+    for i in range(n_probes):
+        c_sh = c_sh.withColumn(
+            f"__p{i}", F.pmod(F.xxhash64(F.lit(i), F.col("__s")), F.lit(m_bits))
+        )
+    cond = None
+    for i in range(n_probes):
+        hit = F.expr(
+            f"(element_at(__bits, CAST(__p{i} DIV 64 AS INT) + 1) & "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT))) != 0"
+        )
+        cond = hit if cond is None else (cond & hit)
+    cands = c_sh.filter(cond).select(id_col, "__s")
+    hits = (
+        cands.join(b_sh, "__s")  # exact verify: fp candidates die here
+        .groupBy(id_col)
+        .agg(F.count_distinct("__s").alias("n_contaminated"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Segment-level corpus dedup with document reassembly (CCNet line dedup)
 # ---------------------------------------------------------------------------

@@ -22,3 +22,4 @@ from prod_recommendation_pyspark_spark.queries import events  # noqa: F401,E402
 from prod_recommendation_pyspark_spark.queries import analytic  # noqa: F401,E402
 from prod_recommendation_pyspark_spark.queries import pipeline_e2e  # noqa: F401,E402
 from prod_recommendation_pyspark_spark.queries import curation  # noqa: F401,E402
+from prod_recommendation_pyspark_spark.queries import sketches  # noqa: F401,E402

@@ -1179,9 +1179,7 @@ _DECON_SH_SQL = (
 ).format(m=_DECON_N - 2, s=_DECON_N - 1)
 
 
-@register(
-    "decontaminate_documents",
-    sql=f"""
+_DECON_ORACLE_SQL = f"""
     WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
                   FROM documents),
     c_sh AS (SELECT DISTINCT doc_id, unnest({_DECON_SH_SQL}) AS s
@@ -1197,8 +1195,10 @@ _DECON_SH_SQL = (
           WHERE doc_id % {_DECON_MOD} <> {_DECON_RES}) t
     LEFT JOIN hits h ON t.doc_id = h.doc_id
     ORDER BY t.doc_id
-    """,
-)
+    """
+
+
+@register("decontaminate_documents", sql=_DECON_ORACLE_SQL)
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/text.py::decontaminate):
     treat doc_id % 7 == 3 as the held-out eval set, flag every other
@@ -1214,6 +1214,28 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % _DECON_MOD == _DECON_RES)
     corpus = docs.filter(F.col("doc_id") % _DECON_MOD != _DECON_RES)
     return decontaminate(
+        corpus, bench, "doc_id", "text", shingle_words=_DECON_N, min_overlap=1
+    ).orderBy("doc_id")
+
+
+@register("decontaminate_bloom_documents", sql=_DECON_ORACLE_SQL)
+def decontaminate_bloom_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB decontamination path
+    (operators/text.py::decontaminate_bloom): the benchmark's shingle
+    set folded into a broadcast Bloom bitset tested in the corpus scan
+    projection (codegen'd bit arithmetic), exact verify confined to
+    the ~2% of shingles that pass.  Because the verify join removes
+    every false positive, the result is EXACTLY the exact operator's —
+    this query shares `decontaminate_documents`' full value oracle,
+    which is the proof the prefilter loses nothing."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        decontaminate_bloom,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == _DECON_RES)
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != _DECON_RES)
+    return decontaminate_bloom(
         corpus, bench, "doc_id", "text", shingle_words=_DECON_N, min_overlap=1
     ).orderBy("doc_id")
 

@@ -570,3 +570,65 @@ def test_heavy_hitters_rejects_unsafe_threshold(spark):
 
     with _pytest.raises(ValueError):
         heavy_hitters(df, "item", k=10, min_frac=0.05)  # 0.05 < 1/10
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The bloom-prefiltered decontamination must equal the exact
+    operator row-for-row (false positives die in the verify join)."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    kw = dict(shingle_words=8, min_overlap=1)
+    exact = {
+        (r.doc_id, r.n_contaminated, r.contaminated)
+        for r in decontaminate(corpus, bench, "doc_id", "text", **kw).collect()
+    }
+    bloom = {
+        (r.doc_id, r.n_contaminated, r.contaminated)
+        for r in decontaminate_bloom(
+            corpus, bench, "doc_id", "text", **kw
+        ).collect()
+    }
+    assert bloom == exact
+    assert any(c for _, _, c in bloom), "corpus should contain leakage"
+
+
+def test_decontaminate_bloom_tiny_filter_still_exact(spark):
+    """Even with a deliberately undersized, collision-heavy bitset
+    (1 bit/key, 1 probe — huge fp rate) the verify join keeps the
+    result exact; only the candidate volume grows."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    kw = dict(shingle_words=8, min_overlap=1)
+    exact = sorted(
+        map(tuple, decontaminate(corpus, bench, "doc_id", "text", **kw).collect())
+    )
+    noisy = sorted(
+        map(
+            tuple,
+            decontaminate_bloom(
+                corpus, bench, "doc_id", "text",
+                bits_per_key=1, n_probes=1, **kw,
+            ).collect(),
+        )
+    )
+    assert noisy == exact
