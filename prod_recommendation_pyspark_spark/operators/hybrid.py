@@ -298,38 +298,63 @@ def hybrid_candidates(
     tables: list[list[list[float]]] | None = None,
     naics_prefix_len: int = 4,
     max_block_rows: int = DEFAULT_MAX_BLOCK_ROWS,
+    quantile_buckets: int | None = None,
 ) -> DataFrame:
     """Candidate (left, right) pairs for pruned peer search: the union
     of an industry-prefix block join (pairs sharing the first
     ``naics_prefix_len`` code chars — the pairs the hops term rewards)
-    and a sign-LSH bucket join over the feature vectors (pairs the
-    cosine term rewards).  Together the two blocks cover both routes
-    by which a pair can reach a high hybrid score, WITHOUT the all-pairs
-    product: each arm is an equi-join whose build side is a scan-level
-    projection, so at 100 TB this is two shuffles on bounded keys
-    instead of an O(L×R) score matrix.
+    and a vector-blocking join (pairs the cosine term rewards).
+    Together the two blocks cover both routes by which a pair can
+    reach a high hybrid score, WITHOUT the all-pairs product: each arm
+    is an equi-join whose build side is a scan-level projection, so at
+    100 TB this is two shuffles on bounded keys instead of an O(L×R)
+    score matrix.
 
-    ``tables=None`` derives 4 seeded sign-LSH tables × 8 planes from a
-    dim probe of the left vectors, so the cosine arm is ALWAYS on by
-    default — a pruned search without it silently loses every
-    cross-industry high-cosine peer.  Pass ``tables=[]`` to explicitly
-    request NAICS-only blocking.
+    Two cosine-arm strategies, chosen by the vectors' geometry:
 
-    Skew guard: one dominant NAICS prefix would otherwise become one
-    giant join bucket (a single straggler task computing |L|×|R| pairs
-    at scale).  Blocks whose right side exceeds ``max_block_rows`` are
-    salted — right rows hash into ceil(count/cap) sub-blocks, left
-    rows in that block fan out across them.  The per-prefix split
-    table is tiny (≤10⁴ NAICS prefixes) and broadcast; the candidate
-    SET is unchanged, only its task layout.
+    * ``quantile_buckets=B`` — equi-depth blocking on the normalized
+      second component (a monotone angle proxy when first components
+      are non-negative, as scaled nonneg features are): B exact
+      quantile splits of the RIGHT side (one aggregate, broadcast),
+      each right row in its bucket, each left row probing its bucket
+      ±1.  Equal-depth buckets make per-bucket pair counts uniform BY
+      CONSTRUCTION (the skew guard is built in), the right rows per
+      bucket is |R|/B (the scale knob: grow B with density), and ±1
+      neighbor probing makes bucket-boundary placement robust to
+      last-ulp split drift — which is what keeps an external SQL
+      replay hash-stable.  This is the arm for LOW-dimensional
+      vectors, where sign-LSH degenerates: d-dim sign-LSH yields at
+      most 2·n_planes regions in 2-D, and angularly concentrated data
+      (all-positive features) collapses into a handful of giant
+      buckets — measured on the sf0.1 firmographics, 2×4-plane LSH
+      left 19.2M of 20.25M pairs as "candidates" (95% — no pruning).
+    * ``tables=[...]`` — multi-table sign-LSH buckets, the arm for
+      high-dimensional embeddings (see ``sign_lsh_self_pairs``).
 
-    Pure Catalyst (substring block keys + seeded hyperplane signature
-    literals) — reproducible in ANSI SQL for oracle checks."""
-    if tables is None:
+    ``tables=None`` with no ``quantile_buckets`` derives 4 seeded
+    sign-LSH tables × 8 planes from a dim probe of the left vectors,
+    so a cosine arm is ALWAYS on by default — a pruned search without
+    one silently loses every cross-industry high-cosine peer.  Pass
+    ``tables=[]`` to explicitly request NAICS-only blocking.
+
+    Skew guard (NAICS arm): one dominant NAICS prefix would otherwise
+    become one giant join bucket (a single straggler task computing
+    |L|×|R| pairs at scale).  Blocks whose right side exceeds
+    ``max_block_rows`` are salted — right rows hash into
+    ceil(count/cap) sub-blocks, left rows in that block fan out across
+    them.  The per-prefix split table is tiny (≤10⁴ NAICS prefixes)
+    and broadcast; the candidate SET is unchanged, only its task
+    layout.
+
+    Pure Catalyst (substring block keys, exact-percentile splits,
+    seeded hyperplane signature literals) — reproducible in ANSI SQL
+    for oracle checks."""
+    if tables is None and quantile_buckets is None:
         dim = probe_dim(left, vec_col)
         # empty left relation → no queries → the NAICS arm alone
         # already yields the correct empty candidate set
         tables = [] if dim is None else random_hyperplane_tables(dim, 8, 4, seed=7)
+    tables = tables or []
     naics_l = left.select(
         F.col(left_id),
         F.substring(F.col(naics_col), 1, naics_prefix_len).alias("__blk"),
@@ -386,6 +411,56 @@ def hybrid_candidates(
             banded(right, right_id), ["__tbl", "__sig"]
         ).select(left_id, right_id)
         cand = cand.unionByName(lsh)
+    if quantile_buckets:
+        b = quantile_buckets
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        )
+        v1n = (F.element_at(F.col(vec_col), 2).cast("double") / nrm).alias(
+            "__v1"
+        )
+        splits = right.agg(
+            F.percentile(
+                F.element_at(F.col(vec_col), 2).cast("double")
+                / F.sqrt(
+                    F.aggregate(
+                        F.col(vec_col).cast("array<double>"),
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                ),
+                F.array(*[F.lit(i / b) for i in range(1, b)]),
+            ).alias("__splits")
+        )
+        # bucket = |{splits ≤ v}| — a codegen'd HOF over the broadcast
+        # (B−1)-element split array; identical expression both sides
+        bucket = F.size(
+            F.filter("__splits", lambda s: s <= F.col("__v1"))
+        ).alias("__qb")
+        r_q = (
+            right.select(F.col(right_id), v1n)
+            .crossJoin(F.broadcast(splits))
+            .select(right_id, bucket)
+        )
+        l_q = (
+            left.select(F.col(left_id), v1n)
+            .crossJoin(F.broadcast(splits))
+            .select(left_id, bucket)
+            .select(
+                left_id,
+                F.explode(
+                    F.array(
+                        F.col("__qb") - 1, F.col("__qb"), F.col("__qb") + 1
+                    )
+                ).alias("__qb"),
+            )
+        )
+        qcand = l_q.join(r_q, "__qb").select(left_id, right_id)
+        cand = cand.unionByName(qcand)
     return cand.distinct()
 
 
@@ -405,6 +480,7 @@ def hybrid_topk_pruned(
     tables: list[list[list[float]]] | None = None,
     naics_prefix_len: int = 4,
     candidates: DataFrame | None = None,
+    quantile_buckets: int | None = None,
 ) -> DataFrame:
     """Candidate-pruned hybrid top-K — the 100×-scale path for Stage
     1's peer search.  Exact hybrid scoring (same formula as
@@ -421,6 +497,7 @@ def hybrid_topk_pruned(
         candidates = hybrid_candidates(
             left, right, left_id, right_id, vec_col, naics_col,
             tables=tables, naics_prefix_len=naics_prefix_len,
+            quantile_buckets=quantile_buckets,
         )
     lhs = left.select(
         F.col(left_id),

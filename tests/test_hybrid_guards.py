@@ -130,3 +130,60 @@ def test_skew_guard_preserves_candidate_set(spark):
     salted = cand(7)  # dominant block → ceil(50/7) = 8 sub-blocks
     unsplit = cand(10**6)
     assert salted == unsplit and len(unsplit) == 50 * 50 + 10 * 2
+
+
+def test_quantile_arm_covers_cross_industry_cosine(spark):
+    """The equi-depth quantile arm (round-7 replacement for sign-LSH
+    on low-dim vectors) must surface a high-cosine pair in a DIFFERENT
+    industry — same contract the LSH arm was added for."""
+    df = _firmo(
+        spark,
+        n=40,
+        naics_of=lambda i: "521000" if i < 20 else "639900",
+        # a spread of angles; ids i and i+20 share the identical vector
+        vec_of=lambda i: [1.0 + (i % 20) * 0.3, 2.0],
+    )
+    left = df.select(F.col("id").alias("lid"), "naics", "vec", "lat", "lon")
+    right = df.select(F.col("id").alias("rid"), "naics", "vec", "lat", "lon")
+    got = {
+        (r.lid, r.rid)
+        for r in hybrid_candidates(
+            left, right, "lid", "rid", vec_col="vec",
+            tables=[], quantile_buckets=8,
+        ).collect()
+    }
+    # every identical-vector cross-industry pair must be a candidate:
+    # identical vectors share a bucket, and ±1 probing cannot miss it
+    for i in range(20):
+        assert (i, i + 20) in got, f"cross-industry twin {i} lost"
+
+
+def test_quantile_arm_actually_prunes(spark):
+    """On angularly spread vectors the quantile arm must NOT return
+    the all-pairs product (the sign-LSH failure mode this replaces):
+    with B buckets and ±1 probing, a left row pairs with ~3/B of the
+    right side, not all of it."""
+    import math
+
+    n = 200
+    df = _firmo(
+        spark,
+        n=n,
+        # unique PREFIX-4 per row → the NAICS arm contributes only the
+        # 200 self-pairs, isolating the quantile arm's volume
+        naics_of=lambda i: f"{1000 + i}00",
+        # all angles inside the first quadrant: v0 > 0, so v1 = sin θ
+        # is the monotone proxy the arm's contract requires
+        vec_of=lambda i: [
+            math.cos(0.1 + 1.3 * i / n),
+            math.sin(0.1 + 1.3 * i / n),
+        ],
+    )
+    left = df.select(F.col("id").alias("lid"), "naics", "vec")
+    right = df.select(F.col("id").alias("rid"), "naics", "vec")
+    n_cand = hybrid_candidates(
+        left, right, "lid", "rid", vec_col="vec",
+        tables=[], quantile_buckets=20,
+    ).count()
+    # ~3/20 of all pairs (+ bucket-boundary slack); all-pairs = 40000
+    assert n_cand < 0.3 * n * n, f"quantile arm did not prune: {n_cand}"
