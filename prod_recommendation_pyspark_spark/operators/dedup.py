@@ -870,3 +870,58 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "na", "nb", "containment")
     )
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edits: int = 40,
+    prefix_chars: int = 200,
+) -> DataFrame:
+    """Edit-distance VERIFY stage for blocked near-dup candidates:
+    join the candidate ``(id_a, id_b)`` pairs back to their normalized
+    text prefixes and keep pairs with Levenshtein distance ≤
+    ``max_edits``.  This is the fuzzy-matching arm the token-set
+    measures (Jaccard / containment / SimHash) cannot express — edit
+    distance sees ORDER, so a document whose shingle set survives a
+    scramble fails here while a true small-patch near-dup passes.
+
+    Never call on all pairs: edit distance is O(len²) per pair, so the
+    input must come from a blocked candidate generator
+    (``winnow_dedup_candidates``, LSH bands, …).  Two scale guards on
+    the per-pair cost: texts are normalized (lowercase, alnum-squash —
+    the same canonicalization the winnowing fingerprinter uses, so a
+    winnow candidate's shared passage survives into this stage) and
+    capped at ``prefix_chars``; and Spark's thresholded
+    ``levenshtein(l, r, threshold)`` runs the banded O(len·k) DP that
+    abandons a pair as soon as its distance provably exceeds
+    ``max_edits`` (returning -1) instead of filling the full matrix.
+
+    Shuffle shape: two equi-joins of the (small, blocked) pair set
+    against the doc-id-keyed prefix projection — at 100 TB the pair
+    set is the LSH/winnow output (bounded by the band caps), and the
+    prefix projection is a narrow column pruned at the scan.  The
+    emitted distance is an exact integer — engine-identical, fully
+    value-hashable against a DuckDB ``levenshtein`` oracle.
+
+    Returns the surviving pairs with every input column plus
+    ``edit_distance``.
+    """
+    clean = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+        1,
+        prefix_chars,
+    )
+    prefix = docs.select(F.col(id_col), clean.alias("__t"))
+    ta = prefix.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    tb = prefix.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"), max_edits)
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)
+        .drop("__ta", "__tb")
+    )

@@ -1041,3 +1041,95 @@ def asof_click_to_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_epoch_us("asof_ts") - _epoch_us("ts")).alias("latency_us"),
         F.round("asof_value", 4).alias("purchase_value"),
     ).orderBy("click_id")
+
+
+# --- Distribution drift: population stability index -------------------------
+@register(
+    "psi_drift_events",
+    sql="""
+    WITH b AS (SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                           AS BIGINT) AS mid
+               FROM events),
+    cnt AS (SELECT event_type,
+                   count(*) FILTER (WHERE epoch_us(ts) <= b.mid) AS c0,
+                   count(*) FILTER (WHERE epoch_us(ts) >  b.mid) AS c1
+            FROM events CROSS JOIN b GROUP BY event_type),
+    tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS k FROM cnt),
+    sh AS (SELECT event_type, c0, c1,
+                  (c0 + 1.0) / (tot.n0 + tot.k) AS p0,
+                  (c1 + 1.0) / (tot.n1 + tot.k) AS p1
+           FROM cnt CROSS JOIN tot)
+    SELECT event_type,
+           CAST(c0 AS BIGINT) AS n_before,
+           CAST(c1 AS BIGINT) AS n_after,
+           round(p0, 6) AS share_before,
+           round(p1, 6) AS share_after,
+           round(round((p1 - p0) * ln(p1 / p0), 12), 6) AS psi_term,
+           round(CAST(sum(CAST(round((p1 - p0) * ln(p1 / p0), 12)
+                               AS DECIMAL(38,12))) OVER ()
+                      AS DOUBLE), 6) AS psi_total
+    FROM sh
+    ORDER BY event_type
+    """,
+)
+def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event-type mix, earlier half
+    of the time range vs later half — the standard drift monitor a
+    production feature pipeline runs per ingest batch (PSI < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 investigate).  Split point
+    is the integer midpoint of the observed epoch-microsecond range
+    (exact in both engines); shares are Laplace-smoothed
+    ``(c+1)/(n+k)`` so an event type absent from one half contributes
+    a finite term instead of ±∞.  Per-type PSI terms are quantized to
+    12 digits before the DECIMAL window-sum (order-independent total;
+    residual = the 1-ULP ``ln`` class, as every entropy/KL query
+    here).
+
+    Scale shape: one scalar min/max agg (broadcast), one grouped
+    count on the bounded event_type key, and a k-row window — the
+    data passes exactly twice regardless of corpus size, nothing
+    driver-side."""
+    ev = Catalog(spark, sf_dir).table("events")
+    us = _epoch_us("ts")
+    b = ev.agg(
+        F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("mid")
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(us <= F.col("mid"), 1)).alias("c0"),
+            F.count(F.when(us > F.col("mid"), 1)).alias("c1"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    sh = cnt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "c0",
+        "c1",
+        ((F.col("c0") + 1.0) / (F.col("n0") + F.col("k"))).alias("p0"),
+        ((F.col("c1") + 1.0) / (F.col("n1") + F.col("k"))).alias("p1"),
+    )
+    term = F.round(
+        (F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0")), 12
+    )
+    from pyspark.sql import Window
+
+    return sh.select(
+        "event_type",
+        F.col("c0").alias("n_before"),
+        F.col("c1").alias("n_after"),
+        F.round("p0", 6).alias("share_before"),
+        F.round("p1", 6).alias("share_after"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(
+            F.sum(term.cast("decimal(38,12)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("event_type")

@@ -86,3 +86,58 @@ def approx_quantile_contract_orders(
         .select("r.q", "r.n_orders", "r.rank_ok")
         .orderBy("q")
     )
+
+
+@register(
+    "approx_distinct_contract_orders",
+    sql="""
+    SELECT col_name, n_exact, TRUE AS rel_err_ok
+    FROM (VALUES
+        ('o_custkey',     (SELECT count(DISTINCT o_custkey) FROM orders)),
+        ('o_orderdate',   (SELECT count(DISTINCT o_orderdate) FROM orders)),
+        ('o_orderstatus', (SELECT count(DISTINCT o_orderstatus) FROM orders))
+    ) AS t(col_name, n_exact)
+    ORDER BY col_name
+    """,
+)
+def approx_distinct_contract_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog++ distinct-count contract: `approx_count_distinct`
+    (rsd=0.05) on three orders columns spanning the cardinality range
+    a profiler meets (3-value status enum, ~2.4k order dates, the custkey id space), each
+    audited against the exact distinct count to within 5×rsd — a
+    deterministic CI margin (HLL++ error is 3σ ≈ 0.15 at this rsd;
+    the sketch is seed-fixed, so the audit cannot flake).
+
+    Shape: the sketch column and the exact column ride the SAME
+    single aggregation pass (the exact side is this query's audit
+    evidence; at 100 TB the sketch alone is the production path —
+    mergeable registers, fixed memory, no distinct-key shuffle,
+    exactly why a profiler ships HLL and not COUNT DISTINCT).  The
+    hash covers (col_name, n_exact, rel_err_ok): exact facts plus the
+    contract boolean, the same replayable-facts pattern as
+    `approx_quantile_contract_orders`."""
+    rsd = 0.05
+    margin = 5 * rsd
+    orders = Catalog(spark, sf_dir).table("orders")
+    cols = ["o_custkey", "o_orderdate", "o_orderstatus"]
+    agg = orders.agg(
+        *[F.approx_count_distinct(c, rsd).alias(f"__a_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"__e_{c}") for c in cols],
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"__e_{c}").alias("n_exact"),
+            (
+                F.abs(F.col(f"__a_{c}") / F.col(f"__e_{c}") - 1.0) <= margin
+            ).alias("rel_err_ok"),
+        )
+        for c in cols
+    ]
+    return (
+        agg.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_name", "r.n_exact", "r.rel_err_ok")
+        .orderBy("col_name")
+    )

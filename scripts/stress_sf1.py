@@ -11,6 +11,7 @@ Usage:
     python scripts/stress_sf1.py /root/testdata/sf0.1
     PYSPARK_SUBMIT_ARGS="--driver-memory 16g pyspark-shell" \
         python scripts/stress_sf1.py /tmp/sf1
+    python scripts/stress_sf1.py /tmp/sf1 query_a query_b  # override set
 
 Prints one JSON line per query: wall seconds, result rows, and counts
 of BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin /
@@ -51,12 +52,13 @@ PLAN_NODES = (
 
 def main() -> None:
     sf_dir = sys.argv[1]
+    heavy = sys.argv[2:] or HEAVY
     spark = get_spark(app_name="stress_sf1")
     par = spark.sparkContext.defaultParallelism
     spark.range(par * 4, numPartitions=par).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    for name in HEAVY:
+    for name in heavy:
         spark.catalog.clearCache()
         t0 = time.monotonic()
         df = QUERIES[name](spark, sf_dir)
