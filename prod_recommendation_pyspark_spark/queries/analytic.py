@@ -2159,3 +2159,94 @@ def cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("daily_rev"),
         "cusum_n_cents",
     ).orderBy(F.abs(F.col("cusum_n_cents")).desc(), "day").limit(10)
+
+
+# --- Exact-moment Pearson correlation matrix --------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_CORR_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+]
+
+
+def _corr_sql() -> str:
+    moment = ", ".join(
+        [f"CAST(count(*) AS DOUBLE) AS n"]
+        + [
+            f"CAST(sum(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS s_{c}"
+            for c in _CORR_COLS
+        ]
+        + [
+            f"CAST(sum(CAST({c} * {c} AS DECIMAL(38,6))) AS DOUBLE) AS ss_{c}"
+            for c in _CORR_COLS
+        ]
+        + [
+            f"CAST(sum(CAST({a} * {b} AS DECIMAL(38,6))) AS DOUBLE) AS sp_{a}_{b}"
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    rows = " UNION ALL ".join(
+        f"""SELECT '{a}' AS var_a, '{b}' AS var_b,
+            round((n * sp_{a}_{b} - s_{a} * s_{b})
+                  / (sqrt(n * ss_{a} - s_{a} * s_{a})
+                     * sqrt(n * ss_{b} - s_{b} * s_{b})), 6) AS corr
+            FROM m"""
+        for a, b in _CORR_PAIRS
+    )
+    return f"""
+    WITH m AS (SELECT {moment} FROM lineitem)
+    {rows}
+    ORDER BY var_a, var_b
+    """
+
+
+@register("correlation_matrix_lineitem", sql=_corr_sql())
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures from
+    EXACT raw moments: one aggregation pass collects n, Σx, Σx², Σxy
+    with DECIMAL(38,6) accumulation (order-independent — `F.corr`'s
+    double co-moment sums are partitioning-dependent in their last
+    ULPs, which is exactly the cross-engine flake class
+    `functions/exact.py` exists to kill), then each pairwise
+    correlation is one fixed double-arithmetic formula over those
+    exact sums — engine-identical, so the coefficients themselves sit
+    under the value hash.
+
+    Scale shape: a single map-side-combined scan pass producing one
+    ~10-cell row regardless of corpus size (the textbook mergeable
+    moment sketch — at 100 TB this beats 3 separate `corr` jobs by
+    sharing the scan), then k(k-1)/2 driver-free struct explosions."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for a, b in _CORR_PAIRS:
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = li.agg(*aggs)
+    n = F.col("n")
+    rows = [
+        F.struct(
+            F.lit(a).alias("var_a"),
+            F.lit(b).alias("var_b"),
+            F.round(
+                (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+                / (
+                    F.sqrt(
+                        n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+                    )
+                    * F.sqrt(
+                        n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+                    )
+                ),
+                6,
+            ).alias("corr"),
+        )
+        for a, b in _CORR_PAIRS
+    ]
+    return (
+        m.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.var_a", "r.var_b", "r.corr")
+        .orderBy("var_a", "var_b")
+    )

@@ -1049,3 +1049,83 @@ def orc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+# --- Join-key skew profiler -------------------------------------------------
+@register(
+    "skew_profile_lineitem_suppkey",
+    sql="""
+    WITH c AS (SELECT l_suppkey, count(*) AS cnt
+               FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 count(*) AS n_keys FROM c),
+    top AS (SELECT l_suppkey, cnt FROM c
+            ORDER BY cnt DESC, l_suppkey LIMIT 5),
+    r AS (SELECT l_suppkey, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank,
+                 sum(cnt) OVER (ORDER BY cnt DESC, l_suppkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_cnt
+          FROM top)
+    SELECT r.rank, r.l_suppkey, CAST(r.cnt AS BIGINT) AS cnt,
+           round(CAST(r.cnt AS DOUBLE) / t.n_rows, 6) AS share,
+           round(CAST(r.cum_cnt AS DOUBLE) / t.n_rows, 6) AS cum_share,
+           round(CAST(r.cnt AS DOUBLE) * t.n_keys / t.n_rows, 4) AS skew_x,
+           t.n_rows, CAST(t.n_keys AS BIGINT) AS n_keys
+    FROM r CROSS JOIN t
+    ORDER BY r.rank
+    """,
+)
+def skew_profile_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the diagnostic that decides whether a
+    shuffle key needs salting (operators/relational.py::salted_agg)
+    or AQE's skew-join split will do — top-5 heaviest keys with their
+    share, cumulative share, and ``skew_x`` = key count over the
+    uniform-key expectation N/K (skew_x ≈ 1 everywhere → no salt;
+    one key at skew_x ≫ 10 → that key's reducer is the straggler).
+
+    Scale shape: one grouped count on the join key, a 2-cell total,
+    and a distributed TakeOrdered for the top-5 — the ranking window
+    runs AFTER the limit, on 5 rows, so there is no global
+    single-partition window no matter how many distinct keys exist
+    (the naive rank-then-filter formulation collapses K keys to one
+    task; at 10⁹ keys that is the straggler this query exists to
+    find).  All emitted ratios are single IEEE divisions of exact
+    integers — engine-identical."""
+    li = Catalog(spark, sf_dir).table("lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    top = c.orderBy(F.desc("cnt"), "l_suppkey").limit(5)
+    w = Window.orderBy(F.desc("cnt"), "l_suppkey")
+    r = top.select(
+        F.row_number().over(w).alias("rank"),
+        "l_suppkey",
+        "cnt",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cnt"),
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "rank",
+            "l_suppkey",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cum_cnt").cast("double") / F.col("n_rows"), 6
+            ).alias("cum_share"),
+            F.round(
+                F.col("cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows"),
+                4,
+            ).alias("skew_x"),
+            "n_rows",
+            "n_keys",
+        )
+        .orderBy("rank")
+    )

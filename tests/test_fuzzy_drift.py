@@ -119,3 +119,41 @@ def test_approx_distinct_contract_holds(spark):
     by_col = {r.col_name: r.n_exact for r in rows}
     assert by_col["o_orderstatus"] <= 3
     assert by_col["o_custkey"] > by_col["o_orderstatus"]
+
+
+def test_correlation_matrix_bounds_and_pairs(spark):
+    rows = QUERIES["correlation_matrix_lineitem"](spark, SF).collect()
+    pairs = {(r.var_a, r.var_b) for r in rows}
+    assert pairs == {
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_extendedprice", "l_discount"),
+    }
+    for r in rows:
+        assert -1.0 <= r.corr <= 1.0
+
+
+def test_correlation_matrix_matches_spark_corr(spark):
+    # the exact-moment formula must agree with Spark's own corr to
+    # well beyond the emitted 6-digit rounding
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+
+    li = Catalog(spark, SF).table("lineitem")
+    ref = li.agg(F.corr("l_quantity", "l_extendedprice")).first()[0]
+    got = {
+        (r.var_a, r.var_b): r.corr
+        for r in QUERIES["correlation_matrix_lineitem"](spark, SF).collect()
+    }
+    assert abs(got[("l_quantity", "l_extendedprice")] - ref) < 1e-5
+
+
+def test_skew_profile_invariants(spark):
+    rows = QUERIES["skew_profile_lineitem_suppkey"](spark, SF).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    # counts nonincreasing; cum_share consistent with shares
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert abs(rows[-1].cum_share - sum(r.share for r in rows)) < 1e-5
+    for r in rows:
+        assert r.skew_x > 0
+        assert 0 < r.share <= r.cum_share <= 1
