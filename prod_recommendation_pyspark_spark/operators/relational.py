@@ -209,6 +209,48 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*final_aggs)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-salted equi-join for a hot join key the optimizer can't
+    see: the (big, skewed) left side gets a deterministic per-row salt
+    ``pmod(hash(all columns), n_salts)``; the (medium) right side is
+    replicated once per salt value via ``explode(sequence(...))``;
+    the join runs on ``keys + salt`` so a hot key's probe rows spread
+    over ``n_salts`` reducers instead of one straggler task.
+
+    Semantically identical to the plain join (each left row meets each
+    matching right row exactly once — at its own salt's replica), for
+    ``how`` in {'inner', 'left'}: a left-outer null-pad also fires
+    exactly once per unmatched left row.  The salt is deterministic
+    (no rand()), so results are reproducible and oracle-checkable.
+
+    When to reach for this instead of the defaults, in order:
+    broadcast the right side if it fits (no shuffle at all); let AQE's
+    skew-join split handle it (``spark.sql.adaptive.skewJoin``) when
+    runtime stats see the skew; salt manually ONLY when neither
+    applies — e.g. the skewed side is mid-plan under a cached or
+    exchange-reusing subtree AQE won't re-split, or the skew is known
+    a priori (``skew_profile_*`` output) and you want a stable plan.
+    Cost model: right-side shuffle volume grows ×``n_salts`` — fit for
+    dimensions too big to broadcast yet ≪ the fact table; pick
+    ``n_salts`` ≈ the hot key's skew_x from the profiler."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    )
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [*keys, "__salt"], how).drop("__salt")
+
+
 def modulo_split(
     df: DataFrame, key_col: str, n_buckets: int = 10, train_buckets: int = 8,
     split_col: str = "split",

@@ -1237,3 +1237,75 @@ def heavy_hitters(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation in fixed memory
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(item: Column, j: Column, width: int) -> Column:
+    """Row-hash for CMS row ``j``: the portable polynomial hash over
+    ``"<j>:<item>"`` mod ``width`` — one hash family parameterized by
+    the row index, replayable in ANSI SQL (same recurrence as
+    ``portable_term_hash``, so the DuckDB oracle reproduces every
+    cell and every estimate exactly)."""
+    return F.pmod(
+        portable_term_hash(
+            F.concat(j.cast("string"), F.lit(":"), item.cast("string"))
+        ),
+        F.lit(width),
+    )
+
+
+def count_min_cells(
+    items: DataFrame, item_col: str, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over an
+    item stream as a long-form cell table ``(j, bucket, cnt)`` —
+    ``depth`` rows × ``width`` buckets, each cell the exact count of
+    items hashing there.
+
+    This IS the textbook mergeable sketch expressed relationally: the
+    cell table is a grouped count, so Catalyst's partial aggregation
+    does the per-partition sketch build AND the merge map-side — the
+    shuffle moves at most ``depth × width`` cells per partition no
+    matter how many items or how large the vocabulary.  At 100 TB the
+    output is still ≤ ``depth × width`` rows: frequency estimation in
+    fixed memory where the exact GROUP BY would shuffle the full
+    vocabulary."""
+    return (
+        items.select(
+            F.col(item_col).alias("__item"),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+        )
+        .select("j", _cms_bucket(F.col("__item"), F.col("j"), width).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-query the sketch: estimate = min over the ``depth`` cells
+    a probe item hashes to.  Guarantees: never an underestimate;
+    overestimate ≤ (e/width)·N with probability 1 − e^(−depth).
+    The cell table is ≤ ``depth × width`` rows — broadcast — so
+    estimating any number of probes is a map-side join plus a
+    ``depth``-row min per probe; probes missing from the sketch's
+    hash range cannot occur (every bucket cell exists or the count is
+    0 via the left join's coalesce)."""
+    pb = probes.select(
+        F.col(item_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j"),
+    ).withColumn("bucket", _cms_bucket(F.col(item_col), F.col("j"), width))
+    return (
+        pb.join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("n_est"))
+    )

@@ -1692,3 +1692,93 @@ def containment_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# --- Count-min sketch: fixed-memory frequency estimation contract ----------
+@register(
+    "count_min_contract_terms",
+    sql=r"""
+    WITH toks AS (
+        SELECT t.term FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        WHERE t.term <> ''),
+    exact AS (SELECT term, count(*) AS n_exact FROM toks GROUP BY term),
+    probes AS (SELECT term, n_exact FROM exact
+               ORDER BY n_exact DESC, term LIMIT 10),
+    cells AS (
+        SELECT d.j,
+               CAST(list_reduce(
+                   list_transform(
+                       string_split(CAST(d.j AS VARCHAR) || ':' || term, ''),
+                       c -> ascii(c)),
+                   (acc, x) -> (acc * 31 + x) % 1000003) % 256 AS BIGINT)
+                   AS bucket,
+               count(*) AS cnt
+        FROM toks, unnest([0, 1, 2, 3]) AS d(j)
+        GROUP BY 1, 2),
+    pb AS (
+        SELECT p.term, p.n_exact, d.j,
+               CAST(list_reduce(
+                   list_transform(
+                       string_split(CAST(d.j AS VARCHAR) || ':' || p.term, ''),
+                       c -> ascii(c)),
+                   (acc, x) -> (acc * 31 + x) % 1000003) % 256 AS BIGINT)
+                   AS bucket
+        FROM probes p, unnest([0, 1, 2, 3]) AS d(j)),
+    est AS (
+        SELECT pb.term, pb.n_exact,
+               min(coalesce(c.cnt, 0)) AS n_est
+        FROM pb LEFT JOIN cells c USING (j, bucket)
+        GROUP BY 1, 2)
+    SELECT term, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_est AS BIGINT) AS n_est,
+           n_est >= n_exact AS over_ok
+    FROM est
+    ORDER BY n_exact DESC, term
+    """,
+)
+def count_min_contract_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation
+    (operators/text.py::count_min_cells / count_min_estimate) over the
+    corpus term stream, audited against exact counts for the 10
+    heaviest terms: ``n_est`` from a 4×256-cell sketch next to
+    ``n_exact`` from the full GROUP BY, plus the never-underestimates
+    guarantee as a boolean.  The hash family is the portable
+    polynomial recurrence parameterized by the row index, so the
+    DuckDB oracle replays every cell and every estimate exactly —
+    the sketch itself sits under the value hash, not just its
+    contract.
+
+    Scale shape: the cell table is a grouped count whose output is
+    ≤ depth×width rows regardless of corpus size (map-side partial
+    aggregation IS the sketch merge); probing is a broadcast join
+    against those ≤1024 rows.  At 100 TB this answers "how often does
+    term X occur" without ever shuffling the vocabulary — the
+    fixed-memory companion to the exact-but-bounded
+    ``heavy_hitters``."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        count_min_cells,
+        count_min_estimate,
+        tokens,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    src = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    ).filter(F.col("term") != "")
+    exact = src.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    probes = exact.orderBy(F.desc("n_exact"), "term").limit(10)
+    cells = count_min_cells(src, "term", width=256, depth=4)
+    est = count_min_estimate(
+        cells, probes.select("term"), "term", width=256, depth=4
+    )
+    return (
+        probes.join(est, "term")
+        .select(
+            "term",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") >= F.col("n_exact")).alias("over_ok"),
+        )
+        .orderBy(F.desc("n_exact"), "term")
+    )

@@ -938,6 +938,54 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+@register(
+    "salted_join_supplier_revenue",
+    sql="""
+    SELECT s_nationkey,
+           count(*) AS n_items,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def salted_join_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact↔dimension join
+    (operators/relational.py::salted_join): lineitem probes supplier
+    on the join key the skew profiler (`skew_profile_lineitem_suppkey`)
+    diagnoses — the fact side is salted 8 ways, the dimension
+    replicated ×8, and the join runs on (key, salt) so a hot supplier's
+    rows spread over 8 reducers instead of one straggler.  The salt is
+    a deterministic row hash, so the revenue rollup is bit-identical
+    to the plain-join oracle.  (At THIS key's measured skew_x ≈ 1 the
+    salt is overhead — the query exists to pin the operator's
+    semantics; production use is gated on the profiler's verdict,
+    and broadcast/AQE remain the first resorts per the docstring.)"""
+    from prod_recommendation_pyspark_spark.operators.relational import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.table("lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = cat.table("supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, supp, ["l_suppkey"], n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 # --- U2: deterministic split (randomSplit replacement), stratified counts ---
 @register(
     "modulo_split_customer_strata",

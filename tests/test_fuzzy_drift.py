@@ -157,3 +157,31 @@ def test_skew_profile_invariants(spark):
     for r in rows:
         assert r.skew_x > 0
         assert 0 < r.share <= r.cum_share <= 1
+
+
+def test_count_min_never_underestimates_any_item(spark):
+    """CMS guarantee on EVERY item (not just the query's top-10
+    probes): min-of-cells >= exact count, and the cell table is
+    bounded by depth x width regardless of vocabulary size."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        count_min_cells,
+        count_min_estimate,
+    )
+
+    items = spark.createDataFrame(
+        [(f"w{i % 37}",) for i in range(500)] + [("hot",)] * 300,
+        "term string",
+    )
+    cells = count_min_cells(items, "term", width=32, depth=3)
+    assert cells.count() <= 32 * 3
+    exact = items.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = count_min_estimate(
+        cells, exact.select("term"), "term", width=32, depth=3
+    )
+    joined = exact.join(est, "term").collect()
+    assert len(joined) == 38
+    for r in joined:
+        assert r.n_est >= r.n_exact, r
+    # the hot item dominates its cells: estimate should be exact-ish
+    hot = {r.term: (r.n_exact, r.n_est) for r in joined}["hot"]
+    assert hot[0] == 300 and hot[1] >= 300

@@ -506,3 +506,54 @@ def test_exact_aggregates_match_float_forms(spark):
     assert abs(a.sd - a.fsd) < 1e-9
     b = rows["b"]
     assert b.sd is None and b.fsd is None  # singleton: NULL, not 0/inf
+
+
+def test_salted_join_equals_plain_inner_and_left(spark):
+    """Salting is a physical spread, never a semantic change: the
+    salted join must equal the plain join row-for-row for inner AND
+    left-outer, including duplicate right keys (fan-out ×2, not ×2
+    per salt replica) and an unmatched left key (one null-pad row,
+    not one per replica)."""
+    from prod_recommendation_pyspark_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "k int, rv double"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            tuple(r) for r in left.join(right, ["k"], how).collect()
+        )
+        salted = sorted(
+            tuple(r)
+            for r in salted_join(left, right, ["k"], n_salts=4, how=how)
+            .select("k", "lv", "rv")
+            .collect()
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest as _pytest
+
+    from prod_recommendation_pyspark_spark.operators.relational import salted_join
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A hot key's left rows must land in more than one salt bucket —
+    the whole point of the operator (deterministic hash over all
+    columns, so distinct rows get distinct-ish salts)."""
+    from pyspark.sql import functions as F2
+
+    left = spark.range(200).select(
+        F2.lit(7).alias("k"), F2.col("id").alias("lv")
+    )
+    salt = F2.pmod(F2.hash("k", "lv"), F2.lit(8))
+    n_buckets = left.select(salt.alias("s")).distinct().count()
+    assert n_buckets >= 4
