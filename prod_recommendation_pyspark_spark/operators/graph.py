@@ -119,3 +119,75 @@ def pagerank(
     for cached in (e, nodes, deg):
         cached.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over a directed edge list; returns ``(node, label)`` for
+    every node that appears as a source or destination.  Pass a
+    bidirectional edge list for the usual undirected semantics.
+
+    Semantics (the deterministic synchronous variant): every node
+    starts labeled with its own id; each step, every node adopts the
+    label occurring MOST OFTEN among its in-neighbors, ties broken by
+    the SMALLEST label; isolated-in-degree nodes keep their current
+    label.  Unlike the randomized asynchronous original, every step
+    here is pure integer counting with a total tie order — the whole
+    recurrence replays in any engine (the DuckDB oracle unrolls the
+    iterations as CTEs), which is what puts community assignments
+    under a value hash.
+
+    Spark shape: one iteration = join edges×labels on src (the edge
+    list shuffles onto src ONCE and the partitioning is reused every
+    round) + ONE keyed aggregation — the argmax label is
+    ``max(struct(cnt, -label))``, a partial-aggregatable expression,
+    so there is no per-node window and no second shuffle.  Labels are
+    |V| rows.  For deep iteration counts, ``checkpoint_every`` cuts
+    the growing lineage exactly as in ``pagerank``."""
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iterations):
+        best = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        (-F.col("label")).alias("neg"),
+                    )
+                ).alias("__m")
+            )
+            .select("node", (-F.col("__m.neg")).alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=False)
+    labels = labels.localCheckpoint(eager=True)
+    for cached in (e, nodes):
+        cached.unpersist()
+    return labels

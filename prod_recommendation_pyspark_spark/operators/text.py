@@ -1309,3 +1309,45 @@ def count_min_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("n_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build — the search-engine indexing primitive
+# ---------------------------------------------------------------------------
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Build an inverted index over the corpus: one row per term with
+    its document frequency ``df``, collection frequency ``cf``, and
+    the first ``max_postings`` doc ids of its sorted posting list —
+    the indexing half of a search engine (BM25/TF-IDF are the scoring
+    half, already covered by ``bm25``/``tfidf``).
+
+    Shape: tokenize (pure projection) → ONE shuffle on (term, doc) for
+    the per-doc counts → ONE shuffle on term for the posting-list
+    assembly.  ``array_sort(collect_list(...))`` fixes arrival-order
+    nondeterminism so the posting arrays are value-comparable;
+    ``slice`` caps the per-term array at ``max_postings`` AFTER the
+    sort, so hot terms (stopwords — df ≈ |corpus|) cannot blow a
+    single reducer's output row, while ``df``/``cf`` stay exact.  At
+    100 TB you'd shard hot terms' postings into fixed-size segment
+    rows instead of truncating; the cap keeps this single-row-per-term
+    variant bounded."""
+    occ = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = occ.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("__c").alias("cf"),
+        F.slice(
+            F.array_sort(F.collect_list(F.col(id_col))), 1, max_postings
+        ).alias("postings"),
+    )

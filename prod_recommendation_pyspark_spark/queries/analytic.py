@@ -2250,3 +2250,97 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.var_a", "r.var_b", "r.corr")
         .orderBy("var_a", "var_b")
     )
+
+
+# --- Iterative graph: label-propagation communities --------------------------
+def _lpa_iter_sql(k: int) -> str:
+    """One unrolled synchronous LPA step (mirrors
+    operators/graph.py::label_propagation op-for-op: in-neighbor label
+    counts, argmax with ties to the SMALLEST label, keep the old label
+    when a node has no in-edges)."""
+    return f"""
+    b{k} AS (SELECT e.dst AS node, l.label, count(*) AS c
+             FROM edges e JOIN l{k - 1} l ON e.src = l.node
+             GROUP BY e.dst, l.label),
+    w{k} AS (SELECT node, label,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, label) AS rn
+             FROM b{k}),
+    l{k} AS (SELECT p.node, coalesce(m.label, p.label) AS label
+             FROM l{k - 1} p
+             LEFT JOIN (SELECT node, label FROM w{k} WHERE rn = 1) m
+               ON m.node = p.node)"""
+
+
+@register(
+    "label_propagation_communities",
+    sql=f"""
+    WITH pairs AS (
+        SELECT o_custkey AS c, l_suppkey + 1000000 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    {_lpa_iter_sql(1)},
+    {_lpa_iter_sql(2)},
+    {_lpa_iter_sql(3)}
+    SELECT label AS community, count(*) AS n_members
+    FROM l3
+    GROUP BY label
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via deterministic synchronous label
+    propagation (operators/graph.py::label_propagation) on the
+    bidirectional REPEAT-trade customer↔supplier graph (an edge only
+    where the pair traded ≥2 line items — the dense one-shot graph
+    collapses to a blob; repeat ties carry the community signal) —
+    3 steps, then the 20 largest communities.  The whole recurrence is integer counting
+    with a total tie order (most-frequent in-neighbor label, ties to
+    the smallest), so the DuckDB oracle unrolls every step as CTEs
+    and the value hash pins the full assignment sequence — the
+    determinism the randomized textbook LPA can't offer an oracle.
+
+    Complements the other two graph operators: connected_components
+    answers "reachable at all", pagerank "who matters", LPA "who
+    clusters together" — the corpus-partitioning primitive for
+    domain-stratified sampling over a web graph.
+
+    Scale: one edges×labels shuffle join + ONE partial-aggregatable
+    argmax per step (max(struct(cnt, -label)) — no per-node window);
+    labels are |V| rows; lineage cut by localCheckpoint exactly as
+    pagerank."""
+    from prod_recommendation_pyspark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.table("orders")
+        .join(
+            cat.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("c", "s")
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    labels = label_propagation(edges, iterations=3)
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

@@ -1782,3 +1782,50 @@ def count_min_contract_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), "term")
     )
+
+
+# --- Inverted index: posting lists + corpus term statistics -----------------
+@register(
+    "inverted_index_documents",
+    sql=r"""
+    WITH occ AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        WHERE t.term <> ''),
+    pd AS (SELECT term, doc_id, count(*) AS c FROM occ GROUP BY 1, 2),
+    agg AS (
+        SELECT term,
+               count(*) AS df,
+               CAST(sum(c) AS BIGINT) AS cf,
+               (list(doc_id ORDER BY doc_id))[1:20] AS postings
+        FROM pd GROUP BY term)
+    SELECT term, df, cf, postings
+    FROM agg
+    ORDER BY df DESC, term
+    LIMIT 200
+    """,
+)
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/text.py::inverted_index): the
+    200 highest-df terms with exact document/collection frequencies
+    and the head of each sorted posting list — term → docs, the
+    search-engine indexing primitive the scoring queries (bm25, tfidf)
+    assume exists.  The posting arrays themselves sit under the value
+    hash (array_sort kills collect_list's arrival-order
+    nondeterminism; the DuckDB oracle's ordered list() matches
+    element-for-element).
+
+    Scale: two keyed shuffles — (term, doc) then term — both with
+    map-side partial aggregation; the posting cap bounds the hot-term
+    (stopword) reducer rows while df/cf stay exact; the top-200 cut
+    plans as TakeOrdered (per-partition heads + a 200-row driver
+    merge)."""
+    from prod_recommendation_pyspark_spark.operators.text import inverted_index
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    return (
+        inverted_index(docs, "doc_id", "text", max_postings=20)
+        .orderBy(F.desc("df"), "term")
+        .limit(200)
+    )

@@ -163,3 +163,47 @@ def test_mixture_balanced_share_uniform_when_uncapped(spark):
         ("en", 1.0, 0.5),
         ("fr", 1.0, 0.5),
     ]
+
+
+def test_label_propagation_two_triangles(spark):
+    """Hand-computed LPA on two triangles joined by one bridge edge:
+    after 3 synchronous steps the communities are exactly the
+    triangles, labeled by deterministic tie-break dynamics (derived by
+    hand: {1,2,3}->1, {4,5,6}->3)."""
+    from prod_recommendation_pyspark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+
+
+def test_label_propagation_dangling_in_keeps_label(spark):
+    """A node with no in-edges never receives neighbor labels and must
+    keep its own across every iteration (the left-join coalesce)."""
+    from prod_recommendation_pyspark_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und] + [(7, 1)], "src long, dst long"
+    )
+    got = {
+        r.node: r.label
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got[7] == 7
+    assert got[1] == got[2] == got[3] == 1
+
+
+def test_label_propagation_oracle(spark, duck):
+    name = "label_propagation_communities"
+    assert_matches_oracle(QUERIES[name](spark, SF), duck, ORACLES[name])

@@ -632,3 +632,32 @@ def test_decontaminate_bloom_tiny_filter_still_exact(spark):
         )
     )
     assert noisy == exact
+
+
+def test_inverted_index_semantics(spark):
+    """Hand corpus: exact df/cf, sorted postings, and the max_postings
+    cap truncating AFTER the sort (smallest doc ids win)."""
+    from prod_recommendation_pyspark_spark.operators.text import inverted_index
+
+    docs = spark.createDataFrame(
+        [
+            (3, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.term: r for r in inverted_index(docs, "doc_id", "text").collect()}
+    assert rows["apple"].df == 2 and rows["apple"].cf == 3
+    assert rows["apple"].postings == [2, 3]
+    assert rows["banana"].df == 3 and rows["banana"].cf == 4
+    assert rows["banana"].postings == [1, 2, 3]
+    assert rows["cherry"].postings == [1]
+    capped = {
+        r.term: r
+        for r in inverted_index(
+            docs, "doc_id", "text", max_postings=2
+        ).collect()
+    }
+    assert capped["banana"].postings == [1, 2]
+    assert capped["banana"].df == 3  # df stays exact past the cap
