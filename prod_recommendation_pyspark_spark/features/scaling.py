@@ -153,3 +153,45 @@ def log10_floor(df: DataFrame, col: str, out_col: str, floor: float = 1.0) -> Da
         F.col(col).isNull() | (F.col(col) <= 0), F.lit(floor)
     ).otherwise(F.col(col))
     return df.withColumn(out_col, F.log10(guarded))
+
+
+def winsorize(
+    df: DataFrame,
+    cols: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    partition_by: list[str] | None = None,
+    suffix: str = "_w",
+) -> DataFrame:
+    """Percentile clipping (winsorization): values below the
+    ``lower``-quantile are raised to it, values above the ``upper``-
+    quantile lowered to it — the standard heavy-tail tamer run before
+    scaling/assembly so one corrupt reading can't stretch a min-max
+    range or blow a z-score's variance.
+
+    Quantiles are EXACT (``F.percentile``, linear interpolation —
+    cross-engine deterministic against ``quantile_cont``, unlike the
+    GK-sketch ``percentile_approx``); the plan is the same one-pass
+    agg + broadcast-join + codegen'd projection as
+    :func:`min_max_scale` — the fact table never shuffles.  At 100 TB
+    exact percentiles of a single column are one mergeable-buffer agg
+    pass; swap in ``percentile_approx`` only if the per-group buffer
+    (values per group on one reducer) becomes the constraint."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.percentile(F.col(c), F.lit(lower)).alias(f"__lo_{c}"),
+            F.percentile(F.col(c), F.lit(upper)).alias(f"__hi_{c}"),
+        ]
+    stats = (
+        df.groupBy(*partition_by).agg(*aggs) if partition_by else df.agg(*aggs)
+    )
+    out = _join_stats(df, stats, partition_by)
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        out = out.withColumn(
+            f"{c}{suffix}", F.least(F.greatest(F.col(c), lo), hi)
+        )
+    return out.drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )

@@ -1029,15 +1029,23 @@ def uniform_hash(id_col: Column) -> Column:
     replays the identical keep/drop decisions.  The id column must be
     integral (or an exactly-integral numeric); string ids should be
     mapped to dense ids first (``features.encode.string_index``)."""
+    return uniform_hash_long(id_col) / F.lit(float(HASH_MOD))
+
+
+def uniform_hash_long(id_col: Column) -> Column:
+    """Integer core of :func:`uniform_hash`: the multiplicative
+    (Knuth golden-ratio) scramble ``(id * 2654435761) mod 2^32`` as a
+    BIGINT in [0, 2^32), with the same overflow-safe 16-bit-half
+    evaluation.  Use directly when an integer sort key is wanted
+    (``epoch_shuffle``) rather than a [0,1) draw."""
     m = F.pmod(id_col.cast("long"), F.lit(HASH_MOD))
     m_hi = F.floor(m / F.lit(65536))
     m_lo = F.pmod(m, F.lit(65536))
-    h = F.pmod(
+    return F.pmod(
         F.pmod(m_hi * F.lit(HASH_MULT), F.lit(HASH_MOD)) * F.lit(65536)
         + m_lo * F.lit(HASH_MULT),
         F.lit(HASH_MOD),
     )
-    return h / F.lit(float(HASH_MOD))
 
 
 def temperature_resample(
@@ -1350,4 +1358,40 @@ def inverted_index(
         F.slice(
             F.array_sort(F.collect_list(F.col(id_col))), 1, max_postings
         ).alias("postings"),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    key_col: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle key: the portable
+    polynomial hash of ``"<epoch>:<id>"`` (epoch mixing) scrambled by
+    the multiplicative golden-ratio hash (order diffusion — the
+    polynomial alone is order-PRESERVING for short sequential ids, a
+    non-shuffle) — a new pseudo-random total order every epoch, fully
+    reproducible (re-running epoch 3 after a failure yields the
+    identical order; two engines agree — the property ``rand(seed)``
+    lacks, since its stream depends on partitioning).  A lightweight
+    locality-breaker, not a cryptographic permutation: adjacent
+    epochs' orders are decorrelated enough for training-batch
+    diversity, pinned by a permutation/difference pytest.
+
+    Training-data shuffling at 100 TB: never a global sort — write
+    each epoch with ``repartitionByRange(key_col)`` +
+    ``sortWithinPartitions(key_col, id)`` so shards come out locally
+    sorted in a globally consistent pseudo-random order, one range
+    shuffle per epoch.  The key is row-local arithmetic; this helper
+    only attaches it."""
+    return df.withColumn(
+        key_col,
+        uniform_hash_long(
+            portable_term_hash(
+                F.concat(
+                    F.lit(str(epoch)), F.lit(":"), F.col(id_col).cast("string")
+                )
+            )
+        ),
     )

@@ -1829,3 +1829,126 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "term")
         .limit(200)
     )
+
+
+# --- Sorted-neighborhood blocking + edit-distance verify ---------------------
+_SNM_WINDOW, _SNM_KEY_CHARS = 5, 40
+
+
+@register(
+    "sorted_neighborhood_near_dup_docs",
+    sql=f"""
+    WITH c AS (SELECT doc_id,
+                      regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+               FROM documents),
+    k AS (SELECT doc_id, s[1:{_SNM_KEY_CHARS}] AS key FROM c),
+    r AS (SELECT doc_id, key,
+                 row_number() OVER (ORDER BY key, doc_id) AS rank
+          FROM k),
+    cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    b.rank - a.rank AS rank_gap
+             FROM r a JOIN r b
+               ON b.rank - a.rank BETWEEN 1 AND {_SNM_WINDOW - 1})
+    SELECT cand.id_a, cand.id_b,
+           CAST(cand.rank_gap AS BIGINT) AS rank_gap,
+           levenshtein(ca.s[1:{_EDIT_PREFIX}], cb.s[1:{_EDIT_PREFIX}])
+               AS edit_distance
+    FROM cand JOIN c ca ON ca.doc_id = cand.id_a
+              JOIN c cb ON cb.doc_id = cand.id_b
+    WHERE levenshtein(ca.s[1:{_EDIT_PREFIX}], cb.s[1:{_EDIT_PREFIX}])
+          <= {_EDIT_MAX}
+    ORDER BY id_a, id_b
+    """,
+)
+def sorted_neighborhood_near_dup_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sorted-neighborhood near-dup detection
+    (operators/dedup.py::sorted_neighborhood_pairs → edit-distance
+    verify): sort the corpus by the 40-char normalized-text prefix,
+    pair every document with its ≤4 sort neighbors, keep pairs within
+    40 edits on the 200-char prefix.  This blocker is complementary to
+    the hash family (MinHash/SimHash/winnow need a SHARED shingle or
+    fingerprint; the sort key only needs to be CLOSE) — the classic
+    merge/purge strategy for typo'd or templated records.
+
+    Scale: global rank is composed from prefix buckets + a cumulative
+    offset over the bounded bucket-size table (the ONLY unpartitioned
+    window runs on ≤36² rows, never the corpus — the flat
+    row_number-over-everything the oracle uses would be a one-task
+    straggler at 100 TB); the neighborhood join is a granule equi-join
+    emitting ≤ (w−1)·N pairs, and the verify DP is banded O(len·k)."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        edit_distance_verify,
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+        1,
+        _SNM_KEY_CHARS,
+    )
+    cand = sorted_neighborhood_pairs(
+        docs, "doc_id", key, window=_SNM_WINDOW, bucket_chars=2
+    )
+    return (
+        edit_distance_verify(
+            cand, docs, "doc_id", "text",
+            max_edits=_EDIT_MAX, prefix_chars=_EDIT_PREFIX,
+        )
+        .select("id_a", "id_b", "rank_gap", "edit_distance")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- Deterministic per-epoch training-data shuffle ---------------------------
+@register(
+    "epoch_shuffle_documents",
+    sql="""
+    WITH p AS (
+        SELECT e.epoch, doc_id,
+               list_reduce(
+                   list_transform(
+                       string_split(CAST(e.epoch AS VARCHAR) || ':'
+                                    || CAST(doc_id AS VARCHAR), ''),
+                       c -> ascii(c)),
+                   (acc, x) -> (acc * 31 + x) % 1000003) AS poly
+        FROM documents, unnest([1, 2]) AS e(epoch)),
+    k AS (
+        SELECT epoch, doc_id,
+               ((poly // 65536) * 2654435761 % 4294967296 * 65536
+                + (poly % 65536) * 2654435761) % 4294967296 AS shuffle_key
+        FROM p),
+    r AS (SELECT epoch, doc_id, shuffle_key,
+                 row_number() OVER (PARTITION BY epoch
+                                    ORDER BY shuffle_key, doc_id) AS rn
+          FROM k)
+    SELECT epoch, doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key
+    FROM r WHERE rn <= 50
+    ORDER BY epoch, shuffle_key, doc_id
+    """,
+)
+def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch corpus shuffle
+    (operators/text.py::epoch_shuffle): the head-50 of epochs 1 and 2
+    under their hash-derived orders, proving (a) each epoch's order is
+    engine-replayable (the DuckDB oracle folds the same polynomial)
+    and (b) different epochs genuinely reorder.  The deterministic
+    replacement for ``ORDER BY rand(seed)`` whose stream depends on
+    partitioning.  Each epoch's head plans as TakeOrdered — no global
+    sort; the production write path is range-partition + local sort
+    per the operator docstring."""
+    from prod_recommendation_pyspark_spark.operators.text import epoch_shuffle
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    parts = [
+        epoch_shuffle(docs, "doc_id", ep)
+        .select(F.lit(ep).alias("epoch"), "doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+        .limit(50)
+        for ep in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1]).orderBy(
+        "epoch", "shuffle_key", "doc_id"
+    )

@@ -1177,3 +1177,62 @@ def skew_profile_lineitem_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("rank")
     )
+
+
+# --- Winsorization: percentile clipping before scaling ----------------------
+@register(
+    "winsorize_acctbal_segments",
+    sql="""
+    WITH q AS (SELECT quantile_cont(c_acctbal, 0.01) AS lo,
+                      quantile_cont(c_acctbal, 0.99) AS hi
+               FROM customer),
+    w AS (SELECT c_mktsegment,
+                 least(greatest(c_acctbal, lo), hi) AS bw, lo, hi
+          FROM customer CROSS JOIN q)
+    SELECT c_mktsegment AS segment,
+           count(*) AS n,
+           round(CAST(sum(CAST(bw AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_w,
+           CAST(round(sum(CAST(bw AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_w,
+           round(any_value(lo), 4) AS lo,
+           round(any_value(hi), 4) AS hi
+    FROM w
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def winsorize_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (features/scaling.py::winsorize): account
+    balances clipped at the exact global p01/p99 before a per-segment
+    rollup — the heavy-tail tamer that keeps one corrupt reading from
+    stretching a min-max range or blowing a z-score variance.  Exact
+    ``F.percentile`` ≡ DuckDB ``quantile_cont`` (linear
+    interpolation, the parity `quantile_bins_totalprice` pins);
+    clipped sums accumulate in DECIMAL so the emitted averages are
+    order-independent.  Plan: one agg pass for the two quantiles, a
+    broadcast join, a codegen'd least/greatest projection — the fact
+    table never shuffles for the clip, only for the final segment
+    rollup."""
+    from prod_recommendation_pyspark_spark.features.scaling import winsorize
+
+    cust = Catalog(spark, sf_dir).table("customer")
+    w = winsorize(cust, ["c_acctbal"], lower=0.01, upper=0.99)
+    lo_hi = cust.agg(
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.01)), 4).alias("lo"),
+        F.round(F.percentile(F.col("c_acctbal"), F.lit(0.99)), 4).alias("hi"),
+    )
+    return (
+        w.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                dsum(F.col("c_acctbal_w")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("avg_w"),
+            F.round(dsum(F.col("c_acctbal_w")), 2)
+            .cast("double")
+            .alias("sum_w"),
+        )
+        .crossJoin(F.broadcast(lo_hi))
+        .orderBy("segment")
+    )

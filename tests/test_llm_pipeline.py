@@ -661,3 +661,53 @@ def test_inverted_index_semantics(spark):
     }
     assert capped["banana"].postings == [1, 2]
     assert capped["banana"].df == 3  # df stays exact past the cap
+
+
+def test_sorted_neighborhood_equals_flat_rank(spark):
+    """The bucketed rank composition must produce EXACTLY the flat
+    row_number-over-everything pair set (blocking is physical, not
+    semantic), including keys that straddle bucket-prefix boundaries
+    and duplicate keys (tie-break on id)."""
+    from pyspark.sql import Window as W
+
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "aa alpha"), (2, "ab beta"), (3, "aa alpha"), (4, "zz omega"),
+        (5, "b gamma"), (6, ""), (7, "ab bets"), (8, "aardvark"),
+        (9, "z zeta"), (10, "b gamm"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    key = F.col("text")
+    got = {
+        (r.id_a, r.id_b, r.rank_gap)
+        for r in sorted_neighborhood_pairs(
+            docs, "doc_id", key, window=3, bucket_chars=2
+        ).collect()
+    }
+    flat = docs.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(key, "doc_id"))
+        .alias("rank"),
+    )
+    a = flat.select(
+        F.col("doc_id").alias("id_a"), F.col("rank").alias("ra")
+    )
+    b = flat.select(
+        F.col("doc_id").alias("id_b"), F.col("rank").alias("rb")
+    )
+    want = {
+        (r.id_a, r.id_b, r.rb - r.ra)
+        for r in a.crossJoin(b)
+        .filter((F.col("rb") - F.col("ra") >= 1) & (F.col("rb") - F.col("ra") <= 2))
+        .collect()
+    }
+    assert got == want
+    # each pair exactly once (the set sizes prove no granule dup)
+    n_pairs = sorted_neighborhood_pairs(
+        docs, "doc_id", key, window=3, bucket_chars=2
+    ).count()
+    assert n_pairs == len(want)

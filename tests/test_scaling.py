@@ -52,3 +52,34 @@ def test_no_global_window_in_scaler_plan(spark):
     plan = min_max_scale(df, ["x"])._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winsorize_clips_at_exact_quantiles(spark):
+    from prod_recommendation_pyspark_spark.features.scaling import winsorize
+
+    vals = list(range(1, 100)) + [10_000]  # one wild outlier
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    out = winsorize(df, ["x"], lower=0.05, upper=0.95).collect()
+    lo = df.agg(F.percentile("x", F.lit(0.05))).first()[0]
+    hi = df.agg(F.percentile("x", F.lit(0.95))).first()[0]
+    for r in out:
+        assert lo <= r.x_w <= hi
+    # interior values untouched, the outlier clipped to hi exactly
+    by_x = {r.x: r.x_w for r in out}
+    assert by_x[50.0] == 50.0
+    assert by_x[10_000.0] == hi
+
+
+def test_epoch_shuffle_reproducible_and_epoch_varying(spark):
+    from prod_recommendation_pyspark_spark.operators.text import epoch_shuffle
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    e1a = [r.doc_id for r in epoch_shuffle(df, "doc_id", 1)
+           .orderBy("shuffle_key", "doc_id").collect()]
+    e1b = [r.doc_id for r in epoch_shuffle(df, "doc_id", 1)
+           .orderBy("shuffle_key", "doc_id").collect()]
+    e2 = [r.doc_id for r in epoch_shuffle(df, "doc_id", 2)
+          .orderBy("shuffle_key", "doc_id").collect()]
+    assert e1a == e1b          # same epoch: identical order
+    assert e1a != e2           # different epoch: different order
+    assert sorted(e1a) == sorted(e2) == list(range(100))  # a permutation
