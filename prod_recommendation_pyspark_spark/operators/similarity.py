@@ -1061,3 +1061,72 @@ def mmr_rerank(
         )
 
     return cands.groupBy(qid_col).applyInPandas(per_query, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Random sign projection (Johnson–Lindenstrauss / Achlioptas ±1)
+# ---------------------------------------------------------------------------
+
+
+def sign_projection_matrix(k: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003's database-
+    friendly JL variant): sign[j][i] from the low bit of
+    ``sha256("<j>:<i>")`` — seed-free, platform-free, and genuinely
+    independent across cells (cheap arithmetic hashes — polynomial
+    parity, one golden-ratio multiply — leave LINEAR structure across
+    rows: measured max row·row up to 56/64, a near-duplicate pair
+    that wrecks the JL guarantee; sha256 bits show no such
+    correlation, pinned by pytest).  Generation is driver-side Python
+    over k×dim cells and the result is inlined as literals into both
+    the Spark plan and the SQL oracle — no engine ever evaluates the
+    hash, so crypto cost is irrelevant.  k rows × dim columns."""
+    import hashlib
+
+    def bit(s: str) -> int:
+        return hashlib.sha256(s.encode()).digest()[-1] & 1
+
+    return [
+        [1.0 if bit(f"{j}:{i}") else -1.0 for i in range(dim)]
+        for j in range(k)
+    ]
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str,
+    k: int = 16,
+    dim: int | None = None,
+    matrix: list[list[float]] | None = None,
+) -> DataFrame:
+    """Project ``vec_col`` (array<numeric>, fixed width ``dim``) to a
+    ``k``-dim array via the ±1 sign matrix: out[j] = Σ_i sign[j][i]·v[i]
+    — the JL dimensionality reduction that preserves pairwise
+    angles/distances within ~1/√k distortion, shrinking downstream
+    similarity-search shuffle volume by dim/k (64→16 = 4× less vector
+    traffic into every ANN/dedup stage).
+
+    Pure Catalyst: each output coordinate is one ``zip_with`` product
+    + a SEQUENTIAL left fold (``F.aggregate``) in index order — no
+    UDF, and the fold order is pinned so an external engine replaying
+    the same order reproduces the doubles bit-for-bit.  The matrix is
+    k×dim literals baked into the plan (~1k constants — trivial), so
+    zero per-row hash cost and no join."""
+    if matrix is None:
+        if dim is None:
+            raise ValueError("need dim when matrix is not given")
+        matrix = sign_projection_matrix(k, dim)
+    v = F.col(vec_col).cast("array<double>")
+    coords = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(s) for s in row]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in matrix
+    ]
+    return df.withColumn(out_col, F.array(*coords))

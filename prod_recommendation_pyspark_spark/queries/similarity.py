@@ -874,3 +874,110 @@ def mmr_diversify_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(
         cand, "qid", "cid", "rel", "cv", k=5, lam=0.5, round_digits=4
     ).orderBy("qid", "step")
+
+
+# --- JL random projection: cosine-preservation audit -------------------------
+from prod_recommendation_pyspark_spark.operators.similarity import (  # noqa: E402
+    random_project,
+    sign_projection_matrix,
+)
+
+_JL_K, _JL_DIM = 16, 64
+_JL_MAT = sign_projection_matrix(_JL_K, _JL_DIM)
+_JL_MAT_SQL = ",\n        ".join(
+    f"({j}, [{', '.join(str(s) for s in row)}]::DOUBLE[])"
+    for j, row in enumerate(_JL_MAT)
+)
+
+
+@register(
+    "random_projection_cosine_audit",
+    sql=f"""
+    WITH sel AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings WHERE vec_id % 10 = 0),
+    mat(j, s) AS (VALUES
+        {_JL_MAT_SQL}),
+    pj AS (SELECT vec_id, j,
+                  list_reduce(
+                      list_transform(range(1, {_JL_DIM + 1}),
+                                     i -> v[i] * s[i]),
+                      (a, x) -> a + x) AS c
+           FROM sel CROSS JOIN mat),
+    proj AS (SELECT vec_id, list(c ORDER BY j) AS p FROM pj GROUP BY vec_id),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS cos_full,
+               round(list_cosine_similarity(pa.p, pb.p), 4) AS cos_proj
+        FROM sel a JOIN sel b ON a.vec_id < b.vec_id
+        JOIN proj pa ON pa.vec_id = a.vec_id
+        JOIN proj pb ON pb.vec_id = b.vec_id)
+    SELECT id_a, id_b, cos_full, cos_proj,
+           round(abs(cos_full - cos_proj), 4) AS abs_err
+    FROM pairs
+    ORDER BY id_a, id_b
+    """,
+)
+def random_projection_cosine_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection
+    (operators/similarity.py::random_project): 64-dim embeddings
+    projected to 16 dims by a deterministic ±1 matrix, audited by
+    placing every sampled pair's full-space and projected-space
+    cosine side by side with the absolute error — the measured
+    distortion a similarity pipeline accepts in exchange for 4× less
+    vector traffic into its ANN/dedup stages.  The SAME literal
+    matrix is baked into the Spark plan and the oracle's VALUES
+    clause; each projected coordinate is a pinned-order sequential
+    fold, so the projections (not just the audit stats) agree
+    cross-engine.
+
+    Scale: the projection is a row-local codegen'd expression — at
+    100 TB it runs at scan speed with no shuffle; the quadratic pair
+    audit here is the measurement harness, not the production path
+    (production feeds the 16-dim vectors into the registered
+    bucketed ANN operators)."""
+    emb = Catalog(spark, sf_dir).table("embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    sel = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    proj = random_project(sel, "v", "p", k=_JL_K, matrix=_JL_MAT)
+
+    def dot(u, w):
+        return F.aggregate(
+            F.zip_with(u, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def cos(u, w):
+        return dot(u, w) / (F.sqrt(dot(u, u)) * F.sqrt(dot(w, w)))
+
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.round(cos(F.col("va"), F.col("vb")), 4).alias("cos_full"),
+        F.round(cos(F.col("pa"), F.col("pb")), 4).alias("cos_proj"),
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "cos_full",
+        "cos_proj",
+        F.round(F.abs(F.col("cos_full") - F.col("cos_proj")), 4).alias(
+            "abs_err"
+        ),
+    ).orderBy("id_a", "id_b")

@@ -445,3 +445,49 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     assert got[1] == (2, 12, round(0.5 * 0.5 - 0.5 * 0.0, 6))
     # step 3: the twin, penalized by its ~0.999 similarity to cid 10
     assert got[2][2] == round(0.5 * 0.89 - 0.5 * 0.999, 6)
+
+
+def test_sign_projection_matrix_quality():
+    """The generator must produce distinct, near-balanced,
+    low-correlation rows (the cheap arithmetic hashes failed this:
+    repeated rows / row-dots of 56/64)."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        sign_projection_matrix,
+    )
+
+    m = sign_projection_matrix(16, 64)
+    rows = [tuple(r) for r in m]
+    assert len(set(rows)) == 16
+    assert all(v in (1.0, -1.0) for r in m for v in r)
+    assert max(abs(sum(r)) for r in m) <= 20  # near-balanced
+    dots = [
+        abs(sum(a * b for a, b in zip(m[i], m[j])))
+        for i in range(16)
+        for j in range(i + 1, 16)
+    ]
+    assert max(dots) <= 32  # no near-duplicate row pair
+    assert sum(dots) / len(dots) < 10  # E|dot| ~ sqrt(64) = 8
+
+
+def test_random_project_hand_computed(spark):
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        random_project,
+    )
+
+    mat = [[1.0, -1.0, 1.0], [-1.0, 1.0, 1.0]]
+    df = spark.createDataFrame([(1, [2.0, 3.0, 5.0])], "id long, v array<double>")
+    r = random_project(df, "v", "p", k=2, matrix=mat).first()
+    assert r.p == [2.0 - 3.0 + 5.0, -2.0 + 3.0 + 5.0]
+
+
+def test_random_projection_preserves_cosine_roughly(spark):
+    """JL sanity at k=16: over the audit query's pairs the mean
+    absolute cosine error stays well under the 1/sqrt(k) scale."""
+    from prod_recommendation_pyspark_spark.queries.registry import QUERIES
+
+    rows = QUERIES["random_projection_cosine_audit"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    mean_err = sum(r.abs_err for r in rows) / len(rows)
+    assert mean_err < 0.25
