@@ -265,3 +265,49 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("__chg", snap_col)
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    train_frac: float = 0.7,
+    gap_days: int = 3,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-guarded temporal train/test split: everything up to the
+    exact ``train_frac`` day-quantile is train, then ``gap_days`` of
+    EMBARGO rows that belong to neither side, then test — the
+    time-series analog of the cluster-aware ``leakage_safe_split``
+    (there near-dups must not straddle the split; here label windows
+    and autocorrelated features must not: an event 1 hour after the
+    cut shares its user's state with training, so a gap, not a knife
+    edge).
+
+    The cut is the exact interpolated percentile of the integer day
+    index (cross-engine deterministic, the ``quantile_cont`` parity
+    class) — one aggregate pass, broadcast back, then a row-local
+    CASE: the fact table never shuffles.  Day indexing is pure
+    epoch-microsecond arithmetic, timezone-free."""
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(86_400_000_000)
+    ).cast("long")
+    cut = df.agg(
+        F.floor(F.percentile(day, F.lit(train_frac)))
+        .cast("long")
+        .alias("__cut")
+    )
+    return (
+        df.withColumn("__day", day)
+        .crossJoin(F.broadcast(cut))
+        .withColumn(
+            split_col,
+            F.when(F.col("__day") <= F.col("__cut"), F.lit("train"))
+            .when(
+                F.col("__day") <= F.col("__cut") + gap_days,
+                F.lit("embargo"),
+            )
+            .otherwise(F.lit("test")),
+        )
+        .drop("__cut", "__day")
+    )

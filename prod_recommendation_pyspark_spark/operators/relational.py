@@ -301,3 +301,73 @@ def merge_upsert(
         ).drop(delete_col)
     kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
     return kept.unionByName(upserts)
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation — the inverse of :func:`merge_upsert`:
+    given two versions of a keyed table, emit one row per difference
+    with ``diff_status`` ∈ {'added', 'removed', 'changed'} and
+    ``changed_cols`` (comma-joined names of the columns whose values
+    differ, null-safely compared; empty for added/removed).
+    Unchanged rows are dropped — at 100 TB the diff output is the CDC
+    volume, not the table.
+
+    Shape: ONE full-outer join on the key (each side shuffles once;
+    with both snapshots bucketed by the key it is a zero-Exchange
+    zip), presence flags from literal markers (null after the outer
+    join ⇒ absent on that side), and every column comparison a
+    codegen'd ``<=>`` — no per-column joins, no collects.  This is
+    the audit tool for validating a CDC feed: ``table_diff(v_n,
+    merge_upsert(v_n, batch, keys), keys)`` must equal the batch's
+    effect exactly."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c not in keys and c in new.columns
+        ]
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full")
+    diff_flags = [
+        ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        for c in compare_cols
+    ]
+    any_changed = diff_flags[0]
+    for fl in diff_flags[1:]:
+        any_changed = any_changed | fl
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(any_changed, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    changed_cols = F.when(
+        F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(fl, F.lit(c))
+                for c, fl in zip(compare_cols, diff_flags)
+            ],
+        ),
+    ).otherwise(F.lit(""))
+    return (
+        j.select(
+            *keys,
+            status.alias("diff_status"),
+            changed_cols.alias("changed_cols"),
+        )
+        .filter(F.col("diff_status") != "unchanged")
+    )

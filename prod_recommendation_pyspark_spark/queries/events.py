@@ -1133,3 +1133,57 @@ def psi_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     ).orderBy("event_type")
+
+
+# --- Temporal split with embargo gap -----------------------------------------
+@register(
+    "temporal_split_events",
+    sql="""
+    WITH d AS (SELECT user_id,
+                      CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+               FROM events),
+    c AS (SELECT CAST(floor(quantile_cont(day, 0.7)) AS BIGINT) AS cut
+          FROM d),
+    s AS (SELECT user_id, day,
+                 CASE WHEN day <= cut THEN 'train'
+                      WHEN day <= cut + 3 THEN 'embargo'
+                      ELSE 'test' END AS split
+          FROM d CROSS JOIN c)
+    SELECT split, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(min(day) AS BIGINT) AS min_day,
+           CAST(max(day) AS BIGINT) AS max_day
+    FROM s
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series split with an embargo gap
+    (operators/events.py::temporal_split): train ≤ the exact 70%
+    day-quantile, 3 embargo days excluded from both sides, test
+    after — the leakage guard for autocorrelated event features
+    (the temporal analog of the cluster-aware
+    `leakage_safe_split_documents`).  The rollup pins each split's
+    row/user volume AND its day bounds, so the hash proves the gap:
+    min_day(test) − max_day(train) > 3.  One aggregate pass for the
+    cut, broadcast, row-local CASE — the fact table never shuffles
+    for the assignment."""
+    from prod_recommendation_pyspark_spark.operators.events import (
+        temporal_split,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events")
+    s = temporal_split(ev, "ts", train_frac=0.7, gap_days=3)
+    day = F.floor(_epoch_us("ts") / F.lit(86_400_000_000)).cast("long")
+    return (
+        s.withColumn("day", day)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+        .orderBy("split")
+    )

@@ -1236,3 +1236,76 @@ def winsorize_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(lo_hi))
         .orderBy("segment")
     )
+
+
+# --- Snapshot diff: CDC-audit reconciliation ---------------------------------
+@register(
+    "snapshot_diff_customers",
+    sql="""
+    WITH oldt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    newt AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN round(c_acctbal + 100, 2)
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 11 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'new customer', 0.0
+        FROM customer WHERE c_custkey % 13 = 0),
+    j AS (
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               o.c_custkey IS NOT NULL AS in_old,
+               n.c_custkey IS NOT NULL AS in_new,
+               o.c_name IS NOT DISTINCT FROM n.c_name AS same_name,
+               o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal AS same_bal
+        FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey)
+    SELECT c_custkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN NOT (same_name AND same_bal) THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           CASE WHEN in_old AND in_new THEN
+                concat_ws(',',
+                    CASE WHEN NOT same_name THEN 'c_name' END,
+                    CASE WHEN NOT same_bal THEN 'c_acctbal' END)
+                ELSE '' END AS changed_cols
+    FROM j
+    WHERE NOT (in_old AND in_new AND same_name AND same_bal)
+    ORDER BY c_custkey
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/relational.py::table_diff):
+    diff two versions of the customer table — here the new version is
+    a deterministic CDC simulation (every 11th key deleted, every 7th
+    balance bumped, every 13th key re-inserted under a new id) — and
+    emit exactly the added/removed/changed rows with the changed
+    column names.  The audit tool for a CDC feed: the diff of
+    (old, merge_upsert(old, batch)) must equal the batch's effect.
+
+    Scale: ONE full-outer join on the key; every column comparison is
+    a codegen'd null-safe equality; output is the change volume, not
+    the table.  All emitted cells are keys/strings — no float leaves
+    the comparison, so the value hash is arithmetic-free."""
+    from prod_recommendation_pyspark_spark.operators.relational import table_diff
+
+    old = Catalog(spark, sf_dir).table("customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    kept = old.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.round(F.col("c_acctbal") + 100, 2),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    inserted = old.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("new customer").alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    new = kept.unionByName(inserted)
+    return table_diff(old, new, ["c_custkey"]).orderBy("c_custkey")

@@ -557,3 +557,63 @@ def test_salted_join_spreads_hot_key(spark):
     salt = F2.pmod(F2.hash("k", "lv"), F2.lit(8))
     n_buckets = left.select(salt.alias("s")).distinct().count()
     assert n_buckets >= 4
+
+
+def test_table_diff_recovers_cdc_effect(spark):
+    """table_diff(old, merge_upsert(old, batch)) must equal the
+    batch's effect exactly — including NULL-value changes (null-safe
+    compare) and untouched rows staying silent."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        merge_upsert,
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k int, name string, bal double",
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, "b", 20.0, False),   # NULL -> 20.0 : changed (bal)
+            (3, "c2", 30.0, False),  # name change  : changed (name)
+            (4, None, None, True),   # delete       : removed
+            (5, "e", 50.0, False),   # insert       : added
+        ],
+        "k int, name string, bal double, is_del boolean",
+    )
+    new = merge_upsert(old, batch, ["k"], delete_col="is_del")
+    got = {
+        r.k: (r.diff_status, r.changed_cols)
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        2: ("changed", "bal"),
+        3: ("changed", "name"),
+        4: ("removed", ""),
+        5: ("added", ""),
+    }
+
+
+def test_temporal_split_has_gap_and_partitions_everything(spark):
+    from prod_recommendation_pyspark_spark.operators.events import (
+        temporal_split,
+    )
+
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = temporal_split(df, "ts", train_frac=0.5, gap_days=4).collect()
+    assert len(out) == 30  # every row assigned
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, []).append(r.id)
+    assert set(by_split) == {"train", "embargo", "test"}
+    assert len(by_split["embargo"]) == 4
+    assert max(by_split["train"]) < min(by_split["embargo"])
+    assert max(by_split["embargo"]) < min(by_split["test"])
+    # the gap: no test day within gap_days of any train day
+    assert min(by_split["test"]) - max(by_split["train"]) > 4
