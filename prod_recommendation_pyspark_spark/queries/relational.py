@@ -1309,3 +1309,240 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = kept.unionByName(inserted)
     return table_diff(old, new, ["c_custkey"]).orderBy("c_custkey")
+
+
+# --- Grouped exact quantiles -------------------------------------------------
+@register(
+    "grouped_quantiles_orders",
+    sql="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def grouped_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles — the distribution profile a curation
+    pipeline computes per domain (length/score percentiles by source)
+    — as ONE grouped aggregation emitting four interpolated
+    percentiles per group (`F.percentile` ≡ `quantile_cont`, the
+    proven parity class).  Scale: exact grouped percentiles buffer
+    each group's values on its reducer — right while groups ≪ corpus
+    (priorities, domains, languages); the GK-sketch
+    `approx_quantile_contract_orders` is the registered escape hatch
+    when a single group is itself 100 TB-scale."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.round(
+                    F.percentile(F.col("o_totalprice"), F.lit(q)), 4
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.25, 0.50, 0.75, 0.95)
+            ],
+        )
+        .orderBy("priority")
+    )
+
+
+# --- Robust (median/MAD) outlier scoring -------------------------------------
+@register(
+    "robust_zscore_acctbal",
+    sql="""
+    WITH med AS (SELECT quantile_cont(c_acctbal, 0.5) AS m FROM customer),
+    dev AS (SELECT c_custkey, c_acctbal, m,
+                   abs(c_acctbal - m) AS ad
+            FROM customer CROSS JOIN med),
+    mad AS (SELECT quantile_cont(ad, 0.5) AS mad_v FROM dev)
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS c_acctbal,
+           round((c_acctbal - m) / (1.4826 * mad_v), 4) AS robust_z
+    FROM dev CROSS JOIN mad
+    WHERE abs((c_acctbal - m) / (1.4826 * mad_v)) > 1.2
+    ORDER BY c_custkey
+    """,
+)
+def robust_zscore_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring via median/MAD — the z-score variant a
+    single corrupt reading CANNOT poison (mean and stddev both move
+    with the outlier they're supposed to flag; the median and the
+    median-absolute-deviation don't).  1.4826·MAD rescales to σ under
+    normality, so the threshold reads in familiar z units.  Exact
+    medians both engines (`quantile_cont` parity); the two scalar
+    stats broadcast; the score is one row-local expression — the
+    fact table never shuffles.  Complements the mean/std
+    `zscore_price_by_status` and the streaming-friendly
+    `anomaly_zscore_events`."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    med = cust.agg(
+        F.percentile(F.col("c_acctbal"), F.lit(0.5)).alias("m")
+    )
+    dev = cust.crossJoin(F.broadcast(med)).select(
+        "c_custkey",
+        "c_acctbal",
+        "m",
+        F.abs(F.col("c_acctbal") - F.col("m")).alias("ad"),
+    )
+    mad = dev.agg(F.percentile(F.col("ad"), F.lit(0.5)).alias("mad_v"))
+    z = (F.col("c_acctbal") - F.col("m")) / (1.4826 * F.col("mad_v"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.abs(z) > 1.2)
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.round(z, 4).alias("robust_z"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --- Benford first-digit distribution audit ----------------------------------
+@register(
+    "benford_audit_totalprice",
+    sql="""
+    WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1),
+    t AS (SELECT count(*) AS total FROM d)
+    SELECT digit, count(*) AS n,
+           round(count(*) / t.total, 6) AS share,
+           round(log10(1 + 1.0 / digit), 6) AS benford_expected,
+           round(count(*) / t.total - log10(1 + 1.0 / digit), 6)
+               AS deviation
+    FROM d CROSS JOIN t
+    GROUP BY digit, t.total
+    ORDER BY digit
+    """,
+)
+def benford_audit_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data
+    detector for financial measures: natural multiplicative amounts
+    follow P(d) = log10(1+1/d); uniform-ish synthetic ones (like
+    TPC-H prices) flatten, and the deviation column quantifies it.
+    The first digit is extracted via exact integer arithmetic
+    (floor → BIGINT → string head), never float log10 of the value
+    itself, whose ULP could flip a digit at a power-of-ten boundary.
+    One grouped count + a 1-row total broadcast — a scan-speed audit
+    at any scale."""
+    orders = Catalog(spark, sf_dir).table("orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    t = d.agg(F.count(F.lit(1)).alias("total"))
+    expected = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(expected, 6).alias("benford_expected"),
+            F.round(F.col("n") / F.col("total") - expected, 6).alias(
+                "deviation"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+# --- Sketch-based join cardinality estimation --------------------------------
+_CMS_CELL_SQL = """
+        SELECT d.j,
+               CAST(list_reduce(
+                   list_transform(
+                       string_split(CAST(d.j AS VARCHAR) || ':'
+                                    || CAST({key} AS VARCHAR), ''),
+                       c -> ascii(c)),
+                   (acc, x) -> (acc * 31 + x) % 1000003) % 256 AS BIGINT)
+                   AS bucket,
+               count(*) AS cnt
+        FROM {table}, unnest([0, 1, 2, 3]) AS d(j)
+        GROUP BY 1, 2"""
+
+
+@register(
+    "join_cardinality_cms_contract",
+    sql=f"""
+    WITH ca AS ({_CMS_CELL_SQL.format(table="orders", key="o_orderkey")}),
+    cb AS ({_CMS_CELL_SQL.format(table="lineitem", key="l_orderkey")}),
+    est AS (
+        SELECT min(j_est) AS n_est FROM (
+            SELECT ca.j, sum(ca.cnt * cb.cnt) AS j_est
+            FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket
+            GROUP BY ca.j)),
+    exact AS (
+        SELECT count(*) AS n_exact
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_est AS BIGINT) AS n_est,
+           n_est >= n_exact AS over_ok,
+           round(CAST(n_est AS DOUBLE) / n_exact, 4) AS ratio
+    FROM exact CROSS JOIN est
+    """,
+)
+def join_cardinality_cms_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-based join-size estimation — what a cost-based optimizer
+    does before committing to a join strategy: |A ⋈ B| estimated as
+    the count-min inner product min_j Σ_bucket cmsA[j][b]·cmsB[j][b]
+    (Cormode & Muthukrishnan's canonical CMS application), audited
+    against the exact join count in the same row.  Colliding keys
+    only ADD positive cross terms, so the estimate never
+    underestimates — the boolean pins it; the ratio shows the
+    256-bucket accuracy on a 15k-key join.
+
+    Scale: each side's sketch is a ≤1024-row grouped count (map-side
+    merged, one tiny shuffle); the inner product joins two ≤1024-row
+    tables — so the ESTIMATE costs two scans and no fact-table
+    shuffle, while the exact count it replaces costs the very join
+    being sized.  Same portable hash family as
+    `count_min_contract_terms`, so every cell replays in the
+    oracle."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        count_min_cells,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    orders, li = cat.table("orders"), cat.table("lineitem")
+    ca = count_min_cells(
+        orders.select(F.col("o_orderkey").alias("k")), "k", 256, 4
+    ).select("j", "bucket", F.col("cnt").alias("ca"))
+    cb = count_min_cells(
+        li.select(F.col("l_orderkey").alias("k")), "k", 256, 4
+    ).select("j", "bucket", F.col("cnt").alias("cb"))
+    est = (
+        ca.join(cb, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("j_est"))
+        .agg(F.min("j_est").alias("n_est"))
+    )
+    exact = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        "n_est",
+        (F.col("n_est") >= F.col("n_exact")).alias("over_ok"),
+        F.round(F.col("n_est").cast("double") / F.col("n_exact"), 4).alias(
+            "ratio"
+        ),
+    )

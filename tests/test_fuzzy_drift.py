@@ -185,3 +185,35 @@ def test_count_min_never_underestimates_any_item(spark):
     # the hot item dominates its cells: estimate should be exact-ish
     hot = {r.term: (r.n_exact, r.n_est) for r in joined}["hot"]
     assert hot[0] == 300 and hot[1] >= 300
+
+
+def test_cms_join_estimate_never_underestimates(spark):
+    """CMS inner-product join-size estimate on a hand-built join:
+    exact = sum of per-key count products; the sketch estimate is
+    >= exact and == exact when width >> keys (no collisions)."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        count_min_cells,
+    )
+
+    a = spark.createDataFrame([(k,) for k in [1, 1, 1, 2, 3]], "k int")
+    b = spark.createDataFrame([(k,) for k in [1, 2, 2, 4]], "k int")
+    exact = a.join(b, "k").count()
+    assert exact == 3 * 1 + 1 * 2  # key1: 3x1, key2: 1x2
+    ca = count_min_cells(a, "k", width=64, depth=3).selectExpr(
+        "j", "bucket", "cnt AS ca"
+    )
+    cb = count_min_cells(b, "k", width=64, depth=3).selectExpr(
+        "j", "bucket", "cnt AS cb"
+    )
+    from pyspark.sql import functions as F2
+
+    est = (
+        ca.join(cb, ["j", "bucket"])
+        .groupBy("j")
+        .agg(F2.sum(F2.col("ca") * F2.col("cb")).alias("e"))
+        .agg(F2.min("e").alias("n_est"))
+        .first()
+        .n_est
+    )
+    assert est >= exact
+    assert est == exact  # width 64 >> 4 keys: collision-free
