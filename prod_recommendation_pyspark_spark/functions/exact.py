@@ -27,6 +27,17 @@ shortest decimal string, DuckDB rounds its binary value — a sum
 landing exactly on .xx5, observed in the wild at sf0.01, splits
 them).  Note DuckDB's decimal→decimal downcast TRUNCATES; only its
 ``round()`` matches Spark.
+
+Negative-zero hazard (observed: ``random_projection_cosine_audit`` at
+sf0.1): when a rounded DOUBLE column's TRUE value is exactly 0, the
+two engines can compute opposite-signed 1e-17 noise, rounding to -0.0
+on one side and +0.0 on the other — numerically equal, but the
+driver's repr-sorted row compare treats them as different and
+misaligns the whole sort.  Any emitted ``round(expr, k)`` whose expr
+can be mathematically zero (differences of theoretically-equal
+quantities, cosines of orthogonal vectors) must append ``+ 0.0`` in
+BOTH the Spark projection and the oracle SQL (IEEE: -0.0 + 0.0 =
++0.0; every other value unchanged).
 """
 
 from __future__ import annotations

@@ -905,9 +905,12 @@ _JL_MAT_SQL = ",\n        ".join(
            FROM sel CROSS JOIN mat),
     proj AS (SELECT vec_id, list(c ORDER BY j) AS p FROM pj GROUP BY vec_id),
     pairs AS (
+        -- + 0.0 normalizes IEEE -0.0 to +0.0: the two engines may
+        -- disagree on the SIGN of a rounded zero, and the driver's
+        -- repr-sorted row compare treats -0.0 and 0.0 as different
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_cosine_similarity(a.v, b.v), 4) AS cos_full,
-               round(list_cosine_similarity(pa.p, pb.p), 4) AS cos_proj
+               round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos_full,
+               round(list_cosine_similarity(pa.p, pb.p), 4) + 0.0 AS cos_proj
         FROM sel a JOIN sel b ON a.vec_id < b.vec_id
         JOIN proj pa ON pa.vec_id = a.vec_id
         JOIN proj pb ON pb.vec_id = b.vec_id)
@@ -966,11 +969,16 @@ def random_projection_cosine_audit(
         F.col("p").alias("pb"),
     )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # + 0.0 mirrors the oracle's -0.0 normalization (see the SQL)
     out = pairs.select(
         "id_a",
         "id_b",
-        F.round(cos(F.col("va"), F.col("vb")), 4).alias("cos_full"),
-        F.round(cos(F.col("pa"), F.col("pb")), 4).alias("cos_proj"),
+        (F.round(cos(F.col("va"), F.col("vb")), 4) + F.lit(0.0)).alias(
+            "cos_full"
+        ),
+        (F.round(cos(F.col("pa"), F.col("pb")), 4) + F.lit(0.0)).alias(
+            "cos_proj"
+        ),
     )
     return out.select(
         "id_a",
