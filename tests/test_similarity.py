@@ -491,3 +491,21 @@ def test_random_projection_preserves_cosine_roughly(spark):
     assert rows
     mean_err = sum(r.abs_err for r in rows) / len(rows)
     assert mean_err < 0.25
+
+
+def test_projected_recall_measures_the_veto(spark):
+    """The recall harness's verdict on this corpus is NEGATIVE (JL
+    distortion at k=16 exceeds the tiny cosine gaps — measured mean
+    overlap ~1.3/10): pin that the harness emits sane per-query
+    counts and that the measured value stays in the regime that
+    vetoes projected retrieval, so a dataset change that flips the
+    verdict is surfaced rather than silently absorbed."""
+    from prod_recommendation_pyspark_spark.queries.registry import QUERIES
+
+    rows = QUERIES["projected_topk_recall"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) >= 5  # one row per sampled query
+    assert all(0 <= r.n_overlap <= 10 for r in rows)
+    mean = sum(r.n_overlap for r in rows) / len(rows)
+    assert mean < 4  # the documented veto regime for this corpus
