@@ -1395,3 +1395,30 @@ def epoch_shuffle(
             )
         ),
     )
+
+
+def rendezvous_shard(
+    id_col: Column, n_shards: int, shard_col_alias: str = "shard"
+) -> Column:
+    """Rendezvous (highest-random-weight) shard assignment (Thaler &
+    Ravishankar 1998): shard(id) = argmax over shards of
+    h(shard, id) — the stable-sharding primitive consistent hashing
+    approximates.  Resizing N→N+1 moves EXACTLY the rows whose new
+    shard wins the argmax: expected 1/(N+1) of the corpus, versus
+    ~100% for ``id % N`` (every modulus change reshuffles almost
+    everything — the classic cache/shard-invalidation bug).
+
+    The per-shard weight is the multiplicative scramble of
+    ``id·31 + shard`` (row-local BIGINT arithmetic, replayable in
+    ANSI SQL); the argmax is a ``depth=N`` fold over a literal shard
+    array — fine for operational shard counts (N ≤ a few hundred);
+    ties broken by the smaller shard id via strict ``>``.  Pure
+    projection: assigning 100 TB costs a scan, no shuffle."""
+    best = F.lit(0)
+    best_w = uniform_hash_long(id_col * 31 + F.lit(0))
+    for s in range(1, n_shards):
+        w = uniform_hash_long(id_col * 31 + F.lit(s))
+        better = w > best_w
+        best = F.when(better, F.lit(s)).otherwise(best)
+        best_w = F.when(better, w).otherwise(best_w)
+    return best.alias(shard_col_alias)

@@ -1952,3 +1952,173 @@ def epoch_shuffle_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts[0].unionByName(parts[1]).orderBy(
         "epoch", "shuffle_key", "doc_id"
     )
+
+
+# --- Rendezvous sharding: stable shard assignment ----------------------------
+_HRW_W = (
+    "(((({x}) % 4294967296) // 65536 * 2654435761 % 4294967296) * 65536"
+    " + (({x}) % 65536) * 2654435761) % 4294967296"
+)
+
+
+def _hrw_assign_sql(name: str, n: int) -> str:
+    w = _HRW_W.format(x=f"doc_id * 31 + s.s")
+    return f"""{name} AS (
+        SELECT doc_id, shard FROM (
+            SELECT doc_id, s.s AS shard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY {w} DESC, s.s) AS rn
+            FROM documents, unnest(range(0, {n})) AS s(s))
+        WHERE rn = 1)"""
+
+
+@register(
+    "rendezvous_shards_documents",
+    sql=f"""
+    WITH {_hrw_assign_sql("s8", 8)},
+    {_hrw_assign_sql("s9", 9)}
+    SELECT s8.shard, count(*) AS n_docs,
+           CAST(sum(CASE WHEN s8.shard <> s9.shard THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved,
+           round(CAST(sum(CASE WHEN s8.shard <> s9.shard THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS moved_frac
+    FROM s8 JOIN s9 USING (doc_id)
+    GROUP BY s8.shard
+    ORDER BY s8.shard
+    """,
+)
+def rendezvous_shards_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW sharding (operators/text.py::rendezvous_shard):
+    per-shard corpus histogram at N=8 next to the fraction of each
+    shard's rows that MOVE when resizing to N=9 — the stability
+    contract that makes HRW the right shard assignment for training
+    shards, embedding-index partitions, and cache keys: expected
+    move fraction is 1/(N+1) ≈ 0.111 (every moved row goes to the
+    NEW shard), versus ~8/9 for the naive ``id % N``.  All integer
+    arithmetic — the oracle replays every weight and argmax, so the
+    full assignment (not a summary) sits under the hash.
+
+    Scale: assignment is a row-local projection (N multiplicative
+    hashes + a fold argmax) — sharding 100 TB costs one scan, no
+    shuffle; the histogram is the only aggregation."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        rendezvous_shard,
+    )
+
+    docs = Catalog(spark, sf_dir).table("documents").select("doc_id")
+    a8 = docs.select(
+        "doc_id", rendezvous_shard(F.col("doc_id"), 8, "shard")
+    )
+    a9 = docs.select(
+        "doc_id", rendezvous_shard(F.col("doc_id"), 9, "shard9")
+    )
+    moved = F.when(F.col("shard") != F.col("shard9"), 1).otherwise(0)
+    return (
+        a8.join(a9, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(moved).cast("long").alias("n_moved"),
+            F.round(
+                F.sum(moved).cast("double") / F.count(F.lit(1)), 6
+            ).alias("moved_frac"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --- PMI term co-occurrence ---------------------------------------------------
+@register(
+    "pmi_cooccurrence_terms",
+    sql=r"""
+    WITH td AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        WHERE t.term <> ''),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM td),
+    dfreq AS (SELECT term, count(*) AS df FROM td GROUP BY term),
+    top AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 20),
+    tdf AS (SELECT td.doc_id, td.term FROM td JOIN top USING (term)),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab
+        FROM tdf a JOIN tdf b
+          ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+        HAVING count(*) >= 5)
+    SELECT term_a, term_b,
+           ta.df AS c_a, tb.df AS c_b, c_ab,
+           round(ln(CAST(n_docs AS DOUBLE) * c_ab / (ta.df * tb.df)), 6)
+               AS pmi
+    FROM pairs
+    JOIN top ta ON ta.term = term_a
+    JOIN top tb ON tb.term = term_b
+    CROSS JOIN n
+    ORDER BY term_a, term_b
+    """,
+)
+def pmi_cooccurrence_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level term
+    co-occurrence — the classic distributional-semantics signal
+    (PMI > 0: terms attract; < 0: repel) and the statistic behind
+    collocation extraction and PMI-SVD embeddings, restricted to the
+    20 highest-df terms so the pair space is the top-k square, not
+    the vocabulary square.
+
+    Scale: presence dedup and df are the inverted-index shuffles; the
+    top-20 cut is a TakeOrdered; the pair self-join fans out only
+    top-term postings (≤20 rows per doc) and aggregates map-side;
+    the df/N attachments are broadcasts.  All counts are exact
+    integers; the single ``ln`` is rounded at 6 — the entropy/KL
+    queries' proven residual class."""
+    from prod_recommendation_pyspark_spark.operators.text import tokens
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    td = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    n = td.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = td.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.desc("df"), "term").limit(20)
+    tdf = td.join(F.broadcast(top.select("term")), "term")
+    a = tdf.select(F.col("doc_id"), F.col("term").alias("term_a"))
+    b = tdf.select(F.col("doc_id"), F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ta = top.select(
+        F.col("term").alias("term_a"), F.col("df").alias("c_a")
+    )
+    tb = top.select(
+        F.col("term").alias("term_b"), F.col("df").alias("c_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "c_a",
+            "c_b",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    * F.col("c_ab")
+                    / (F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("term_a", "term_b")
+    )

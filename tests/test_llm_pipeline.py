@@ -711,3 +711,35 @@ def test_sorted_neighborhood_equals_flat_rank(spark):
         docs, "doc_id", key, window=3, bucket_chars=2
     ).count()
     assert n_pairs == len(want)
+
+
+def test_rendezvous_shard_stability(spark):
+    """HRW contract: resizing N=8 -> N=9 moves a ~1/9 minority of
+    rows, every moved row lands on the NEW shard, and assignment is
+    deterministic across invocations."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        rendezvous_shard,
+    )
+
+    ids = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a8 = ids.select("doc_id", rendezvous_shard(F.col("doc_id"), 8, "s8"))
+    a9 = ids.select("doc_id", rendezvous_shard(F.col("doc_id"), 9, "s9"))
+    j = a8.join(a9, "doc_id").collect()
+    moved = [r for r in j if r.s8 != r.s9]
+    frac = len(moved) / len(j)
+    assert 0.05 < frac < 0.20  # expected 1/9 ~ 0.111
+    assert all(r.s9 == 8 for r in moved)  # moved rows -> the new shard
+    # balance: every shard populated, none dominant
+    from collections import Counter
+
+    c = Counter(r.s8 for r in j)
+    assert set(c) == set(range(8))
+    assert max(c.values()) < 2 * min(c.values())
+    # deterministic re-run
+    again = {
+        (r.doc_id, r.s8)
+        for r in ids.select(
+            "doc_id", rendezvous_shard(F.col("doc_id"), 8, "s8")
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.s8) for r in j}
