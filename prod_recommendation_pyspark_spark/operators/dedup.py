@@ -972,8 +972,14 @@ def sorted_neighborhood_pairs(
         "__b",
         F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
     )
-    g = ranked.join(F.broadcast(offsets), "__b").select(
-        "__id", (F.col("__r") + F.col("__off")).alias("__rank")
+    # Persisted: the ranked table feeds BOTH sides of the granule
+    # join below — uncached, the whole bucket-rank pipeline (scan +
+    # two windows) runs twice (seen in the plan audit: 4 Window
+    # nodes).  Caller owns the lifetime, as tfidf documents.
+    g = (
+        ranked.join(F.broadcast(offsets), "__b")
+        .select("__id", (F.col("__r") + F.col("__off")).alias("__rank"))
+        .persist()
     )
     gran = F.floor(F.col("__rank") / window)
     left = g.select(
