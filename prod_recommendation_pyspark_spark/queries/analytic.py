@@ -10,7 +10,7 @@ scalar surfaces.  Every query here is value-oracled against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.functions.exact import davg, dsum
@@ -2343,4 +2343,178 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
+    )
+
+
+# --- Ranking-metric evaluation: NDCG@5 of item-item CF -----------------------
+_NDCG_TERM = "CAST(round({rel} / log2({r} + 1), 6) AS DECIMAL(38,6))"
+
+
+@register(
+    "ndcg_item_item_cf",
+    sql=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    train AS (SELECT * FROM op WHERE l_orderkey % 5 <> 0),
+    test  AS (SELECT * FROM op WHERE l_orderkey % 5 = 0),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM train GROUP BY l_partkey),
+    tp AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                  count(*) AS cooccur
+           FROM train a JOIN train b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+    sym AS (SELECT item_a, item_b, cooccur FROM tp
+            UNION ALL
+            SELECT item_b, item_a, cooccur FROM tp),
+    recs AS (SELECT item_a, item_b, rnk FROM (
+                 SELECT s.item_a, s.item_b,
+                        row_number() OVER (
+                            PARTITION BY s.item_a
+                            ORDER BY round(CAST(s.cooccur AS DOUBLE)
+                                / sqrt(CAST(ca.c AS DOUBLE)
+                                       * CAST(cb.c AS DOUBLE)), 6) DESC,
+                                s.item_b) AS rnk
+                 FROM sym s
+                 JOIN cnt ca ON s.item_a = ca.l_partkey
+                 JOIN cnt cb ON s.item_b = cb.l_partkey)
+             WHERE rnk <= 5),
+    ttp AS (SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+                   count(*) AS rel
+            FROM test a JOIN test b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2),
+    trel AS (SELECT item_a, item_b, rel FROM ttp
+             UNION ALL
+             SELECT item_b, item_a, rel FROM ttp),
+    dcg AS (SELECT r.item_a,
+                   sum({_NDCG_TERM.format(rel="coalesce(t.rel, 0)", r="r.rnk")})
+                       AS dcg_d
+            FROM recs r
+            LEFT JOIN trel t ON t.item_a = r.item_a AND t.item_b = r.item_b
+            GROUP BY r.item_a),
+    ideal AS (SELECT item_a, rel,
+                     row_number() OVER (PARTITION BY item_a
+                                        ORDER BY rel DESC, item_b) AS r
+              FROM trel),
+    idcg AS (SELECT item_a,
+                    sum({_NDCG_TERM.format(rel="rel", r="r")}) AS idcg_d
+             FROM ideal WHERE r <= 5
+             GROUP BY item_a)
+    SELECT d.item_a,
+           CAST(d.dcg_d AS DOUBLE) AS dcg,
+           CAST(i.idcg_d AS DOUBLE) AS idcg,
+           round(CAST(d.dcg_d AS DOUBLE) / CAST(i.idcg_d AS DOUBLE), 4)
+               AS ndcg
+    FROM dcg d JOIN idcg i ON d.item_a = i.item_a
+    WHERE i.idcg_d > 0
+    ORDER BY d.item_a
+    """,
+)
+def ndcg_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metric evaluation in-engine: NDCG@5 of the item-item
+    CF recommender (train-basket co-occurrence cosine, the
+    `item_item_cosine_topk` pipeline) against HELD-OUT relevance
+    (co-occurrence counts in the modulo-split test baskets) — the
+    eval a recommender pipeline runs beside RMSE (`als_grid_search`):
+    RMSE scores predicted values, NDCG scores the thing shipped, the
+    ranking.
+
+    Float gates: ranking happens on round-6 scores with id tiebreaks;
+    each DCG term rel/log2(rank+1) is quantized to 6 digits and
+    summed in DECIMAL (a 5-term double sum is already
+    order-dependent), so dcg, idcg, and every per-item ndcg replay
+    exactly in the oracle.
+
+    Scale: co-occurrence joins are basket-size-bounded (linear in
+    orders); the eval joins are keyed on (item, item) pairs; nothing
+    quadratic in the catalog."""
+    cat = Catalog(spark, sf_dir)
+    op = (
+        cat.table("lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()
+    )
+    train = op.filter(F.col("l_orderkey") % 5 != 0)
+    test = op.filter(F.col("l_orderkey") % 5 == 0)
+
+    def co_pairs(src, out_val):
+        a = src.select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("item_a")
+        )
+        b = src.select(
+            F.col("l_orderkey"), F.col("l_partkey").alias("item_b")
+        )
+        p = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias(out_val))
+        )
+        return p.unionByName(
+            p.select(
+                F.col("item_b").alias("item_a"),
+                F.col("item_a").alias("item_b"),
+                out_val,
+            )
+        )
+
+    cnt = train.groupBy(F.col("l_partkey")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sym = co_pairs(train, "cooccur")
+    ca = cnt.select(F.col("l_partkey").alias("item_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("item_b"), F.col("c").alias("cb"))
+    scored = (
+        sym.join(ca, "item_a")
+        .join(cb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.round(
+                F.col("cooccur").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("s"), "item_b")
+    recs = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("item_a", "item_b", "rnk")
+    )
+    trel = co_pairs(test, "rel")
+    term = lambda rel, r: F.round(rel / F.log2(r + 1), 6).cast(  # noqa: E731
+        "decimal(38,6)"
+    )
+    dcg = (
+        recs.join(trel, ["item_a", "item_b"], "left")
+        .groupBy("item_a")
+        .agg(
+            F.sum(term(F.coalesce("rel", F.lit(0)), F.col("rnk"))).alias(
+                "dcg_d"
+            )
+        )
+    )
+    wi = Window.partitionBy("item_a").orderBy(F.desc("rel"), "item_b")
+    idcg = (
+        trel.withColumn("r", F.row_number().over(wi))
+        .filter(F.col("r") <= 5)
+        .groupBy("item_a")
+        .agg(F.sum(term(F.col("rel"), F.col("r"))).alias("idcg_d"))
+    )
+    return (
+        dcg.join(idcg, "item_a")
+        .filter(F.col("idcg_d") > 0)
+        .select(
+            "item_a",
+            F.col("dcg_d").cast("double").alias("dcg"),
+            F.col("idcg_d").cast("double").alias("idcg"),
+            F.round(
+                F.col("dcg_d").cast("double")
+                / F.col("idcg_d").cast("double"),
+                4,
+            ).alias("ndcg"),
+        )
+        .orderBy("item_a")
     )

@@ -207,3 +207,17 @@ def test_label_propagation_dangling_in_keeps_label(spark):
 def test_label_propagation_oracle(spark, duck):
     name = "label_propagation_communities"
     assert_matches_oracle(QUERIES[name](spark, SF), duck, ORACLES[name])
+
+
+def test_ndcg_bounds_and_perfect_case(spark):
+    """NDCG invariants on the registered query: every ndcg in [0,1],
+    dcg <= idcg, and items whose top-5 recs exactly match the
+    held-out ideal ordering (if any) score 1.0."""
+    rows = QUERIES["ndcg_item_item_cf"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0001, r
+        assert r.dcg <= r.idcg + 1e-9, r
+    # sanity: the metric discriminates (not all 0, not all 1)
+    vals = {r.ndcg for r in rows}
+    assert len(vals) > 1
