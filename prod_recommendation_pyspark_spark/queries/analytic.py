@@ -2518,3 +2518,82 @@ def ndcg_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a")
     )
+
+
+# --- Exact-moment least squares: revenue trend per priority -----------------
+@register(
+    "linreg_daily_revenue_trend",
+    sql="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS x,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS y
+        FROM orders GROUP BY 1, 2),
+    m AS (SELECT priority,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+                 CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+          FROM daily GROUP BY priority)
+    SELECT priority, CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 4) AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    ORDER BY priority
+    """,
+)
+def linreg_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (slope / intercept / R²) of daily
+    revenue over the day index — the 'is this segment growing'
+    statistic, computed from EXACT raw moments exactly like
+    `correlation_matrix_lineitem`: one grouped pass accumulates
+    n, Σx, Σy, Σx², Σy², Σxy in DECIMAL (order-independent), then
+    each coefficient is a fixed double formula over those exact sums,
+    so the fitted parameters themselves are engine-identical.  The
+    x values are integer epoch days; the y values are the exact
+    2-decimal daily revenues.
+
+    Scale: daily rollup = one shuffle on (priority, day); the moment
+    pass is map-side combined to one row per group — a regression
+    over 100 TB of orders emits k rows and never sees the driver."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(dsum(F.col("o_totalprice"), 2).alias("y"))
+    )
+    m = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "priority",
+        n.cast("long").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    ).orderBy("priority")

@@ -5,7 +5,7 @@ similarity search, text analysis, multimodal plumbing on the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.operators.dedup import (
@@ -2121,4 +2121,113 @@ def pmi_cooccurrence_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
         .orderBy("term_a", "term_b")
+    )
+
+
+# --- Reciprocal-rank fusion of two retrieval rankings ------------------------
+@register(
+    "rrf_hybrid_retrieval",
+    sql=f"""
+    WITH {_TOKENS_SQL},
+    q AS (SELECT term FROM docfreq ORDER BY df DESC, term LIMIT 3),
+    qtf AS (SELECT tf.doc_id, tf.term, tf.tf, d.df
+            FROM tf JOIN q USING (term) JOIN docfreq d USING (term)),
+    ra0 AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score_a
+            FROM qtf GROUP BY doc_id),
+    ra AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score_a DESC, doc_id)
+                      AS rank_a
+           FROM ra0),
+    rb0 AS (SELECT qtf.doc_id,
+                   CAST(sum(CAST(round(qtf.tf
+                       * (ln((c.n + 1.0) / (qtf.df + 1.0)) + 1.0), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS score_b
+            FROM qtf CROSS JOIN corpus c GROUP BY qtf.doc_id),
+    rb AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score_b DESC, doc_id)
+                      AS rank_b
+           FROM rb0),
+    fused AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               a.rank_a, b.rank_b,
+               round(coalesce(1.0 / (60 + a.rank_a), 0)
+                     + coalesce(1.0 / (60 + b.rank_b), 0), 6) AS rrf
+        FROM (SELECT * FROM ra WHERE rank_a <= 50) a
+        FULL OUTER JOIN (SELECT * FROM rb WHERE rank_b <= 50) b
+          ON a.doc_id = b.doc_id)
+    SELECT doc_id, rank_a, rank_b, rrf FROM (
+        SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused)
+    WHERE rn <= 20
+    ORDER BY doc_id
+    """,
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-search combiner: two retrieval rankings for the same query
+    (here: raw query-term frequency vs smooth-TF-IDF weighting, over
+    the corpus's 3 heaviest terms as the stand-in query) fused by
+    ``Σ 1/(60 + rank)``, which rewards agreement without comparing
+    incomparable score scales.  Per-ranking scores quantize before
+    ranking (ints / round-6 DECIMAL sums), the fused score is a
+    two-term row-local sum — every rank and every rrf value replays
+    in the oracle.
+
+    Scale: each ranking's top-50 is TakeOrdered (per-partition heads)
+    and the ranks are assigned by a window over THAT 50-row table —
+    no corpus-wide single-partition window; fusion is a full-outer
+    join of two ≤50-row tables."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        term_frequencies,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    tf = term_frequencies(docs, "doc_id", "text").persist()
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = docfreq.orderBy(F.desc("df"), "term").limit(3)
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    qtf = tf.join(F.broadcast(q.select("term")), "term").join(
+        docfreq.withColumnRenamed("df", "df_t"), "term"
+    )
+
+    def ranked(scored, score_col):
+        top = scored.orderBy(F.desc(score_col), "doc_id").limit(50)
+        w = Window.orderBy(F.desc(score_col), "doc_id")
+        return top.select(
+            "doc_id", F.row_number().over(w).alias("rank")
+        )
+
+    ra = ranked(
+        qtf.groupBy("doc_id").agg(F.sum("tf").alias("score_a")), "score_a"
+    ).withColumnRenamed("rank", "rank_a")
+    tfidf_term = F.round(
+        F.col("tf")
+        * (F.log((F.col("n") + 1.0) / (F.col("df_t") + 1.0)) + 1.0),
+        6,
+    ).cast("decimal(38,6)")
+    rb = ranked(
+        qtf.crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(F.sum(tfidf_term).cast("double").alias("score_b")),
+        "score_b",
+    ).withColumnRenamed("rank", "rank_b")
+    fused = (
+        ra.join(rb, "doc_id", "full")
+        .select(
+            "doc_id",
+            "rank_a",
+            "rank_b",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "rank_a", "rank_b", "rrf")
+        .orderBy("doc_id")
     )

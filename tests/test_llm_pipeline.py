@@ -743,3 +743,20 @@ def test_rendezvous_shard_stability(spark):
         ).collect()
     }
     assert again == {(r.doc_id, r.s8) for r in j}
+
+
+def test_rrf_rewards_agreement(spark):
+    """A doc ranked top by BOTH rankings must out-score a doc ranked
+    top by only one (the fusion property); rrf values are bounded by
+    2/(60+1)."""
+    from prod_recommendation_pyspark_spark.queries.registry import QUERIES
+
+    rows = QUERIES["rrf_hybrid_retrieval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.rrf <= round(2 / 61, 6) + 1e-9
+        assert (r.rank_a is not None) or (r.rank_b is not None)
+    both = [r for r in rows if r.rank_a is not None and r.rank_b is not None]
+    assert both  # rankings overlap on this corpus
