@@ -124,3 +124,38 @@ def run_stream_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def rate_events_stream(
+    spark: SparkSession, rows_per_second: int = 100
+) -> DataFrame:
+    """Synthetic-load streaming source: Spark's built-in ``rate``
+    source (monotone ``timestamp, value`` rows at a configured rate)
+    mapped to the events schema with DETERMINISTIC row-local
+    arithmetic on ``value`` — so any downstream operator (the
+    windowed aggs, stream-static joins, stateful sessionizers in
+    this package) can be load-tested or demoed with no files, no
+    Kafka, and reproducible per-row content (only arrival timing
+    varies run to run).
+
+    This is the smoke/load half of the source surface; the file
+    adapter above is the replay half; a Kafka adapter is the same
+    ``select`` over ``readStream.format("kafka")`` plus
+    value-deserialization — environment-dependent, so not shipped
+    (the mapping below is the part that carries over verbatim)."""
+    raw = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return raw.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        F.pmod(F.col("value") * 31, F.lit(997)).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.pmod(F.col("value"), F.lit(3)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("value") * 7, F.lit(1000)) / 10.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )

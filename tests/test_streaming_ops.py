@@ -319,3 +319,40 @@ def test_e2e_pipeline_rerun_is_noop_and_matches_oracle(spark, duck, tmp_path):
         duck,
         ORACLES["streaming_e2e_hourly_counts"],
     )
+
+
+def test_rate_source_adapter_maps_deterministically(spark):
+    """The rate-source adapter must emit the events schema with
+    row-content a pure function of `value` (only timing varies):
+    run a short burst into a memory sink and check the mapping."""
+    import time
+
+    from prod_recommendation_pyspark_spark.streaming.adapter import (
+        rate_events_stream,
+    )
+
+    ev = rate_events_stream(spark, rows_per_second=200)
+    assert set(ev.columns) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }
+    q = (
+        ev.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            time.sleep(1)
+            rows = spark.sql("SELECT * FROM rate_smoke").collect()
+            if len(rows) >= 50:
+                break
+        assert len(rows) >= 50
+    finally:
+        q.stop()
+    for r in rows:
+        assert r.user_id == (r.event_id * 31) % 997
+        assert abs(r.value - ((r.event_id * 7) % 1000) / 10.0) < 1e-9
+        assert r.event_type == ["view", "click", "purchase"][r.event_id % 3]
