@@ -2597,3 +2597,99 @@ def linreg_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     ).orderBy("priority")
+
+
+# --- Holt linear-trend smoothing + forecast ----------------------------------
+@register(
+    "holt_forecast_daily_revenue",
+    sql="""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+                    AS DOUBLE) AS y
+        FROM orders GROUP BY 1, 2),
+    series AS (SELECT priority, CAST(list(y ORDER BY day) AS DOUBLE[]) AS ys
+               FROM daily GROUP BY priority),
+    -- recursive unroll, NOT list_reduce: DuckDB's list_reduce struct
+    -- lambda mutates acc field-by-field (a later field sees an
+    -- earlier field's NEW value), so a coupled 2-state recurrence
+    -- cannot be expressed there with Spark-compatible semantics
+    st AS (
+        SELECT priority, 1 AS t, len(ys) AS n,
+               ys[1] AS l, CAST(0.0 AS DOUBLE) AS b, ys
+        FROM series
+        UNION ALL
+        SELECT priority, t + 1, n,
+               0.5 * ys[t + 1] + 0.5 * l + 0.5 * b,
+               0.25 * ys[t + 1] - 0.25 * l + 0.75 * b,
+               ys
+        FROM st WHERE t < n)
+    SELECT priority, CAST(n AS BIGINT) AS n_days,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + b, 4) AS forecast_1d,
+           round(l + 7 * b, 4) AS forecast_7d
+    FROM st WHERE t = n
+    ORDER BY priority
+    """,
+)
+def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) of daily
+    revenue per priority, with 1-day and 7-day-ahead forecasts — the
+    step past EWMA a capacity-planning pipeline takes when the series
+    trends.  The recurrence is FLATTENED to one multiply-add chain per
+    state (l' = ½y + ½l + ½b; b' = ¼y − ¼l + ¾b — the algebraic
+    expansion of the textbook α=β=0.5 form), evaluated in the same
+    term order by Spark's ``aggregate`` fold and the oracle's
+    recursive CTE, so the whole state trajectory is engine-identical.
+    NOT ``list_reduce``: this hunt surfaced that DuckDB's struct
+    lambda mutates the accumulator field-by-field (a later field
+    reads an earlier field's NEW value), which silently corrupts any
+    coupled multi-state recurrence — recursive CTEs keep simultaneous
+    semantics.  Init: l₁ = y₁, b₁ = 0 (the b = y₂−y₁ alternative only
+    shifts early transient).
+
+    Scale: one (priority, day) rollup shuffle, then per-group series
+    arrays of |days| — a year is 365 doubles; for unbounded keys the
+    same recursion runs incrementally in
+    `streaming/stateful.py`-style state."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(dsum(F.col("o_totalprice"), 2).cast("double").alias("y"))
+    series = (
+        daily.groupBy("priority")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("day"), F.col("y")))
+            ).alias("rows")
+        )
+        .select(
+            "priority",
+            F.transform(F.col("rows"), lambda r: r["y"]).alias("ys"),
+        )
+    )
+    first = F.element_at(F.col("ys"), 1)
+    init = F.struct(first.alias("l"), F.lit(0.0).alias("b"))
+    st = F.aggregate(
+        F.slice(F.col("ys"), 2, F.greatest(F.size("ys") - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (
+                F.lit(0.5) * x + F.lit(0.5) * acc["l"] + F.lit(0.5) * acc["b"]
+            ).alias("l"),
+            (
+                F.lit(0.25) * x
+                - F.lit(0.25) * acc["l"]
+                + F.lit(0.75) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return series.select(
+        "priority",
+        F.size("ys").cast("long").alias("n_days"),
+        F.round(st["l"], 4).alias("level"),
+        F.round(st["b"], 4).alias("trend"),
+        F.round(st["l"] + st["b"], 4).alias("forecast_1d"),
+        F.round(st["l"] + 7 * st["b"], 4).alias("forecast_7d"),
+    ).orderBy("priority")

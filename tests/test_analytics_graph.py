@@ -221,3 +221,29 @@ def test_ndcg_bounds_and_perfect_case(spark):
     # sanity: the metric discriminates (not all 0, not all 1)
     vals = {r.ndcg for r in rows}
     assert len(vals) > 1
+
+
+def test_holt_forecast_hand_computed(spark):
+    """3-point series 10, 12, 14 through the flat recurrence:
+    l = [10, 11, 12.75], b = [0, 0.5, 1.125] — forecasts follow."""
+    import datetime as dt
+    import tempfile
+
+    rows = [
+        (1, "P", dt.datetime(2024, 1, 1), 10.0),
+        (2, "P", dt.datetime(2024, 1, 2), 12.0),
+        (3, "P", dt.datetime(2024, 1, 3), 14.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderdate timestamp,"
+        " o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        got = QUERIES["holt_forecast_daily_revenue"](spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_days, r.level, r.trend) == (3, 12.75, 1.125)
+    assert r.forecast_1d == 13.875
+    assert r.forecast_7d == 12.75 + 7 * 1.125
