@@ -1422,3 +1422,75 @@ def rendezvous_shard(
         best = F.when(better, F.lit(s)).otherwise(best)
         best_w = F.when(better, w).otherwise(best_w)
     return best.alias(shard_col_alias)
+
+
+def bpe_merge_steps(
+    words: DataFrame,
+    word_col: str,
+    freq_col: str,
+    steps: int = 4,
+):
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2016)
+    over a (word, freq) table: ``steps`` rounds of count-adjacent-
+    symbol-pairs → pick the most frequent (ties to the
+    lexicographically smallest pair) → merge it everywhere.  Returns
+    ``(merges, final_reps)``: the learned merge list
+    [(pair, merged, count), ...] and the DataFrame of final word
+    representations.
+
+    Merge application is ONE leftmost-non-overlapping string replace
+    of ``" x y "`` per step — identical in Spark and ANSI SQL, which
+    is what puts the whole training loop under a value hash.  It
+    deviates from classic BPE only inside single-symbol runs
+    ("aaaa": the shared separator space is consumed, so alternate
+    occurrences survive a round longer); for natural-language
+    vocabularies the merge sequence is the textbook one.
+
+    Spark shape: per step, ONE pair-count aggregation over the
+    (bounded) vocabulary table and a 1-row argmax collect — the same
+    k-row driver-collect class as k-means centroids; merge
+    application is a codegen'd replace.  The vocabulary table, not
+    the corpus, iterates: at 100 TB the corpus is touched once to
+    build (word, freq)."""
+    chars = F.filter(F.split(F.col(word_col), ""), lambda c: c != "")
+    rep_df = words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).alias("freq"),
+        F.concat(
+            F.lit(" "), F.array_join(chars, " "), F.lit(" ")
+        ).alias("rep"),
+    )
+    merges = []
+    for _ in range(steps):
+        syms = F.split(F.trim(F.col("rep")), " ")
+        # sequence(1, 0) counts DOWN in Spark — guard 1-symbol words
+        pairs = F.when(
+            F.size(syms) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.concat(
+                    F.element_at(syms, i),
+                    F.lit(" "),
+                    F.element_at(syms, i + 1),
+                ),
+            )
+        )
+        pc = (
+            rep_df.select("freq", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.orderBy(F.desc("cnt"), "pair").limit(1).collect()
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        merged = pair.replace(" ", "")
+        merges.append((pair, merged, cnt))
+        rep_df = rep_df.withColumn(
+            "rep",
+            F.replace(
+                F.col("rep"), F.lit(f" {pair} "), F.lit(f" {merged} ")
+            ),
+        )
+    return merges, rep_df

@@ -2231,3 +2231,96 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank_a", "rank_b", "rrf")
         .orderBy("doc_id")
     )
+
+
+# --- BPE vocabulary induction -------------------------------------------------
+def _bpe_step_sql(k: int) -> str:
+    sp = f"string_split(trim(rep), ' ')"
+    return f"""
+    pc{k} AS (
+        SELECT p.pair, sum(freq) AS cnt
+        FROM rep{k - 1}, unnest(
+            list_transform(range(1, len({sp})),
+                           i -> {sp}[i] || ' ' || {sp}[i + 1])) AS p(pair)
+        GROUP BY 1),
+    best{k} AS (SELECT pair, cnt FROM pc{k}
+                ORDER BY cnt DESC, pair LIMIT 1),
+    rep{k} AS (
+        SELECT word, freq,
+               replace(rep, ' ' || (SELECT pair FROM best{k}) || ' ',
+                       ' ' || replace((SELECT pair FROM best{k}), ' ', '')
+                       || ' ') AS rep
+        FROM rep{k - 1})"""
+
+
+@register(
+    "bpe_vocabulary_merges",
+    sql=f"""
+    WITH toks AS (
+        SELECT t.term FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+        WHERE t.term <> ''),
+    wf AS (SELECT term AS word, count(*) AS freq FROM toks
+           GROUP BY term ORDER BY freq DESC, word LIMIT 100),
+    rep0 AS (SELECT word, freq,
+                    ' ' || array_to_string(
+                        list_filter(string_split(word, ''), c -> c <> ''),
+                        ' ') || ' ' AS rep
+             FROM wf),
+    {_bpe_step_sql(1)},
+    {_bpe_step_sql(2)},
+    {_bpe_step_sql(3)},
+    {_bpe_step_sql(4)}
+    SELECT * FROM (
+        SELECT 1 AS step, pair, replace(pair, ' ', '') AS merged,
+               CAST(cnt AS BIGINT) AS pair_count FROM best1
+        UNION ALL SELECT 2, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT)
+        FROM best2
+        UNION ALL SELECT 3, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT)
+        FROM best3
+        UNION ALL SELECT 4, pair, replace(pair, ' ', ''), CAST(cnt AS BIGINT)
+        FROM best4)
+    ORDER BY step
+    """,
+)
+def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-vocabulary induction
+    (operators/text.py::bpe_merge_steps): 4 merge rounds over the
+    corpus's 100 most frequent words — the iterative
+    count-pairs → argmax → merge loop that trains every modern
+    subword tokenizer, expressed as per-round vocabulary aggregations
+    with a 1-row argmax collect (the k-means-centroid driver-collect
+    class) and codegen'd merge replaces.  The oracle unrolls all four
+    rounds as CTEs, so the LEARNED MERGE SEQUENCE itself — pair,
+    merged symbol, and weighted count per round — sits under the
+    value hash.  Ties break to the lexicographically smallest pair;
+    merge application semantics are pinned in the operator docstring.
+
+    Scale: the corpus is scanned once for (word, freq); every
+    iteration then touches only the bounded vocabulary table — BPE
+    training cost is independent of corpus size past the first
+    rollup."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        bpe_merge_steps,
+        tokens,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    wf = (
+        docs.select(
+            F.explode(tokens(F.lower(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(100)
+    )
+    merges, _ = bpe_merge_steps(wf, "word", "freq", steps=4)
+    rows = [
+        (i + 1, pair, merged, cnt)
+        for i, (pair, merged, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "step int, pair string, merged string, pair_count long"
+    ).orderBy("step")

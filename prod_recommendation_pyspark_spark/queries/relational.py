@@ -1546,3 +1546,95 @@ def join_cardinality_cms_contract(
             "ratio"
         ),
     )
+
+
+# --- Foreign-key discovery profiling ------------------------------------------
+_FK_CANDIDATES = [
+    # (child_table, child_col, parent_table, parent_col) — two true FKs,
+    # one reversed (a parent is NOT contained in its child's key space
+    # unless every parent value is referenced), one false pair
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_nationkey", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+def _fk_pair_sql(child_t, child_c, parent_t, parent_c):
+    return f"""
+    SELECT '{child_t}.{child_c}' AS child, '{parent_t}.{parent_c}' AS parent,
+           (SELECT count(DISTINCT {child_c}) FROM {child_t}) AS n_child_keys,
+           (SELECT count(DISTINCT {parent_c}) FROM {parent_t}) AS n_parent_keys,
+           (SELECT count(DISTINCT c.{child_c}) FROM {child_t} c
+            WHERE c.{child_c} IN (SELECT {parent_c} FROM {parent_t}))
+               AS n_contained"""
+
+
+@register(
+    "fk_discovery_profile",
+    sql=f"""
+    WITH pairs AS ({" UNION ALL ".join(_fk_pair_sql(*p) for p in _FK_CANDIDATES)})
+    SELECT child, parent,
+           CAST(n_child_keys AS BIGINT) AS n_child_keys,
+           CAST(n_parent_keys AS BIGINT) AS n_parent_keys,
+           CAST(n_contained AS BIGINT) AS n_contained,
+           round(CAST(n_contained AS DOUBLE) / n_child_keys, 6)
+               AS containment,
+           n_contained = n_child_keys AS is_fk
+    FROM pairs
+    ORDER BY child, parent
+    """,
+)
+def fk_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key discovery — the schema-profiling pass a catalog/
+    optimizer runs on unlabeled data: for each candidate (child,
+    parent) column pair, the distinct-key cardinalities, how many
+    child keys the parent contains (a left-semi distinct count), the
+    containment ratio, and the full-containment FK verdict.  The
+    candidate list includes true FKs, a reversed pair, and a false
+    pair, so the verdict column actually discriminates.
+
+    Scale: each pair costs two distinct-aggregates and one left-semi
+    join keyed on the candidate column — no fact-fact joins; at real
+    profiling scale you'd prefilter candidates by min-max range
+    overlap from parquet footer stats (the zorder query shows the
+    footer machinery) before paying the semi-joins."""
+    cat = Catalog(spark, sf_dir)
+    outs = []
+    for child_t, child_c, parent_t, parent_c in _FK_CANDIDATES:
+        child = cat.table(child_t).select(child_c).distinct()
+        parent = cat.table(parent_t).select(parent_c).distinct()
+        contained = child.join(
+            parent,
+            child[child_c] == parent[parent_c],
+            "left_semi",
+        )
+        row = (
+            child.agg(F.count(F.lit(1)).alias("n_child_keys"))
+            .crossJoin(
+                parent.agg(F.count(F.lit(1)).alias("n_parent_keys"))
+            )
+            .crossJoin(
+                contained.agg(F.count(F.lit(1)).alias("n_contained"))
+            )
+            .select(
+                F.lit(f"{child_t}.{child_c}").alias("child"),
+                F.lit(f"{parent_t}.{parent_c}").alias("parent"),
+                "n_child_keys",
+                "n_parent_keys",
+                "n_contained",
+                F.round(
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child_keys"),
+                    6,
+                ).alias("containment"),
+                (F.col("n_contained") == F.col("n_child_keys")).alias(
+                    "is_fk"
+                ),
+            )
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("child", "parent")

@@ -760,3 +760,37 @@ def test_rrf_rewards_agreement(spark):
         assert (r.rank_a is not None) or (r.rank_b is not None)
     both = [r for r in rows if r.rank_a is not None and r.rank_b is not None]
     assert both  # rankings overlap on this corpus
+
+
+def test_bpe_merges_hand_computed(spark):
+    """Tiny vocabulary with a known merge sequence: 'low' x5 and
+    'lower' x2 share 'l o' (7) and 'o w' (7); tie breaks to the
+    lexicographically smaller pair 'l o', then 'lo w' (7), then the
+    2-count tie between 'e r' and 'low e' goes to 'e r'."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        bpe_merge_steps,
+    )
+
+    wf = spark.createDataFrame(
+        [("low", 5), ("lower", 2)], "word string, freq long"
+    )
+    merges, reps = bpe_merge_steps(wf, "word", "freq", steps=3)
+    assert merges[0] == ("l o", "lo", 7)
+    assert merges[1] == ("lo w", "low", 7)
+    assert merges[2] == ("e r", "er", 2)
+    final = {r.word: r.rep for r in reps.collect()}
+    assert final["low"] == " low "
+    assert final["lower"] == " low er "
+
+
+def test_bpe_single_char_words_are_safe(spark):
+    from prod_recommendation_pyspark_spark.operators.text import (
+        bpe_merge_steps,
+    )
+
+    wf = spark.createDataFrame(
+        [("a", 10), ("ab", 3)], "word string, freq long"
+    )
+    merges, reps = bpe_merge_steps(wf, "word", "freq", steps=2)
+    assert merges[0] == ("a b", "ab", 3)
+    assert len(merges) == 1  # second round has no pairs left
