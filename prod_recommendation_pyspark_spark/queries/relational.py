@@ -1638,3 +1638,156 @@ def fk_discovery_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("child", "parent")
+
+
+# --- One-way ANOVA from exact moments -----------------------------------------
+@register(
+    "anova_f_acctbal_segments",
+    sql="""
+    WITH g AS (
+        SELECT c_mktsegment AS segment,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s,
+               CAST(sum(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6)))
+                    AS DOUBLE) AS ss
+        FROM customer GROUP BY 1),
+    t AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(ss) AS tss,
+                 count(*) AS k FROM g),
+    parts AS (
+        SELECT t.k, t.tn,
+               sum(g.s * g.s / g.n) - t.ts * t.ts / t.tn AS ssb,
+               t.tss - sum(g.s * g.s / g.n) AS ssw
+        FROM g CROSS JOIN t
+        GROUP BY t.k, t.tn, t.ts, t.tss)
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(tn AS BIGINT) AS n_rows,
+           round(ssb, 2) AS ss_between, round(ssw, 2) AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (tn - k)), 6) AS f_stat
+    FROM parts
+    """,
+)
+def anova_f_acctbal_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for account balance across market
+    segments — 'does the grouping explain any variance', the test a
+    feature-selection pass runs before keeping a categorical column.
+    Computed ENTIRELY from the exact per-group moment pass
+    (n, Σx, Σx² in DECIMAL — the `correlation_matrix_lineitem`
+    pattern): SSB = Σnᵢx̄ᵢ² − n·x̄², SSW = total SS − Σnᵢx̄ᵢ², then one
+    fixed double formula — engine-identical.  One caveat lives in the
+    k-row second stage: Σ(sᵢ²/nᵢ) is a k-term double sum, ordered by
+    the single-row aggregation of a 5-row table (deterministic at
+    this k; quantize-then-DECIMAL if k were large).
+
+    Scale: one map-side-combined scan pass → k rows → one 1-row
+    reduction.  No shuffle of the fact table beyond the grouped agg."""
+    cust = Catalog(spark, sf_dir).table("customer")
+    g = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("c_acctbal")).cast("double").alias("s"),
+        dsum(F.col("c_acctbal") * F.col("c_acctbal"))
+        .cast("double")
+        .alias("ss"),
+    )
+    parts = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("ss").alias("tss"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sq"),
+    )
+    ssb = F.col("sq") - F.col("ts") * F.col("ts") / F.col("tn")
+    ssw = F.col("tss") - F.col("sq")
+    return parts.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("tn").cast("long").alias("n_rows"),
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("tn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+# --- Chi-square independence test ---------------------------------------------
+@register(
+    "chi2_segment_region",
+    sql="""
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment, r.r_name AS region
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey),
+    o AS (SELECT segment, region, CAST(count(*) AS DOUBLE) AS obs
+          FROM joined GROUP BY 1, 2),
+    ms AS (SELECT segment, sum(obs) AS row_n FROM o GROUP BY segment),
+    mr AS (SELECT region, sum(obs) AS col_n FROM o GROUP BY region),
+    t AS (SELECT sum(obs) AS n FROM o),
+    cells AS (
+        SELECT o.segment, o.region, o.obs,
+               ms.row_n * mr.col_n / t.n AS expected
+        FROM o JOIN ms USING (segment) JOIN mr USING (region) CROSS JOIN t)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CAST(round(pow(obs - expected, 2) / expected, 8)
+                         AS DECIMAL(38,10))) AS DOUBLE) AS chi2,
+           CAST((count(DISTINCT segment) - 1) * (count(DISTINCT region) - 1)
+                AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def chi2_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between market segment and region
+    — 'are these two categoricals correlated', the profiling test
+    behind feature redundancy pruning and stratification design.
+    Observed counts are exact; expected = row·col margins / n (single
+    IEEE ops of exact integers); each cell's (o−e)²/e term is
+    quantized to 8 digits and summed in DECIMAL so the statistic is
+    order-independent — the same quantize-then-accumulate gate as the
+    entropy/KL queries.  dof = (R−1)(C−1) from distinct counts over
+    the cell table — no driver-side counts in the plan build.
+
+    Scale: one grouped count on (segment, region), two margin
+    rollups of the R×C cell table, broadcast total — the fact table
+    shuffles once."""
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.table("customer")
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.table("region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("r_name").alias("region"),
+        )
+    )
+    o = joined.groupBy("segment", "region").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    ms = o.groupBy("segment").agg(F.sum("obs").alias("row_n"))
+    mr = o.groupBy("region").agg(F.sum("obs").alias("col_n"))
+    t = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        o.join(F.broadcast(ms), "segment")
+        .join(F.broadcast(mr), "region")
+        .crossJoin(F.broadcast(t))
+        .withColumn(
+            "expected", F.col("row_n") * F.col("col_n") / F.col("n")
+        )
+    )
+    term = F.round(
+        F.pow(F.col("obs") - F.col("expected"), 2) / F.col("expected"), 8
+    ).cast("decimal(38,10)")
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(term).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("segment") - 1)
+            * (F.countDistinct("region") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )
