@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -194,4 +194,47 @@ def winsorize(
         )
     return out.drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    group_by: str,
+    out_col: str | None = None,
+    grid_points: int = 100,
+) -> DataFrame:
+    """Quantile normalization: replace each value with the GLOBAL
+    value at its WITHIN-GROUP rank — after it, every group has (up to
+    grid resolution) the identical marginal distribution, the classic
+    batch-effect remover (microarray normalization; for corpora:
+    making per-domain quality scores comparable before a global
+    threshold).
+
+    Mechanics: within-group ``percent_rank`` (a partitioned window —
+    scales with groups), a ``grid_points+1``-point global quantile
+    grid (one exact-percentile agg, broadcast), then codegen'd linear
+    interpolation into the grid.  Both engines define percent_rank as
+    (rank−1)/(n−1) with ties sharing rank, and the grid is the
+    ``quantile_cont`` parity class, so normalized values replay
+    exactly.  Single-row groups get percent_rank 0 → the global
+    minimum."""
+    out = out_col or f"{col}_qn"
+    g = Window.partitionBy(group_by).orderBy(col)
+    probs = F.array(
+        *[F.lit(i / grid_points) for i in range(grid_points + 1)]
+    )
+    grid = df.agg(F.percentile(F.col(col), probs).alias("__grid"))
+    pos = F.col("__pr") * grid_points
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo
+    lo_v = F.element_at(F.col("__grid"), lo + 1)
+    hi_v = F.element_at(
+        F.col("__grid"), F.least(lo + 2, F.lit(grid_points + 1))
+    )
+    return (
+        df.withColumn("__pr", F.percent_rank().over(g))
+        .crossJoin(F.broadcast(grid))
+        .withColumn(out, lo_v + frac * (hi_v - lo_v))
+        .drop("__pr", "__grid")
     )

@@ -1791,3 +1791,60 @@ def chi2_segment_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
     )
+
+
+# --- Quantile normalization across groups --------------------------------------
+@register(
+    "quantile_normalize_acctbal",
+    sql="""
+    WITH grid AS (
+        SELECT quantile_cont(c_acctbal,
+                             list_transform(range(0, 101),
+                                            i -> i / 100.0)) AS g
+        FROM customer),
+    pr AS (SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+                  percent_rank() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal) AS r
+           FROM customer)
+    SELECT c_custkey, segment,
+           round(c_acctbal, 2) AS c_acctbal,
+           round(r, 6) AS grp_rank,
+           round(g[CAST(floor(r * 100) AS INT) + 1]
+                 + (r * 100 - floor(r * 100))
+                   * (g[least(CAST(floor(r * 100) AS INT) + 2, 101)]
+                      - g[CAST(floor(r * 100) AS INT) + 1]), 4)
+               AS normalized
+    FROM pr CROSS JOIN grid
+    ORDER BY c_custkey
+    """,
+)
+def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (features/scaling.py::quantile_normalize)
+    of account balances within each market segment onto the GLOBAL
+    balance distribution — after it, every segment's normalized
+    marginal matches the corpus (the batch-effect remover; for LLM
+    corpora: making per-domain quality scores comparable before one
+    global keep threshold).  Within-group percent_rank is a
+    partitioned window; the 101-point global grid is one exact-
+    percentile agg broadcast to a codegen'd interpolation — the fact
+    table shuffles once, for the window."""
+    from prod_recommendation_pyspark_spark.features.scaling import (
+        quantile_normalize,
+    )
+
+    cust = Catalog(spark, sf_dir).table("customer")
+    qn = quantile_normalize(
+        cust, "c_acctbal", "c_mktsegment", out_col="__qn"
+    )
+    g = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        qn.withColumn("__pr2", F.percent_rank().over(g))
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.round("__pr2", 6).alias("grp_rank"),
+            F.round("__qn", 4).alias("normalized"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -83,3 +83,31 @@ def test_epoch_shuffle_reproducible_and_epoch_varying(spark):
     assert e1a == e1b          # same epoch: identical order
     assert e1a != e2           # different epoch: different order
     assert sorted(e1a) == sorted(e2) == list(range(100))  # a permutation
+
+
+def test_quantile_normalize_aligns_group_marginals(spark):
+    """Two groups with very different scales must come out with
+    near-identical normalized distributions (both mapped onto the
+    global quantile grid), and ranks must be preserved within each
+    group."""
+    from prod_recommendation_pyspark_spark.features.scaling import (
+        quantile_normalize,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", 1000.0 + 10 * i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    out = quantile_normalize(df, "x", "g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append((r.x, r.x_qn))
+    for g in ("a", "b"):
+        vals = sorted(by_g[g])
+        qns = [q for _, q in vals]
+        assert qns == sorted(qns)  # rank-preserving
+    a_sorted = sorted(q for _, q in by_g["a"])
+    b_sorted = sorted(q for _, q in by_g["b"])
+    # same marginal after normalization (grid resolution tolerance)
+    diffs = [abs(x - y) for x, y in zip(a_sorted, b_sorted)]
+    assert max(diffs) < 30  # global range is 0..1990; groups align
