@@ -1265,12 +1265,18 @@ def regression_price_vs_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics a feature store derives trend features with."""
     li = Catalog(spark, sf_dir).table("lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # Moments cast to DOUBLE after the exact DECIMAL accumulation, as
+    # in the oracle: the closed-form formulas then run in cheap double
+    # arithmetic (leaving them DECIMAL made Catalyst emit Decimal128
+    # expression code past janino's 64KB method limit — the whole
+    # stage silently fell back to interpreted execution, seen in the
+    # r7 sf0.1 sweep log).
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(x).alias("sx"),
-        dsum(y).alias("sy"),
-        dsum(x * y).alias("sxy"),
-        dsum(x * x).alias("sxx"),
+        dsum(x).cast("double").alias("sx"),
+        dsum(y).cast("double").alias("sy"),
+        dsum(x * y).cast("double").alias("sxy"),
+        dsum(x * x).cast("double").alias("sxx"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -2220,10 +2226,14 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in _CORR_COLS:
-        aggs.append(dsum(F.col(c)).alias(f"s_{c}"))
-        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+        aggs.append(dsum(F.col(c)).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            dsum(F.col(c) * F.col(c)).cast("double").alias(f"ss_{c}")
+        )
     for a, b in _CORR_PAIRS:
-        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+        aggs.append(
+            dsum(F.col(a) * F.col(b)).cast("double").alias(f"sp_{a}_{b}")
+        )
     m = li.agg(*aggs)
     n = F.col("n")
     rows = [
@@ -2575,13 +2585,15 @@ def linreg_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(F.col("o_totalprice"), 2).alias("y"))
     )
+    # moments cast to DOUBLE post-accumulation, matching the oracle —
+    # and keeping the closed-form arithmetic out of Decimal128 codegen
     m = daily.groupBy("priority").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        dsum(F.col("x")).alias("sx"),
-        dsum(F.col("y")).alias("sy"),
-        dsum(F.col("x") * F.col("x")).alias("sxx"),
-        dsum(F.col("y") * F.col("y")).alias("syy"),
-        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x")).cast("double").alias("sx"),
+        dsum(F.col("y")).cast("double").alias("sy"),
+        dsum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        dsum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        dsum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
