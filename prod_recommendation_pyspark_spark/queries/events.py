@@ -1187,3 +1187,97 @@ def temporal_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# --- A/B test: two-proportion z-test ------------------------------------------
+@register(
+    "ab_test_conversion_events",
+    sql="""
+    WITH assign AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+        FROM events),
+    conv AS (SELECT user_id FROM events
+             WHERE event_type = 'purchase'
+             GROUP BY user_id HAVING count(*) >= 14),
+    g AS (SELECT arm,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CASE WHEN conv.user_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE) AS x
+          FROM assign LEFT JOIN conv USING (user_id)
+          GROUP BY arm),
+    w AS (SELECT
+              max(CASE WHEN arm = 'A' THEN n END) AS na,
+              max(CASE WHEN arm = 'A' THEN x END) AS xa,
+              max(CASE WHEN arm = 'B' THEN n END) AS nb,
+              max(CASE WHEN arm = 'B' THEN x END) AS xb
+          FROM g)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(xa AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(xb AS BIGINT) AS conv_b,
+           round(xa / na, 6) AS rate_a,
+           round(xb / nb, 6) AS rate_b,
+           round((xa / na - xb / nb)
+                 / sqrt((xa + xb) / (na + nb)
+                        * (1 - (xa + xb) / (na + nb))
+                        * (1 / na + 1 / nb)), 4) AS z_stat
+    FROM w
+    """,
+)
+def ab_test_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B conversion analysis — the two-proportion pooled z-test an
+    experimentation platform computes per metric: deterministic arm
+    assignment (user_id parity — in production, `rendezvous_shard` or
+    `modulo_split`), per-user conversion = a repeat buyer (≥14
+    purchase events — the synthetic corpus has every user purchasing
+    at least once, which would make the pooled rate 1 and the z
+    denominator 0), then
+    z = (p̂_a − p̂_b)/√(p̂(1−p̂)(1/n_a+1/n_b)) from exact integer
+    counts (every division/sqrt is a fixed single-op chain of exact
+    inputs — engine-identical).
+
+    Scale: one distinct per table (users, converters), one keyed
+    left join, a 2-row rollup pivoted by conditional max — the
+    events table shuffles twice, both map-side combined."""
+    ev = Catalog(spark, sf_dir).table("events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__np"))
+        .filter(F.col("__np") >= 14)
+        .select("user_id", F.lit(1).alias("__c"))
+    )
+    g = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.coalesce("__c", F.lit(0))).cast("double").alias("x"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("x"))).alias("xb"),
+    )
+    na, xa, nb, xb = F.col("na"), F.col("xa"), F.col("nb"), F.col("xb")
+    pooled = (xa + xb) / (na + nb)
+    return w.select(
+        na.cast("long").alias("n_a"),
+        xa.cast("long").alias("conv_a"),
+        nb.cast("long").alias("n_b"),
+        xb.cast("long").alias("conv_b"),
+        F.round(xa / na, 6).alias("rate_a"),
+        F.round(xb / nb, 6).alias("rate_b"),
+        F.round(
+            (xa / na - xb / nb)
+            / F.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb)),
+            4,
+        ).alias("z_stat"),
+    )

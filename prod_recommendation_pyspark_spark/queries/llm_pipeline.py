@@ -2324,3 +2324,111 @@ def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, pair string, merged string, pair_count long"
     ).orderBy("step")
+
+
+# --- Entity resolution end-to-end ---------------------------------------------
+@register(
+    "entity_resolution_pipeline_docs",
+    sql=f"""
+    WITH RECURSIVE c AS (
+        SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        FROM documents),
+    {_WINNOW_FPS_SQL},
+    fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM wmin),
+    keepf AS (SELECT fingerprint FROM fp GROUP BY fingerprint
+              HAVING count(*) <= 10000),
+    fpk AS (SELECT fp.doc_id, fp.fingerprint
+            FROM fp JOIN keepf USING (fingerprint)),
+    wcand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM fpk a JOIN fpk b USING (fingerprint)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING count(*) >= {_WINNOW_MIN_SHARED}),
+    k AS (SELECT doc_id, s[1:{_SNM_KEY_CHARS}] AS key FROM c),
+    r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY key, doc_id) AS rank
+          FROM k),
+    scand AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+                     greatest(a.doc_id, b.doc_id) AS id_b
+              FROM r a JOIN r b
+                ON b.rank - a.rank BETWEEN 1 AND {_SNM_WINDOW - 1}),
+    cand AS (SELECT id_a, id_b FROM wcand
+             UNION SELECT id_a, id_b FROM scand),
+    edges AS (
+        SELECT cand.id_a, cand.id_b
+        FROM cand JOIN c ca ON ca.doc_id = cand.id_a
+                  JOIN c cb ON cb.doc_id = cand.id_b
+        WHERE levenshtein(ca.s[1:{_EDIT_PREFIX}], cb.s[1:{_EDIT_PREFIX}])
+              <= {_EDIT_MAX}),
+    sym AS (SELECT id_a AS u, id_b AS v FROM edges
+            UNION SELECT id_b, id_a FROM edges),
+    reach(u, v) AS (SELECT u, v FROM sym
+                    UNION
+                    SELECT r2.u, s2.v FROM reach r2 JOIN sym s2
+                      ON r2.v = s2.u),
+    comp AS (SELECT u, least(u, min(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT component AS entity_id,
+           count(*) AS n_members,
+           list(u ORDER BY u) AS members
+    FROM comp
+    GROUP BY component
+    ORDER BY entity_id
+    """,
+)
+def entity_resolution_pipeline_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Entity resolution END-TO-END: two complementary blockers —
+    winnowing fingerprints (content overlap) ∪ sorted-neighborhood
+    (fuzzy sort-key adjacency) — feed one edit-distance verify stage,
+    the surviving pairs close transitively into entities
+    (connected_components), and each entity emits its canonical id,
+    size, and sorted member list.  This is the merge/purge pipeline a
+    record-linkage user runs as ONE query; every stage is an already-
+    registered operator, and the oracle replays all of them — both
+    blockers, the verify DP, the recursive closure, and the final
+    member arrays — under a single value hash.
+
+    Scale: both blockers are linear-output (band caps / (w−1)·N);
+    the verify rides the blocked pair volume; components iterate on
+    the (tiny) verified edge set, not the corpus."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        connected_components,
+        edit_distance_verify,
+        sorted_neighborhood_pairs,
+    )
+    from prod_recommendation_pyspark_spark.operators.text import (
+        winnow_dedup_candidates,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    wcand = winnow_dedup_candidates(
+        docs, "doc_id", "text",
+        k=_WINNOW_K, w=_WINNOW_W, min_shared=_WINNOW_MIN_SHARED,
+    ).select("id_a", "id_b")
+    key = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""),
+        1,
+        _SNM_KEY_CHARS,
+    )
+    snm = sorted_neighborhood_pairs(
+        docs, "doc_id", key, window=_SNM_WINDOW, bucket_chars=2
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    cand = wcand.unionByName(snm).distinct()
+    edges = edit_distance_verify(
+        cand, docs, "doc_id", "text",
+        max_edits=_EDIT_MAX, prefix_chars=_EDIT_PREFIX,
+    ).select("id_a", "id_b")
+    cc = connected_components(edges, "id_a", "id_b")
+    return (
+        cc.groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.array_sort(F.collect_list("u")).alias("members"),
+        )
+        .orderBy("entity_id")
+    )

@@ -247,3 +247,23 @@ def test_holt_forecast_hand_computed(spark):
     assert (r.n_days, r.level, r.trend) == (3, 12.75, 1.125)
     assert r.forecast_1d == 13.875
     assert r.forecast_7d == 12.75 + 7 * 1.125
+
+
+def test_ab_test_z_is_finite_and_counts_partition(spark):
+    r = QUERIES["ab_test_conversion_events"](spark, SF).first()
+    assert r.n_a > 0 and r.n_b > 0
+    assert 0 < r.conv_a < r.n_a or 0 < r.conv_b < r.n_b
+    assert r.z_stat == r.z_stat  # not NaN (pooled rate strictly inside (0,1))
+    assert 0.0 <= r.rate_a <= 1.0 and 0.0 <= r.rate_b <= 1.0
+
+
+def test_entity_resolution_entities_are_disjoint(spark):
+    rows = QUERIES["entity_resolution_pipeline_docs"](spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.n_members == len(r.members) >= 2
+        assert r.entity_id == min(r.members)  # canonical = min id
+        for m in r.members:
+            assert m not in seen  # entities partition the matched docs
+            seen.add(m)
