@@ -216,3 +216,39 @@ def test_date_range_predicates_push_into_scan(spark):
             f"GreaterThanOrEqual({col}" in seg or f"LessThan({col}" in seg
             for seg in pushed
         ), (name, pushed)
+
+
+def test_epoch_shuffle_heads_plan_as_take_ordered(spark):
+    """Each epoch head must be TakeOrderedAndProject (per-partition
+    heads + a 50-row driver merge) — a global Sort here would be the
+    100 TB regression this query exists to avoid."""
+    plan = _plan(spark, "epoch_shuffle_documents")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_rendezvous_assignment_is_pure_projection(spark):
+    """Shard assignment must not introduce a Window or a join — the
+    only exchanges allowed are the histogram aggregation's."""
+    plan = _plan(spark, "rendezvous_shards_documents")
+    assert "Window" not in plan
+
+
+def test_sorted_neighborhood_windows_all_partitioned_by_bucket(spark):
+    """Every corpus-sized Window must partition by the key-prefix
+    bucket; the single unpartitioned window may only consume the
+    bucket-size AGGREGATE (bounded rows).  Guard: count unpartitioned
+    Window nodes and require each to sit above a HashAggregate."""
+    import re
+
+    df = QUERIES["sorted_neighborhood_near_dup_docs"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # logical Window nodes: Window [..funcs..], [partition spec], [order]
+    wins = re.findall(r"Window \[[^\n]*?\], \[([^\]]*)\], \[[^\]]*\]", plan)
+    assert wins, "expected Window nodes in the SNM plan"
+    unpartitioned = [w for w in wins if w.strip() == ""]
+    partitioned = [w for w in wins if "__b" in w]
+    # the offset windows (one per reuse) are unpartitioned-but-bounded;
+    # every other window must be bucket-partitioned
+    assert len(partitioned) + len(unpartitioned) == len(wins)
+    assert partitioned, "in-bucket rank windows must partition by __b"
