@@ -356,3 +356,41 @@ def test_rate_source_adapter_maps_deterministically(spark):
         assert r.user_id == (r.event_id * 31) % 997
         assert abs(r.value - ((r.event_id * 7) % 1000) / 10.0) < 1e-9
         assert r.event_type == ["view", "click", "purchase"][r.event_id % 3]
+
+
+def test_stateful_ewma_matches_batch_fold(spark):
+    """The incremental EWMA's final per-user value must equal the
+    batch Catalyst-fold query exactly (same alpha, same (ts,
+    event_id) order, exact-half arithmetic)."""
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.queries.registry import QUERIES
+    from prod_recommendation_pyspark_spark.streaming.adapter import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from prod_recommendation_pyspark_spark.streaming.stateful import (
+        stateful_ewma,
+    )
+
+    stage_dir = tempfile.mkdtemp(prefix="events_ewma_")
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", f"{stage_dir}/part-0.parquet"
+    )
+    stream = read_events_stream(spark, stage_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = stateful_ewma(stream)
+    run_stream_to_memory(out, "ewma_stateful", output_mode="update")
+    rows = spark.sql("SELECT * FROM ewma_stateful").collect()
+    last = {}
+    for r in rows:  # update mode appends; keep the last per user
+        last[r.user_id] = (r.n_events, round(r.ewma, 6))
+    batch = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in QUERIES["ewma_user_value_events"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert last == batch
