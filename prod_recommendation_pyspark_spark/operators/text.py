@@ -1410,18 +1410,22 @@ def rendezvous_shard(
 
     The per-shard weight is the multiplicative scramble of
     ``id·31 + shard`` (row-local BIGINT arithmetic, replayable in
-    ANSI SQL); the argmax is a ``depth=N`` fold over a literal shard
-    array — fine for operational shard counts (N ≤ a few hundred);
-    ties broken by the smaller shard id via strict ``>``.  Pure
-    projection: assigning 100 TB costs a scan, no shuffle."""
-    best = F.lit(0)
-    best_w = uniform_hash_long(id_col * 31 + F.lit(0))
-    for s in range(1, n_shards):
-        w = uniform_hash_long(id_col * 31 + F.lit(s))
-        better = w > best_w
-        best = F.when(better, F.lit(s)).otherwise(best)
-        best_w = F.when(better, w).otherwise(best_w)
-    return best.alias(shard_col_alias)
+    ANSI SQL); the argmax is ``array_position(weights, array_max)``
+    over the N-element weight array — ties go to the smaller shard id
+    (first occurrence), and the array form keeps the expression tree
+    LINEAR in N (the chained-when fold duplicated every weight
+    subtree per step: at N=9 the generated method blew janino's 64KB
+    limit and the scan fell back to interpreted execution — seen in
+    the sf0.01 sweep log).  Pure projection: assigning 100 TB costs a
+    scan, no shuffle."""
+    w_arr = F.array(
+        *[uniform_hash_long(id_col * 31 + F.lit(s)) for s in range(n_shards)]
+    )
+    return (
+        (F.array_position(w_arr, F.array_max(w_arr)) - 1)
+        .cast("int")
+        .alias(shard_col_alias)
+    )
 
 
 def bpe_merge_steps(
