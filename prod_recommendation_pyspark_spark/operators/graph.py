@@ -191,3 +191,80 @@ def label_propagation(
     for cached in (e, nodes):
         cached.unpersist()
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    damping: float = 0.5,
+    round_each: int | None = 10,
+) -> DataFrame:
+    """Personalized PageRank: identical power iteration to
+    :func:`pagerank` except the teleport mass returns to the SEED SET
+    (uniformly over |S| seeds) instead of all nodes — rank becomes
+    'importance relative to these seeds', the random-walk relevance
+    behind people-also-bought and seed-expanded audience building.
+    Non-seed nodes receive only propagated mass: rank₀ = 1/|S| on
+    seeds else 0; rankᵢ = d·Σ inbound + (1−d)/|S|·[node ∈ S].
+
+    Same determinism contract as pagerank (row-local double division,
+    DECIMAL(38,30) Σ, exact-binary damping preferred, per-iteration
+    quantization) so an oracle can unroll the recurrence; same scale
+    shape (edges shuffle onto src once; |V|-row rank table)."""
+    from pyspark import StorageLevel
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed = seeds.select(F.col(seed_col).alias("node")).distinct()
+    ns_df = seed.agg(F.count(F.lit(1)).alias("__ns"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    is_seed = F.col("__s").isNotNull()
+    base = (
+        nodes.join(seed.withColumn("__s", F.lit(1)), "node", "left")
+        .crossJoin(F.broadcast(ns_df))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ranks = base.select(
+        "node",
+        F.when(is_seed, F.lit(1.0) / F.col("__ns"))
+        .otherwise(F.lit(0.0))
+        .alias("rank"),
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__deg"))
+                .cast("decimal(38,30)")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").cast("double").alias("__in"))
+        )
+        new_rank = F.lit(damping) * F.coalesce("__in", F.lit(0.0)) + F.when(
+            is_seed, F.lit(1.0 - damping) / F.col("__ns")
+        ).otherwise(F.lit(0.0))
+        if round_each is not None:
+            new_rank = F.round(new_rank, round_each)
+        ranks = base.join(contribs, "node", "left").select(
+            "node", new_rank.alias("rank")
+        )
+    ranks = ranks.localCheckpoint(eager=True)
+    for cached in (e, nodes, deg, base):
+        cached.unpersist()
+    return ranks

@@ -2705,3 +2705,92 @@ def holt_forecast_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(st["l"] + st["b"], 4).alias("forecast_1d"),
         F.round(st["l"] + 7 * st["b"], 4).alias("forecast_7d"),
     ).orderBy("priority")
+
+
+# --- Personalized PageRank over the trade graph -------------------------------
+def _ppr_iter_sql(k: int) -> str:
+    """One unrolled personalized-PageRank step (mirrors
+    operators/graph.py::personalized_pagerank op-for-op)."""
+    return f"""
+    pc{k} AS (SELECT e.dst AS node,
+                     CAST(sum(CAST(p.rank / d.deg AS DECIMAL(38,30)))
+                          AS DOUBLE) AS cin
+              FROM edges e
+              JOIN pr{k - 1} p ON e.src = p.node
+              JOIN deg d ON e.src = d.src
+              GROUP BY e.dst),
+    pr{k} AS (SELECT b.node,
+                     round(0.5 * coalesce(pc{k}.cin, 0.0)
+                           + CASE WHEN b.is_seed THEN (1 - 0.5) / ns.n
+                                  ELSE 0.0 END, 10) AS rank
+              FROM base b CROSS JOIN ns
+              LEFT JOIN pc{k} ON pc{k}.node = b.node)"""
+
+
+@register(
+    "personalized_pagerank_trade",
+    sql=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s AS src, c AS dst FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    base AS (SELECT node, node <= 10 AS is_seed FROM nodes),
+    ns AS (SELECT count(*) AS n FROM base WHERE is_seed),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node,
+                   CASE WHEN is_seed THEN 1.0 / ns.n ELSE 0.0 END AS rank
+            FROM base CROSS JOIN ns),
+    {_ppr_iter_sql(1)},
+    {_ppr_iter_sql(2)},
+    {_ppr_iter_sql(3)}
+    SELECT node, rank FROM pr3
+    ORDER BY rank DESC, node
+    LIMIT 30
+    """,
+)
+def personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py::personalized_pagerank)
+    on the customer↔supplier trade graph, teleporting to the ≤10
+    lowest-key customers as the seed set — 'which suppliers and
+    customers matter TO THESE accounts', the seed-relative relevance
+    behind audience expansion and account-based recommendations
+    (global pagerank answers the seedless version).  3 iterations,
+    damping 0.5 (exact binary), top-30.  The oracle unrolls every
+    step, so the whole seed-biased recurrence sits under the value
+    hash.
+
+    Scale: identical join shape to pagerank — one edge shuffle reused
+    per iteration, |V|-row rank table, teleport mass a broadcast
+    1-row |S| count."""
+    from prod_recommendation_pyspark_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.table("orders")
+        .join(
+            cat.table("lineitem"), F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") <= 10)
+    ppr = personalized_pagerank(
+        edges, seeds, iterations=3, damping=0.5, round_each=10
+    )
+    return ppr.orderBy(F.col("rank").desc(), "node").limit(30)

@@ -267,3 +267,25 @@ def test_entity_resolution_entities_are_disjoint(spark):
         for m in r.members:
             assert m not in seen  # entities partition the matched docs
             seen.add(m)
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    """Star graph: seed at the hub — the hub must outrank every leaf,
+    leaves (symmetric) tie, and a disconnected node gets rank 0."""
+    from prod_recommendation_pyspark_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = [(1, 2), (1, 3), (1, 4), (8, 9)]  # star at 1 + separate pair
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            edges, seeds, iterations=3, damping=0.5
+        ).collect()
+    }
+    assert got[1] > got[2] == got[3] == got[4] > 0
+    assert got[8] == got[9] == 0.0  # unreachable from the seed
