@@ -1848,3 +1848,72 @@ def quantile_normalize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- Column profiling: cardinality / nulls / entropy ---------------------------
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_null,
+           count(*) AS n_distinct,
+           CAST(sum(CAST(round(
+               -(cnt * 1.0 / (SELECT count(*) FROM orders))
+               * ln(cnt * 1.0 / (SELECT count(*) FROM orders)), 12)
+               AS DECIMAL(38,14))) AS DOUBLE) AS entropy_raw
+    FROM (SELECT CAST({c} AS VARCHAR) AS v, count(*) AS cnt
+          FROM orders GROUP BY 1)"""
+
+
+@register(
+    "column_profile_orders",
+    sql=f"""
+    WITH p AS ({" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS)})
+    SELECT col_name, n_rows, n_null, n_distinct,
+           round(entropy_raw, 6) AS entropy
+    FROM p
+    ORDER BY col_name
+    """,
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling — the catalog statistics pass a
+    warehouse runs on ingest: per column, row count, null count,
+    distinct cardinality, and Shannon entropy of the value
+    distribution (the signal that separates an id column from a
+    low-information flag at the same null rate).  Each entropy term
+    is quantized to 12 digits and summed in DECIMAL — the
+    `token_entropy_by_lang` order-independence gate.
+
+    Scale: one grouped count per column (map-side combined; the
+    distribution table is |distinct values| rows), a broadcast total,
+    and a per-column rollup.  Columns profile independently — at
+    100 TB run them in one multi-aggregate scan or per-column jobs as
+    width dictates."""
+    orders = Catalog(spark, sf_dir).table("orders")
+    total = orders.count()
+    outs = []
+    for c in _PROFILE_COLS:
+        d = orders.groupBy(
+            F.col(c).cast("string").alias("v")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        p = F.col("cnt") / F.lit(float(total))
+        term = F.round(-p * F.log(p), 12).cast("decimal(38,14)")
+        outs.append(
+            d.agg(
+                F.lit(c).alias("col_name"),
+                F.sum("cnt").alias("n_rows"),
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt")).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_name")
