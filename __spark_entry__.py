@@ -27,26 +27,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["topk_segments_by_nation"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified_names() -> set[str]:
-    """Query names already hash-verified by the driver in a previous
-    round (union over all committed CORRECTNESS_r*.json files)."""
+def _driver_history() -> tuple[int, set[str], set[str]]:
+    """(latest round number, hash-verified names, rows-only names)
+    across all committed CORRECTNESS_r*.json files.  Hash-verified
+    means a real value-hash match; ``err == 'no_oracle'`` rows only
+    ever got a rows-only check and are tracked separately."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    latest = 0
+    hash_ok: set[str] = set()
+    rows_only: set[str] = set()
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            latest = max(latest, int(m.group(1)))
         try:
             with open(path) as f:
                 rec = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in rec.items():
-            if isinstance(row, dict) and (
-                row.get("hash_match") or row.get("err") == "no_oracle"
-            ):
-                seen.add(name)
-    return seen
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match"):
+                hash_ok.add(name)
+            elif row.get("err") == "no_oracle" and row.get("rows_match"):
+                rows_only.add(name)
+    return latest, hash_ok, rows_only
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -55,13 +65,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Sample rotation: the driver's per-round correctness check covers a
     prefix of this dict, so a frozen registration order would verify
     the same early-round 50 queries forever and newest operators would
-    never get driver-verified.  Order queries that NO previous round's
-    CORRECTNESS file has hash-verified FIRST (stable registration
-    order within each group) — each round the driver's sample covers
-    the yet-unverified tail, converging to full driver coverage."""
-    seen = _driver_verified_names()
-    ordered = [n for n in QUERIES if n not in seen]
-    ordered += [n for n in QUERIES if n in seen]
+    never get driver-verified.  Ordering:
+
+    1. never-verified queries first (stable registration order) — new
+       operators get driver-verified the round they land;
+    2. then ALL previously-verified queries, ROTATED by the round
+       number — so already-verified queries keep cycling back through
+       the driver's sample window and a regression introduced later in
+       a shared operator is caught within a few rounds, instead of the
+       old scheme's permanent demotion;
+    3. rows-only (``no_oracle``) queries join the rotation pool too,
+       but are tracked separately from hash-verified ones — a rows-only
+       pass never counts as hash verification.
+    """
+    latest_round, hash_ok, rows_only = _driver_history()
+    fresh = [n for n in QUERIES if n not in hash_ok and n not in rows_only]
+    pool = [n for n in QUERIES if n in hash_ok or n in rows_only]
+    if pool:
+        # rotate by a stride coprime-ish to the pool size so successive
+        # rounds sample disjoint slices of the verified set
+        off = (latest_round * 37) % len(pool)
+        pool = pool[off:] + pool[:off]
+    ordered = fresh + pool
     return {n: QUERIES[n] for n in ordered}
 
 

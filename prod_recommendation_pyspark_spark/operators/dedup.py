@@ -959,8 +959,13 @@ def sorted_neighborhood_pairs(
     w`` — each qualifying pair matches on exactly one granule (the
     right rank's single granule), so no dedup pass is needed.  Output
     is ≤ (w−1)·N pairs: linear in the corpus, never quadratic."""
+    # null keys coalesce to '' so (a) Spark's NULLS FIRST and the
+    # oracle's DuckDB NULLS LAST can't shift every global rank against
+    # each other, and (b) a null key's prefix bucket is '' (ranked,
+    # first bucket) instead of null (dropped by the bucket join)
     keyed = docs.select(
-        F.col(id_col).alias("__id"), key.alias("__k")
+        F.col(id_col).alias("__id"),
+        F.coalesce(key.cast("string"), F.lit("")).alias("__k"),
     ).withColumn("__b", F.substring("__k", 1, bucket_chars))
     w_in = Window.partitionBy("__b").orderBy("__k", "__id")
     ranked = keyed.withColumn("__r", F.row_number().over(w_in))

@@ -344,8 +344,10 @@ def table_diff(
         ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
         for c in compare_cols
     ]
-    any_changed = diff_flags[0]
-    for fl in diff_flags[1:]:
+    # key-only tables (or no shared non-key columns) still diff on
+    # membership: nothing can be 'changed', only added/removed
+    any_changed = F.lit(False)
+    for fl in diff_flags:
         any_changed = any_changed | fl
     status = (
         F.when(F.col("__in_old").isNull(), F.lit("added"))
@@ -353,16 +355,19 @@ def table_diff(
         .when(any_changed, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    changed_cols = F.when(
-        F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
-        F.concat_ws(
-            ",",
-            *[
-                F.when(fl, F.lit(c))
-                for c, fl in zip(compare_cols, diff_flags)
-            ],
-        ),
-    ).otherwise(F.lit(""))
+    if diff_flags:
+        changed_cols = F.when(
+            F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull(),
+            F.concat_ws(
+                ",",
+                *[
+                    F.when(fl, F.lit(c))
+                    for c, fl in zip(compare_cols, diff_flags)
+                ],
+            ),
+        ).otherwise(F.lit(""))
+    else:
+        changed_cols = F.lit("")
     return (
         j.select(
             *keys,

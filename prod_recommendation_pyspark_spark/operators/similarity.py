@@ -84,16 +84,36 @@ def spread_small_input(df: DataFrame, parallelism: int | None = None) -> DataFra
     statistics (``optimizedPlan().stats().sizeInBytes`` — the same
     estimate the broadcast-join threshold reads) divided by
     ``spark.sql.files.maxPartitionBytes`` approximates the scan's
-    split count with zero plan→RDD conversion.  The previous
-    ``df.rdd.getNumPartitions()`` probe forced an RDD lineage build
-    on every call — planning-only cost, but per-query and avoidable.
-    On an estimate failure the input is left untouched (no shuffle is
-    the safe default)."""
+    split count with zero plan→RDD conversion; wide inputs therefore
+    never pay an RDD lineage build.  Two cases still consult the real
+    ``df.rdd.getNumPartitions()``: (a) stats at the
+    ``defaultSizeInBytes`` sentinel (LogicalRDD / localCheckpoint-
+    backed plans report Long.MaxValue, not a real estimate — a
+    size-only test would silently no-op on exactly the small
+    checkpointed graphs this helper exists for), and (b) a
+    below-parallelism estimate, which must be CONFIRMED before
+    injecting a shuffle because bytes/maxPartitionBytes undercounts
+    many-small-files scans that are already wide.  On an estimate
+    failure the input is left untouched (no shuffle is the safe
+    default)."""
     spark = df.sparkSession
     par = parallelism or spark.sparkContext.defaultParallelism
     try:
         # py4j maps the Scala BigInt straight to a Python int
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        try:
+            unknown = int(
+                spark._jsparkSession.sessionState().conf().defaultSizeInBytes()
+            )
+        except Exception:
+            unknown = (1 << 63) - 1  # SQLConf default = Long.MaxValue
+        if size >= unknown:
+            # stats are the defaultSizeInBytes SENTINEL, not a real
+            # estimate (LogicalRDD / localCheckpoint-backed plans):
+            # fall back to the RDD partition probe the sentinel-blind
+            # size test would silently no-op on
+            n = df.rdd.getNumPartitions()
+            return df.repartition(par) if n < par else df
         max_bytes = spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
         )
@@ -101,7 +121,15 @@ def spread_small_input(df: DataFrame, parallelism: int | None = None) -> DataFra
     except Exception:
         return df
     if est_splits < par:
-        return df.repartition(par)
+        # bytes/maxPartitionBytes UNDERcounts splits for many-small-
+        # files inputs; confirm with the real partition count before
+        # injecting a shuffle that would coalesce an already-wide scan
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        if n < par:
+            return df.repartition(par)
     return df
 
 

@@ -405,9 +405,9 @@ def decontaminate_bloom(
     only true hits, so output ≡ ``decontaminate`` row-for-row (pinned
     by pytest and by sharing the exact operator's DuckDB oracle).
 
-    Driver contract: one collect of the benchmark's DISTINCT probe
-    positions (≤ n_probes · |benchmark shingles|, bounded by the
-    benchmark's size — same class as centroid/dictionary collects)."""
+    Driver contract: one collect of the OR-folded bitset words
+    (≤ m_bits/64 rows ≈ the bitset itself, never the raw position
+    stream — same class as centroid/dictionary collects)."""
     import math
 
     from prod_recommendation_pyspark_spark.operators.dedup import word_shingles
@@ -423,19 +423,29 @@ def decontaminate_bloom(
         F.pmod(F.xxhash64(F.lit(i), F.col("__s")), F.lit(m_bits)).alias(f"__p{i}")
         for i in range(n_probes)
     ]
-    # distinct SET positions only — the probe hashes are computed by
-    # the SAME Spark expression the corpus side uses, so no
-    # cross-language hash reimplementation can drift
-    pos = (
+    # the probe hashes are computed by the SAME Spark expression the
+    # corpus side uses, so no cross-language hash reimplementation can
+    # drift.  The bitset is ASSEMBLED DISTRIBUTED: positions fold into
+    # (word_index, bit_or of set bits) on the executors, and only the
+    # ≤ m_bits/64 non-zero words cross to the driver — never the raw
+    # n_probes · |shingles| position stream (tens of GB at 10⁸
+    # benchmark shingles, dwarfing the 125 MB bitset it builds).
+    word_rows = (
         b_sh.select(F.explode(F.array(*[p for p in probes])).alias("p"))
-        .distinct()
+        .select(
+            F.expr("CAST(p DIV 64 AS INT)").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
         .collect()
     )
     words = [0] * n_words
-    for r in pos:
-        words[r.p // 64] |= 1 << (r.p % 64)
-    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bits_df = spark.createDataFrame([(signed,)], "__bits array<bigint>")
+    for r in word_rows:
+        words[r.w] = r.bits
+    bits_df = spark.createDataFrame([(words,)], "__bits array<bigint>")
 
     c_sh = corpus.select(
         F.col(id_col),

@@ -714,10 +714,10 @@ def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'EARLY'
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
                 THEN 'ON_TIME' ELSE 'LATE' END AS delay_class,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01'
@@ -2102,10 +2102,11 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT sum(rev_cents) AS total_cents,
                  count(*) AS n FROM cents),
     c AS (SELECT day, rev,
-                 sum(cents.rev_cents * t.n - t.total_cents)
+                 CAST(sum(cents.rev_cents * t.n - t.total_cents)
                      OVER (ORDER BY day
                            ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cusum_n_cents
+                                    AND CURRENT ROW) AS BIGINT)
+                     AS cusum_n_cents
           FROM cents CROSS JOIN t)
     SELECT day, CAST(rev AS DOUBLE) AS daily_rev,
            cusum_n_cents

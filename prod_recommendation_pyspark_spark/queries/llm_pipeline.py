@@ -903,8 +903,9 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH d AS (
         SELECT doc_id,
-               CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+               CAST(CASE WHEN NOT regexp_matches(text, '\\S') THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END
+                    AS INTEGER) AS n_tokens
         FROM documents),
     packed AS (
         SELECT doc_id, n_tokens,
@@ -914,7 +915,8 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                    AS cum_before
         FROM d)
-    SELECT doc_id, n_tokens, shard, cum_before,
+    SELECT doc_id, n_tokens, shard,
+           CAST(cum_before AS BIGINT) AS cum_before,
            CAST(cum_before // 512 AS BIGINT) AS pack_id
     FROM packed
     ORDER BY doc_id
@@ -1798,7 +1800,8 @@ def count_min_contract_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT term,
                count(*) AS df,
                CAST(sum(c) AS BIGINT) AS cf,
-               (list(doc_id ORDER BY doc_id))[1:20] AS postings
+               array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',')
+                   AS postings
         FROM pd GROUP BY term)
     SELECT term, df, cf, postings
     FROM agg
@@ -1824,8 +1827,20 @@ def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prod_recommendation_pyspark_spark.operators.text import inverted_index
 
     docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    idx = inverted_index(docs, "doc_id", "text", max_postings=20)
+    # the driver's value-hash canonicalizer can't sort/hash array
+    # cells — serialize the (already sorted) posting head to a
+    # comma-joined string; the oracle's array_to_string matches
     return (
-        inverted_index(docs, "doc_id", "text", max_postings=20)
+        idx.select(
+            "term",
+            "df",
+            "cf",
+            F.array_join(
+                F.transform(F.col("postings"), lambda x: x.cast("string")),
+                ",",
+            ).alias("postings"),
+        )
         .orderBy(F.desc("df"), "term")
         .limit(200)
     )
@@ -2370,7 +2385,7 @@ def bpe_vocabulary_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM reach GROUP BY u)
     SELECT component AS entity_id,
            count(*) AS n_members,
-           list(u ORDER BY u) AS members
+           string_agg(u, ',' ORDER BY u) AS members
     FROM comp
     GROUP BY component
     ORDER BY entity_id
@@ -2424,11 +2439,20 @@ def entity_resolution_pipeline_docs(
         max_edits=_EDIT_MAX, prefix_chars=_EDIT_PREFIX,
     ).select("id_a", "id_b")
     cc = connected_components(edges, "id_a", "id_b")
+    # members serialized to a comma-joined string: the driver's value
+    # hasher can't sort/hash array cells (array_sort still kills
+    # collect_list's arrival-order nondeterminism before the join)
     return (
         cc.groupBy(F.col("component").alias("entity_id"))
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.array_sort(F.collect_list("u")).alias("members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("u")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
         )
         .orderBy("entity_id")
     )

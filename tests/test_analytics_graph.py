@@ -262,9 +262,10 @@ def test_entity_resolution_entities_are_disjoint(spark):
     assert rows
     seen = set()
     for r in rows:
-        assert r.n_members == len(r.members) >= 2
-        assert r.entity_id == min(r.members)  # canonical = min id
-        for m in r.members:
+        members = [int(m) for m in r.members.split(",")]
+        assert r.n_members == len(members) >= 2
+        assert r.entity_id == min(members)  # canonical = min id
+        for m in members:
             assert m not in seen  # entities partition the matched docs
             seen.add(m)
 
