@@ -2795,3 +2795,391 @@ def personalized_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, seeds, iterations=3, damping=0.5, round_each=10
     )
     return ppr.orderBy(F.col("rank").desc(), "node").limit(30)
+
+
+# --- TPC-H Q2 shape: correlated per-group minimum ----------------------------
+@register(
+    "q2_min_cost_supplier_region",
+    sql="""
+    WITH eur AS (
+        SELECT s_suppkey, s_acctbal, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    offers AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY 1, 2),
+    eo AS (
+        SELECT o.l_partkey, o.unit_cost, e.s_acctbal, e.s_name, e.n_name
+        FROM offers o JOIN eur e ON o.l_suppkey = e.s_suppkey),
+    best AS (
+        SELECT l_partkey, min(unit_cost) AS best_cost
+        FROM eo GROUP BY 1)
+    SELECT e.s_acctbal, e.s_name, e.n_name AS nation,
+           p.p_partkey, p.p_brand, e.unit_cost AS cost
+    FROM eo e
+    JOIN best b ON e.l_partkey = b.l_partkey AND e.unit_cost = b.best_cost
+    JOIN part p ON p.p_partkey = e.l_partkey
+    ORDER BY e.s_acctbal DESC, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 SHAPE: the correlated scalar-min subquery ("supplier
+    whose cost equals the part's minimum cost in the region"),
+    decorrelated the way Catalyst would — derive the offer table once,
+    aggregate the per-part minimum, and join back on equality.  The
+    testdata has no partsupp table, so the part-supplier offer
+    relation derives from lineitem (min observed unit price per
+    (part, supplier)); the double division is the same IEEE operation
+    in both engines, and min/equality over identical doubles is exact,
+    so no rounding is needed anywhere.
+
+    Scale: nation/region broadcast onto supplier; the offer agg is the
+    one fact shuffle (map-side combine on (part,supp)); the per-part
+    minimum is a WINDOW over the agg output — a join-back formulation
+    (the oracle's) re-derives the whole offer pipeline on the build
+    side and scans the fact table twice, which the plan audit showed
+    as 2 lineitem scans + a SortMergeJoin; the window form is one
+    scan, and its partition (one part's offers) is supplier-bounded."""
+    cat = Catalog(spark, sf_dir)
+    eur = (
+        cat.table("supplier")
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.table("region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    offers = (
+        cat.table("lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    eo = offers.join(
+        F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("l_partkey", "unit_cost", "s_acctbal", "s_name", "n_name")
+    best = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    return (
+        eo.withColumn("best_cost", best)
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .join(
+            F.broadcast(cat.table("part").select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            F.col("unit_cost").alias("cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q9 shape: product-type profit by nation and year ------------------
+@register(
+    "q9_product_profit_nation_year",
+    sql="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(round(sum(CAST(
+               l_extendedprice * (1 - l_discount)
+               - l_quantity * p_retailprice * 0.1
+               AS DECIMAL(38,6))), 2) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 SHAPE: the five-table profit star — filtered part dim,
+    supplier→nation rollup, order-year breakdown.  Cost proxies as 10%
+    of retail price (no partsupp supplycost column in the testdata);
+    the profit expression is evaluated in double with IDENTICAL
+    operation order in both engines, then decimal-accumulated
+    (``dsum``) so the sum is partitioning- and engine-exact.
+
+    Scale: part filter broadcasts (LIKE prunes the dim before the
+    join); supplier/nation broadcast; the lineitem→orders key join is
+    the one big shuffle and AQE handles its skew; year() evaluates
+    post-join on the already-reduced rows."""
+    cat = Catalog(spark, sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * F.col("p_retailprice") * F.lit(0.1)
+    return (
+        cat.table("lineitem")
+        .join(
+            cat.table("orders").select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                cat.table("part")
+                .filter(F.col("p_name").like("%widget%"))
+                .select("p_partkey", "p_retailprice")
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            F.broadcast(cat.table("supplier").select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, 2).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --- TPC-H Q11 shape: value concentration with a scalar-subquery threshold ---
+@register(
+    "q11_part_value_concentration",
+    sql="""
+    WITH v AS (
+        SELECT l_partkey,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(38,6))), 2) * 100 AS BIGINT)
+                   AS value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY 1),
+    t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+    SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100 AS part_value
+    FROM v CROSS JOIN t
+    WHERE value_cents * 1000 > total_cents
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_part_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q11 SHAPE: per-part value HAVING a scalar-subquery
+    threshold (share of the one-nation total > 0.1%).  The threshold
+    compare runs in integer CENTS — the decimal sum rounds exactly,
+    scales to bigint exactly, and ``value_cents * 1000 > total_cents``
+    is engine-identical integer arithmetic, with no float boundary to
+    disagree on.
+
+    Scale: supplier/nation broadcast prunes lineitem to one nation
+    BEFORE its only shuffle (the part agg); the grand total is a
+    1-row broadcast cross join, not a second pass over the fact."""
+    cat = Catalog(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        cat.table("lineitem")
+        .join(
+            F.broadcast(cat.table("supplier").select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                cat.table("nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            (F.round(F.sum(rev.cast("decimal(38,6)")), 2) * 100)
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents").cast("double") / 100).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+# --- TPC-H Q16 shape: supplier breadth with a NOT-IN exclusion ---------------
+@register(
+    "q16_supplier_breadth_by_part_class",
+    sql="""
+    WITH r AS (
+        SELECT l_suppkey, count(*) AS r_cnt
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+    tot AS (
+        SELECT CAST(sum(r_cnt) AS BIGINT) AS total_r,
+               count(*) AS n_sup FROM r),
+    bad AS (
+        SELECT l_suppkey FROM r CROSS JOIN tot
+        WHERE r_cnt * n_sup * 20 > total_r * 21),
+    pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT l_suppkey FROM bad))
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM pairs JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 11, 19, 25, 37)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_breadth_by_part_class(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 SHAPE: distinct-supplier breadth per part class with
+    a NOT-IN exclusion set.  The excluded "complaint" suppliers (no
+    comment column in the testdata) derive from return behavior:
+    suppliers whose R-flag lineitem count exceeds 1.05× the supplier
+    average — the compare is pure bigint arithmetic (``r_cnt · n_sup
+    · 20 > total_r · 21``), exact in both engines.  NOT IN compiles to
+    a left-anti join (valid because l_suppkey is non-null; a nullable
+    NOT IN would need the null-aware variant).
+
+    Scale: the exclusion set is tiny (supplier-cardinality) and
+    broadcast-anti-joined; the distinct (part,supp) projection is the
+    one fact shuffle with map-side combine; part is a broadcast dim
+    after its brand/size pruning."""
+    cat = Catalog(spark, sf_dir)
+    # persisted: r feeds both the grand total and the exclusion
+    # filter — uncached, the R-filtered lineitem scan+agg runs twice
+    # (seen in the plan audit).  Supplier-cardinality rows only;
+    # registry-level clearCache owns the lifetime.
+    r = (
+        cat.table("lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("r_cnt"))
+        .persist()
+    )
+    tot = r.agg(
+        F.sum("r_cnt").alias("total_r"), F.count(F.lit(1)).alias("n_sup")
+    )
+    bad = (
+        r.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("r_cnt") * F.col("n_sup") * 20 > F.col("total_r") * 21
+        )
+        .select("l_suppkey")
+    )
+    pairs = (
+        cat.table("lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                cat.table("part").filter(
+                    (F.col("p_brand") != "Brand#1")
+                    & F.col("p_size").isin(1, 5, 11, 19, 25, 37)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+# --- TPC-H Q20 shape: semi-join chain with a correlated shipped-qty agg ------
+@register(
+    "q20_heavy_shippers_of_red_parts",
+    sql="""
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+        SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+        FROM lineitem JOIN red ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT l_suppkey FROM shipped WHERE qty > 50)
+    SELECT s_name, n_name AS nation
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM cand)
+      AND n_regionkey IN (SELECT r_regionkey FROM region
+                          WHERE r_name = 'EUROPE')
+    ORDER BY s_name
+    """,
+)
+def q20_heavy_shippers_of_red_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 SHAPE: the nested semi-join chain — suppliers having
+    (per-part shipped quantity over a year) above a threshold for a
+    name-filtered part set, restricted to one region.  The correlated
+    quantity subquery decorrelates to filter→join→agg→semi-join; the
+    qty sum is exact in double (quantities are small integers, far
+    under 2^53), so the > 50 boundary cannot straddle engines.
+
+    Scale: the red-part set broadcasts into lineitem's scan-side
+    filter; the (supp, part) agg is the one shuffle; both IN
+    predicates become broadcast semi-joins on supplier (dim-sized)."""
+    cat = Catalog(spark, sf_dir)
+    red = cat.table("part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        cat.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    cand = shipped.filter(F.col("qty") > 50).select("l_suppkey").distinct()
+    eur_keys = cat.table("region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    return (
+        cat.table("supplier")
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(eur_keys),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(cand),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
