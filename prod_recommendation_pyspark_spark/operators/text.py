@@ -1508,3 +1508,88 @@ def bpe_merge_steps(
             ),
         )
     return merges, rep_df
+
+
+# ---------------------------------------------------------------------------
+# DSIR data-selection importance weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """Hashed-n-gram importance weights for data selection: fit two
+    bag-of-hashed-unigram models — the TARGET distribution p (the
+    domain you want more of) and the RAW distribution q (the pool you
+    select from) — and score every raw document with its
+    log-likelihood ratio ``w(x) = Σ_tokens ln(p_b / q_b)``, add-0.5
+    smoothing on both sides.  High-weight documents look like the
+    target; selection then keeps the top slice (or resamples
+    proportionally).
+
+    Cross-engine exactness: the bucket hash is the portable
+    polynomial (:func:`portable_term_hash`), the per-bucket ratio is
+    a double expression with identical operation order in both
+    engines, and the per-document sum accumulates the per-token
+    ``ln`` values in DECIMAL(38,12) — the same summation-order
+    defense ``lm_score`` documents.
+
+    Scale shape: the two model fits collapse to ``n_buckets``-row
+    tables in ONE pass each with map-side combine (the shuffle
+    carries ≤ n_buckets rows per mapper, never the token stream);
+    the scorer re-explodes raw tokens and broadcast-joins the
+    ≤ n_buckets-row LLR table, then re-aggregates on the doc id —
+    corpus-linear, dimension-bounded, no driver transit."""
+
+    def bucket_counts(df: DataFrame, alias: str) -> DataFrame:
+        toks = df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__t")
+        ).filter(F.col("__t") != "")
+        return (
+            toks.select(
+                (portable_term_hash(F.col("__t")) % n_buckets).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    tc = bucket_counts(target, "tc")
+    rc = bucket_counts(raw, "rc")
+    # outer-join the two ≤ n_buckets-row tables; missing buckets count 0
+    model = (
+        tc.join(rc, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    tt = model.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
+    llr = model.crossJoin(F.broadcast(tt)).select(
+        "bucket",
+        F.log(
+            ((F.col("tc") + 0.5) / (F.col("tt") + 0.5 * n_buckets))
+            / ((F.col("rc") + 0.5) / (F.col("rt") + 0.5 * n_buckets))
+        ).alias("llr"),
+    )
+    doc_toks = raw.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    ).filter(F.col("__t") != "")
+    scored = doc_toks.select(
+        id_col, (portable_term_hash(F.col("__t")) % n_buckets).alias("bucket")
+    ).join(F.broadcast(llr), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        # round in DECIMAL space (exact, engine-identical), THEN cast
+        # — double-space rounding re-opens the boundary divergence the
+        # decimal accumulation closed (see functions/exact.py)
+        F.round(F.sum(F.col("llr").cast("decimal(38,12)")), 4)
+        .cast("double")
+        .alias("dsir_weight"),
+    )

@@ -2456,3 +2456,73 @@ def entity_resolution_pipeline_docs(
         )
         .orderBy("entity_id")
     )
+
+
+# --- DSIR importance-resampling selection weights -----------------------------
+@register(
+    "dsir_importance_weights_docs",
+    sql=r"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        WHERE t.term <> ''),
+    b AS (
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_transform(string_split(term, ''), c -> ascii(c)),
+                   (acc, x) -> (acc * 31 + x) % 1000003) % 128 AS BIGINT)
+                   AS bucket
+        FROM toks),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tc,
+               CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rc
+        FROM b GROUP BY 1),
+    tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+                   CAST(sum(rc) AS BIGINT) AS rt FROM counts),
+    llr AS (
+        SELECT bucket,
+               ln(((tc + 0.5) / (tt + 0.5 * 128))
+                  / ((rc + 0.5) / (rt + 0.5 * 128))) AS llr
+        FROM counts CROSS JOIN tot)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(round(sum(CAST(llr AS DECIMAL(38,12))), 4) AS DOUBLE)
+               AS dsir_weight
+    FROM b JOIN llr USING (bucket)
+    WHERE b.doc_id % 7 <> 0
+    GROUP BY b.doc_id
+    ORDER BY dsir_weight DESC, doc_id
+    LIMIT 50
+    """,
+)
+def dsir_importance_weights_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DSIR data selection (operators/text.py::dsir_importance_weights;
+    Xie et al. 2023): hashed-unigram log-likelihood-ratio weights of
+    every raw-pool document against a target domain, top 50 — the
+    standard importance-resampling scorer for "give me more data that
+    looks like the benchmark".  The target proxy is deterministic
+    (doc_id % 7 == 0) so the oracle replays the exact split; the
+    bucket hash is the portable polynomial, the ratio arithmetic is
+    operation-order-identical, and the per-doc ln-sum accumulates in
+    DECIMAL(38,12) with a decimal-space round.
+
+    Scale: two bucket-model fits collapse to 128 rows each with
+    map-side combine; scoring broadcast-joins the 128-row LLR table
+    into the token stream and re-aggregates on doc id — no stage
+    carries more than corpus-linear rows, and nothing sits on the
+    driver."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    out = dsir_importance_weights(raw, target, "doc_id", "text", n_buckets=128)
+    return out.orderBy(F.col("dsir_weight").desc(), "doc_id").limit(50)

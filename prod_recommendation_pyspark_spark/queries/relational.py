@@ -1917,3 +1917,59 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("col_name")
+
+
+# --- HLL-sketch NDV with a mergeability contract ------------------------------
+@register(
+    "ndv_hll_contract_orders",
+    sql="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_ndv,
+           TRUE AS est_within_2pct,
+           TRUE AS merge_consistent
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ndv_hll_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count SKETCHING contract: per-priority customer NDV
+    estimated with Spark's native Apache DataSketches HLL
+    (``hll_sketch_agg``, lgK=14), checked two ways inside the query —
+    the estimate lands within 2% of the exact count, and the estimate
+    from UNIONING per-year sub-sketches (``hll_union_agg``) equals the
+    direct estimate.  The second check is the property that matters at
+    100 TB: HLL registers max-merge, so per-partition / per-day
+    sketches roll up to the global NDV with no re-scan — the pattern
+    that replaces count(DISTINCT) when the distinct set itself no
+    longer fits anywhere.  The oracle pins the exact NDVs and expects
+    both contract booleans TRUE.
+
+    Scale: both sketch aggs are one fact pass with map-side partial
+    sketches (bytes per group, not rows); the union agg touches only
+    (groups × years) sketch blobs."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    direct = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", 14)).alias("est"),
+        F.count_distinct("o_custkey").alias("exact_ndv"),
+    )
+    parts = orders.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("y")
+    ).agg(F.hll_sketch_agg("o_custkey", 14).alias("sk"))
+    merged = parts.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_m")
+    )
+    return (
+        direct.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_ndv",
+            (
+                F.abs(F.col("est") - F.col("exact_ndv"))
+                <= 0.02 * F.col("exact_ndv")
+            ).alias("est_within_2pct"),
+            (F.col("est") == F.col("est_m")).alias("merge_consistent"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -794,3 +794,52 @@ def test_bpe_single_char_words_are_safe(spark):
     merges, reps = bpe_merge_steps(wf, "word", "freq", steps=2)
     assert merges[0] == ("a b", "ab", 3)
     assert len(merges) == 1  # second round has no pairs left
+
+
+def test_dsir_target_like_docs_outrank_off_domain(spark):
+    """A raw doc written in the target's vocabulary must out-weight a
+    raw doc written in disjoint vocabulary (LLR > 0 vs < 0)."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        dsir_importance_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "zebra quux corge")],
+        "doc_id long, text string",
+    )
+    w = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_importance_weights(
+            raw, target, "doc_id", "text", n_buckets=128
+        ).collect()
+    }
+    assert w[100] > w[101]
+    assert w[100] > 0 > w[101]
+
+
+def test_hll_union_of_chunks_equals_direct_sketch(spark):
+    """HLL mergeability at NDV far above the group count: the union of
+    per-chunk sketches estimates the same as one direct sketch, and
+    both land within 3% of the exact distinct count."""
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("chunk"),
+        # multiplicative scramble so values aren't sequential
+        ((F.col("id") * 2654435761) % 1_000_000_007).alias("v"),
+    )
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("v", 12)).alias("est"),
+        F.count_distinct("v").alias("exact"),
+    ).first()
+    merged = (
+        df.groupBy("chunk")
+        .agg(F.hll_sketch_agg("v", 12).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .first()
+    )
+    assert merged.est == direct.est
+    assert abs(direct.est - direct.exact) <= 0.03 * direct.exact
