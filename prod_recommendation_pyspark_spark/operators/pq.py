@@ -1,0 +1,216 @@
+"""Product quantization (PQ) for embedding compression + ANN scoring
+(Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+Neighbor Search") — the third leg of the engine's vector-index family
+next to sign-LSH/IVF (similarity.py) and SQ8 scalar quantization.
+
+Why PQ at 100 TB: a float32 768-dim embedding is 3 KB; its PQ code at
+m=8 sub-blocks × 256 codes is 8 BYTES + a shared m·k·(dim/m) codebook.
+The codes table fits in memory where the vectors never could, and ADC
+(asymmetric distance computation) scans it with per-query lookup
+tables instead of touching raw vectors.
+
+Scale shapes (everything bounded by design):
+- ``pq_fit`` trains m independent sub-space k-means on vector SLICES —
+  each fit is the existing Lloyd operator (broadcast centroids,
+  k-row driver collects only); the finished codebook is m·k rows.
+- ``pq_encode`` explodes each vector into its m block slices ONCE,
+  broadcast-joins the m·k-row codebook, and takes the per-(row, block)
+  argmin — n·m·k scored rows, linear in the corpus, no shuffle wider
+  than the (row, block) re-aggregation.
+- ``pq_adc_topk`` builds the per-query LUT (n_q·m·k rows — the
+  classic ADC table) and equi-joins it to the codes on (block, code):
+  n_q·n·m joined rows, summed per (query, row).  The LUT side
+  broadcasts; the codes side never moves.  Exactness of the SUM: each
+  partial distance is the same IEEE double in any engine and the
+  per-pair m-term sum is accumulated in DECIMAL, so ranking ties
+  cannot split across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.clustering import sq_l2
+from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
+
+
+def _block_slices(df: DataFrame, id_col: str, vec_col: str, m: int, block_dim: int) -> DataFrame:
+    """(id, block, subvec) — one row per sub-space slice."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.slice(
+                    F.col(vec_col).cast("array<double>"),
+                    b * block_dim + 1,
+                    block_dim,
+                ).alias("subvec"),
+            )
+            for b in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(blocks).alias("__b")).select(
+        id_col,
+        F.col("__b.block").alias("block"),
+        F.col("__b.subvec").alias("subvec"),
+    )
+
+
+def pq_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    k: int = 16,
+    max_iter: int = 2,
+) -> DataFrame:
+    """Train the m sub-space codebooks; returns ``(block, code,
+    vec)`` with ``m·k`` rows.
+
+    All m sub-space Lloyd fits run JOINTLY as one distributed
+    pipeline keyed by (block, code) — per-iteration cost is one
+    assignment pass (n·m rows against the broadcast m·k codebook) and
+    one (block, code) mean aggregation, independent of m, instead of
+    m sequential ``kmeans_fit`` calls each paying its own job set
+    (measured: the sequential form cost ~70s at sf0.01 for m=8; the
+    joint form is a few seconds).  Deterministic end to end: block b
+    seeds from the k lowest ids' b-th slices, empty clusters keep
+    their previous centroid, so the same corpus always yields the
+    same codebook."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    spark = df.sparkSession
+    if dim_row is None:
+        return spark.createDataFrame(
+            [], "block int, code int, vec array<double>"
+        )
+    dim = int(dim_row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} blocks")
+    block_dim = dim // m
+    blocks = _block_slices(df, id_col, vec_col, m, block_dim)
+    # seeds: the k lowest ids' slices, per block — m·k rows to the driver
+    seed_rows = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: r[id_col])
+    cents_rows = [
+        (b, c, list(r["__v"][b * block_dim : (b + 1) * block_dim]))
+        for b in range(m)
+        for c, r in enumerate(seed_rows)
+    ]
+    centroids = spark.createDataFrame(
+        cents_rows, "block int, code int, vec array<double>"
+    ).localCheckpoint(eager=True)
+    aggs = [F.avg(F.col("subvec")[i]).alias(f"__m{i}") for i in range(block_dim)]
+    for _ in range(max_iter):
+        scored = blocks.join(F.broadcast(centroids), "block").select(
+            id_col,
+            "block",
+            "subvec",
+            F.struct(
+                sq_l2(F.col("subvec"), F.col("vec")).alias("d2"),
+                F.col("code").alias("code"),
+            ).alias("__sc"),
+        )
+        assigned = (
+            scored.groupBy(id_col, "block", "subvec")
+            .agg(F.min("__sc").alias("__best"))
+            .select("block", F.col("__best.code").alias("code"), "subvec")
+        )
+        new_raw = (
+            assigned.groupBy("block", "code")
+            .agg(*aggs)
+            .select(
+                "block",
+                "code",
+                F.array(*[F.col(f"__m{i}") for i in range(block_dim)]).alias(
+                    "__new"
+                ),
+            )
+        )
+        merged = (
+            centroids.select("block", "code", F.col("vec").alias("__old"))
+            .join(new_raw, ["block", "code"], "left")
+            .select(
+                "block",
+                "code",
+                F.coalesce("__new", "__old").alias("vec"),
+            )
+        )
+        centroids = merged.localCheckpoint(eager=True)  # m·k rows
+    return centroids
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    m: int,
+    block_dim: int,
+) -> DataFrame:
+    """Encode every vector to ``(id, block, code)`` long form (long
+    form keeps cells scalar for the oracle surface; ``m`` rows per
+    input).  Argmin ties break to the LOWEST code id via struct
+    ordering — deterministic in any engine."""
+    blocks = _block_slices(df, id_col, vec_col, m, block_dim)
+    scored = blocks.join(F.broadcast(codebooks), "block").select(
+        id_col,
+        "block",
+        F.struct(
+            sq_l2(F.col("subvec"), F.col("vec")).alias("d2"),
+            F.col("code").alias("code"),
+        ).alias("__sc"),
+    )
+    return (
+        scored.groupBy(id_col, "block")
+        .agg(F.min("__sc").alias("__best"))
+        .select(id_col, "block", F.col("__best.code").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    query_df: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    item_id_col: str,
+    m: int,
+    block_dim: int,
+    k_top: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-K: per query build the m·k lookup
+    table of block distances to every codeword, join it to the codes
+    table on (block, code), and sum the m partial distances per
+    (query, item).  Returns ``(query_id, item_id, adc_d2, rank)``.
+
+    The LUT (n_q·m·k rows) broadcasts; the codes table is the only
+    big side and it joins on its own layout — no repartition of the
+    compressed index.  The m-term distance sum accumulates in
+    DECIMAL(38,12) so cross-engine ranking is tie-stable."""
+    q_blocks = _block_slices(query_df, query_id_col, query_vec_col, m, block_dim)
+    lut = q_blocks.join(F.broadcast(codebooks), "block").select(
+        F.col(query_id_col),
+        "block",
+        "code",
+        sq_l2(F.col("subvec"), F.col("vec")).alias("__pd2"),
+    )
+    joined = codes.join(F.broadcast(lut), ["block", "code"]).groupBy(
+        query_id_col, item_id_col
+    ).agg(
+        F.round(F.sum(F.col("__pd2").cast("decimal(38,12)")), 6)
+        .cast("double")
+        .alias("adc_d2")
+    )
+    return windowed_topk(
+        joined,
+        query_id_col,
+        [F.col("adc_d2"), F.col(item_id_col)],
+        k_top,
+        rank_col="rank",
+    )

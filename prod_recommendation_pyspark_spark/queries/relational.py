@@ -1926,7 +1926,7 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS exact_ndv,
            TRUE AS est_within_2pct,
-           TRUE AS merge_consistent
+           TRUE AS merged_within_2pct
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1936,14 +1936,20 @@ def ndv_hll_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count SKETCHING contract: per-priority customer NDV
     estimated with Spark's native Apache DataSketches HLL
     (``hll_sketch_agg``, lgK=14), checked two ways inside the query —
-    the estimate lands within 2% of the exact count, and the estimate
-    from UNIONING per-year sub-sketches (``hll_union_agg``) equals the
-    direct estimate.  The second check is the property that matters at
-    100 TB: HLL registers max-merge, so per-partition / per-day
-    sketches roll up to the global NDV with no re-scan — the pattern
-    that replaces count(DISTINCT) when the distinct set itself no
-    longer fits anywhere.  The oracle pins the exact NDVs and expects
-    both contract booleans TRUE.
+    the direct estimate lands within 2% of the exact count, and so
+    does the estimate from UNIONING per-year sub-sketches
+    (``hll_union_agg``).  The union check is the property that
+    matters at 100 TB: sketches roll up to the global NDV with no
+    re-scan — the pattern that replaces count(DISTINCT) when the
+    distinct set itself no longer fits anywhere.  The union and
+    direct estimates are NOT asserted bit-equal: past the sketch's
+    exact (coupon) regime the union operator's different target
+    register width legitimately shifts the estimate a few tenths of
+    a percent (measured at sf0.1: ±0.1% of each other, both within
+    0.4% of exact); the scale-stable contract is accuracy, and the
+    bit-exact-merge variant of this query is the BITMAP twin
+    (``ndv_bitmap_exact_orders``).  The oracle pins the exact NDVs
+    and expects both contract booleans TRUE.
 
     Scale: both sketch aggs are one fact pass with map-side partial
     sketches (bytes per group, not rows); the union agg touches only
@@ -1969,7 +1975,80 @@ def ndv_hll_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("est") - F.col("exact_ndv"))
                 <= 0.02 * F.col("exact_ndv")
             ).alias("est_within_2pct"),
-            (F.col("est") == F.col("est_m")).alias("merge_consistent"),
+            (
+                F.abs(F.col("est_m") - F.col("exact_ndv"))
+                <= 0.02 * F.col("exact_ndv")
+            ).alias("merged_within_2pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- Exact NDV via mergeable bitmaps ------------------------------------------
+@register(
+    "ndv_bitmap_exact_orders",
+    sql="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_ndv,
+           TRUE AS merge_consistent
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ndv_bitmap_exact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via Spark's bitmap aggregates
+    (``bitmap_bucket_number`` / ``bitmap_construct_agg`` /
+    ``bitmap_or_agg`` / ``bitmap_count``): keys bucket into 32k-bit
+    bitmap rows, per-bucket bitmaps OR-merge, and the bit count IS the
+    distinct count — no approximation, unlike the HLL twin
+    (``ndv_hll_contract_orders``), and no exact-distinct-set shuffle,
+    unlike ``count(DISTINCT)``: the shuffle carries one ≤4 KB bitmap
+    per (group, bucket) per mapper however many duplicate keys exist.
+    The query computes NDV per priority BOTH ways inside Spark — the
+    bitmap rollup (grouped by (priority, bucket), OR-merged, summed)
+    and the exact count — emits the exact value, and pins their
+    equality; the oracle recomputes the exact NDV and expects TRUE.
+
+    Scale: the roll-up is the warehouse pattern for incremental
+    distinct counts (store per-partition bitmaps, OR-merge on read);
+    sparse key domains cost one bucket row per 32k id range."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    # two-level roll-up exercises real mergeability: per-year partial
+    # bitmaps (the "incremental batch" layer a warehouse would store)
+    # OR-merge into the per-bucket bitmap before counting
+    per_year = (
+        orders.select(
+            "o_orderpriority",
+            F.year("o_orderdate").alias("y"),
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.col("o_custkey"),
+        )
+        .groupBy("o_orderpriority", "y", "bucket")
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(o_custkey))"
+            ).alias("bm")
+        )
+    )
+    per_bucket = per_year.groupBy("o_orderpriority", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    via_bitmap = per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("bitmap_ndv")
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_ndv")
+    )
+    return (
+        exact.join(via_bitmap, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_ndv",
+            (F.col("bitmap_ndv") == F.col("exact_ndv")).alias(
+                "merge_consistent"
+            ),
         )
         .orderBy("o_orderpriority")
     )

@@ -843,3 +843,46 @@ def test_hll_union_of_chunks_equals_direct_sketch(spark):
     )
     assert merged.est == direct.est
     assert abs(direct.est - direct.exact) <= 0.03 * direct.exact
+
+
+def test_pq_encode_and_adc_recover_exact_structure(spark):
+    """Clustered toy corpus: vectors sit exactly ON their sub-space
+    centroids, so PQ must encode losslessly — every query's ADC
+    distance to itself is 0 and ADC top-1 is the query itself."""
+    from prod_recommendation_pyspark_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    # two blocks of dim 2; block values from {(0,0),(9,9)} → k=2 per
+    # block captures them exactly after one Lloyd step
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 9.0, 9.0]),
+        (2, [9.0, 9.0, 0.0, 0.0]),
+        (3, [9.0, 9.0, 9.0, 9.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_fit(df, "vec_id", "embedding", m=2, k=2, max_iter=3)
+    assert books.count() == 4  # 2 blocks x 2 codes
+    codes = pq_encode(df, "vec_id", "embedding", books, 2, 2)
+    assert codes.count() == 8  # 4 vectors x 2 blocks
+    adc = pq_adc_topk(
+        df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        codes.withColumnRenamed("vec_id", "item_id"),
+        books,
+        "query_id",
+        "query_vec",
+        "item_id",
+        2,
+        2,
+        k_top=1,
+    ).collect()
+    assert len(adc) == 4
+    for r in adc:
+        assert r.item_id == r.query_id  # top-1 is self
+        assert r.adc_d2 == 0.0  # lossless encoding -> zero distance
