@@ -1560,7 +1560,11 @@ def dsir_importance_weights(
 
     tc = bucket_counts(target, "tc")
     rc = bucket_counts(raw, "rc")
-    # outer-join the two ≤ n_buckets-row tables; missing buckets count 0
+    # outer-join the two ≤ n_buckets-row tables; missing buckets count
+    # 0.  Eagerly checkpointed: the model feeds BOTH the totals agg
+    # and the LLR projection — uncheckpointed, each consumer re-runs
+    # the two corpus token scans (seen in the plan audit: 4 document
+    # scans instead of 2).  n_buckets rows — driver-safe.
     model = (
         tc.join(rc, "bucket", "full")
         .select(
@@ -1568,6 +1572,7 @@ def dsir_importance_weights(
             F.coalesce("tc", F.lit(0)).alias("tc"),
             F.coalesce("rc", F.lit(0)).alias("rc"),
         )
+        .localCheckpoint(eager=True)
     )
     tt = model.agg(F.sum("tc").alias("tt"), F.sum("rc").alias("rt"))
     llr = model.crossJoin(F.broadcast(tt)).select(

@@ -1160,9 +1160,14 @@ def pq_adc_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread_small_input,
     )
 
-    emb = spread_small_input(
-        Catalog(spark, sf_dir).table("embeddings")
-    ).select("vec_id", "embedding")
+    # persisted: the contract re-reads embeddings for fit, encode,
+    # queries, ground truth, re-rank, and stats — six scans uncached
+    # (plan audit).  Registry-level clearCache owns the lifetime.
+    emb = (
+        spread_small_input(Catalog(spark, sf_dir).table("embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
     books = pq_fit(emb, "vec_id", "embedding", m=_PQ_M, k=_PQ_K, max_iter=3)
     codes = pq_encode(emb, "vec_id", "embedding", books, _PQ_M, _PQ_BLOCK)
     queries = emb.filter(F.col("vec_id") < _PQ_NQ).select(
