@@ -311,3 +311,51 @@ def temporal_split(
         )
         .drop("__cut", "__day")
     )
+
+
+def gap_fill_locf(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Resample a keyed daily series onto the COMPLETE day spine and
+    forward-fill gaps (LOCF — last observation carried forward): the
+    time-series normalizer every feature pipeline needs before
+    windowed models (a missing day must mean "unchanged", not "absent
+    row").  Returns one row per (key, spine day) with ``value_col``
+    filled and ``is_observed`` marking real measurements.
+
+    Scale shape: the spine bounds come from ONE 2-value aggregate
+    (broadcast cross join); the key list is the input's own distinct
+    keys (never a driver collect); spine size = |keys| × days — the
+    OUTPUT size, so nothing is amplified beyond what the result
+    requires; the fill is a running ``last(ignorenulls)`` window per
+    key, one shuffle.  Leading gaps (before a key's first
+    observation) stay NULL — LOCF has nothing to carry."""
+    bounds = daily.agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    spine = (
+        daily.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("__d0"), F.col("__d1"))
+            ).alias(day_col),
+        )
+    )
+    joined = spine.join(daily, [key_col, day_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        key_col,
+        day_col,
+        F.last(value_col, ignorenulls=True).over(w).alias(value_col),
+        F.col(value_col).isNotNull().alias("is_observed"),
+    )

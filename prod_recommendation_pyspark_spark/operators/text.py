@@ -1598,3 +1598,42 @@ def dsir_importance_weights(
         .cast("double")
         .alias("dsir_weight"),
     )
+
+
+def bpe_encode(
+    words: DataFrame,
+    word_col: str,
+    freq_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Apply a learned BPE merge list (from :func:`bpe_merge_steps`)
+    to a (word, freq) table — the TOKENIZE step that turns the trained
+    vocabulary into an encoder for the whole corpus.  Each word
+    char-splits into the spaced representation and every merge applies
+    in training order as the same ``" x y " → " xy "`` replace the
+    trainer used, so encode(train_corpus) reproduces the trainer's
+    final representations exactly.  Returns ``(word, freq,
+    subwords array<string>)``.
+
+    Scale: pure codegen'd string projection — len(merges) chained
+    ``replace`` calls, no shuffle, no UDF; encoding 100 TB costs the
+    scan.  Real tokenizers apply thousands of merges with a
+    priority-queue encoder; the replace-chain form is exact for the
+    merge-list sizes the in-engine trainer produces and keeps the
+    whole encode SQL-replayable."""
+    chars = F.filter(F.split(F.col(word_col), ""), lambda c: c != "")
+    out = words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).alias("freq"),
+        F.concat(F.lit(" "), F.array_join(chars, " "), F.lit(" ")).alias(
+            "rep"
+        ),
+    )
+    for pair, merged, _ in merges:
+        out = out.withColumn(
+            "rep",
+            F.replace(F.col("rep"), F.lit(f" {pair} "), F.lit(f" {merged} ")),
+        )
+    return out.select(
+        "word", "freq", F.split(F.trim(F.col("rep")), " ").alias("subwords")
+    )

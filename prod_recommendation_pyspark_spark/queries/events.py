@@ -1281,3 +1281,65 @@ def ab_test_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+# --- Gap-fill / LOCF resample --------------------------------------------------
+@register(
+    "gap_fill_locf_user_values",
+    sql="""
+    WITH d0 AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+               row_number() OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id < 20),
+    daily AS (SELECT user_id, day, value FROM d0 WHERE rn = 1),
+    b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    days AS (
+        SELECT CAST(unnest(generate_series(
+                   (SELECT d0 FROM b), (SELECT d1 FROM b),
+                   INTERVAL 1 DAY)) AS DATE) AS day),
+    spine AS (
+        SELECT k.user_id, days.day
+        FROM (SELECT DISTINCT user_id FROM daily) k CROSS JOIN days),
+    j AS (
+        SELECT s.user_id, s.day, d.value,
+               d.value IS NOT NULL AS is_observed
+        FROM spine s LEFT JOIN daily d USING (user_id, day))
+    SELECT user_id, day,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           is_observed
+    FROM j
+    ORDER BY user_id, day
+    """,
+)
+def gap_fill_locf_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user series resampled onto the complete day spine
+    with forward fill (operators/events.py::gap_fill_locf) — the
+    time-series normalizer: a user's missing day carries the last
+    observed value, marked ``is_observed=false``.  The per-day
+    observation is the day's LAST event value ((ts, event_id)-argmax,
+    deterministic); day boundaries via ``utc_day`` so any session
+    timezone yields the oracle's naive CAST(ts AS DATE).
+
+    Scale: one (user, day) rollup shuffle; the spine derives from a
+    2-value broadcast aggregate × the input's own distinct keys (its
+    size IS the output size); one running-window shuffle per key for
+    the fill."""
+    from prod_recommendation_pyspark_spark.operators.events import (
+        gap_fill_locf,
+    )
+
+    ev = Catalog(spark, sf_dir).table("events").filter(F.col("user_id") < 20)
+    daily = (
+        ev.withColumn("day", utc_day("ts"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("value")
+        )
+    )
+    return gap_fill_locf(daily, "user_id", "day", "value").orderBy(
+        "user_id", "day"
+    )

@@ -2526,3 +2526,91 @@ def dsir_importance_weights_docs(
     raw = docs.filter(F.col("doc_id") % 7 != 0)
     out = dsir_importance_weights(raw, target, "doc_id", "text", n_buckets=128)
     return out.orderBy(F.col("dsir_weight").desc(), "doc_id").limit(50)
+
+
+def _bpe_encode_step_sql(k: int) -> str:
+    """Apply the k-th learned merge to the all-corpus representations."""
+    return f"""
+    repall{k} AS (
+        SELECT word, freq,
+               replace(rep, ' ' || (SELECT pair FROM best{k}) || ' ',
+                       ' ' || replace((SELECT pair FROM best{k}), ' ', '')
+                       || ' ') AS rep
+        FROM repall{k - 1})"""
+
+
+@register(
+    "bpe_encode_subword_counts",
+    sql=f"""
+    WITH toks AS (
+        SELECT t.term FROM documents,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+        WHERE t.term <> ''),
+    wfall AS (SELECT term AS word, count(*) AS freq FROM toks GROUP BY term),
+    wf AS (SELECT word, freq FROM wfall
+           ORDER BY freq DESC, word LIMIT 100),
+    rep0 AS (SELECT word, freq,
+                    ' ' || array_to_string(
+                        list_filter(string_split(word, ''), c -> c <> ''),
+                        ' ') || ' ' AS rep
+             FROM wf),
+    {_bpe_step_sql(1)},
+    {_bpe_step_sql(2)},
+    {_bpe_step_sql(3)},
+    {_bpe_step_sql(4)},
+    repall0 AS (SELECT word, freq,
+                       ' ' || array_to_string(
+                           list_filter(string_split(word, ''), c -> c <> ''),
+                           ' ') || ' ' AS rep
+                FROM wfall),
+    {_bpe_encode_step_sql(1)},
+    {_bpe_encode_step_sql(2)},
+    {_bpe_encode_step_sql(3)},
+    {_bpe_encode_step_sql(4)}
+    SELECT s.token,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM repall4, unnest(string_split(trim(rep), ' ')) AS s(token)
+    GROUP BY s.token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 30
+    """,
+)
+def bpe_encode_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE over the whole corpus with the in-engine-trained
+    merges (operators/text.py::bpe_encode ∘ bpe_merge_steps): train 4
+    merges on the 100 most frequent words, apply them to EVERY corpus
+    word, and emit the 30 most frequent resulting subword tokens —
+    the corpus-level token distribution a tokenizer report shows.
+    The oracle replays training (4 unrolled argmax CTEs) AND encoding
+    (4 unrolled replace CTEs over the full vocabulary), so the
+    end-to-end train→tokenize composition sits under one value hash.
+
+    Scale: corpus scanned once for (word, freq); training iterates
+    the bounded vocabulary; encoding is a codegen'd replace chain on
+    the (word, freq) table — subword stats never touch raw text
+    again."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        bpe_encode,
+        bpe_merge_steps,
+        tokens,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    wfall = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # persisted: feeds the top-100 training slice AND the full encode
+    wfall = wfall.persist()
+    wf = wfall.orderBy(F.desc("freq"), "word").limit(100)
+    merges, _ = bpe_merge_steps(wf, "word", "freq", steps=4)
+    encoded = bpe_encode(wfall, "word", "freq", merges)
+    return (
+        encoded.select("freq", F.explode("subwords").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(30)
+    )

@@ -886,3 +886,54 @@ def test_pq_encode_and_adc_recover_exact_structure(spark):
     for r in adc:
         assert r.item_id == r.query_id  # top-1 is self
         assert r.adc_d2 == 0.0  # lossless encoding -> zero distance
+
+
+def test_bpe_encode_subwords_reassemble_to_words(spark):
+    """Character conservation: concatenating a word's subword tokens
+    must reproduce the word exactly, for every word, after any number
+    of merges."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        bpe_encode,
+        bpe_merge_steps,
+    )
+
+    words = spark.createDataFrame(
+        [("lowest", 5), ("lower", 7), ("low", 9), ("newest", 6)],
+        "word string, freq long",
+    )
+    merges, _ = bpe_merge_steps(words, "word", "freq", steps=3)
+    assert len(merges) == 3
+    for r in bpe_encode(words, "word", "freq", merges).collect():
+        assert "".join(r.subwords) == r.word
+        assert all(s for s in r.subwords)
+
+
+def test_gap_fill_locf_fills_interior_gaps_only(spark):
+    """LOCF: interior gaps carry the last value; leading gaps (before
+    a key's first observation) stay null; observed rows are marked."""
+    import datetime as dt
+
+    from prod_recommendation_pyspark_spark.operators.events import (
+        gap_fill_locf,
+    )
+
+    d = dt.date
+    daily = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 1), 10.0),
+            (1, d(2024, 1, 4), 40.0),
+            (2, d(2024, 1, 3), 99.0),
+        ],
+        "user_id long, day date, value double",
+    )
+    got = {
+        (r.user_id, r.day): (r.value, r.is_observed)
+        for r in gap_fill_locf(daily, "user_id", "day", "value").collect()
+    }
+    # spine covers 2024-01-01..04 for BOTH users
+    assert len(got) == 8
+    assert got[(1, d(2024, 1, 2))] == (10.0, False)   # interior gap filled
+    assert got[(1, d(2024, 1, 3))] == (10.0, False)
+    assert got[(1, d(2024, 1, 4))] == (40.0, True)
+    assert got[(2, d(2024, 1, 1))] == (None, False)   # leading gap stays null
+    assert got[(2, d(2024, 1, 4))] == (99.0, False)
