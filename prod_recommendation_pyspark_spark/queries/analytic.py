@@ -2973,10 +2973,11 @@ def q9_product_profit_nation_year(
         JOIN nation   ON n_nationkey = s_nationkey
         WHERE n_name = 'NATION_7'
         GROUP BY 1),
-    t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM v)
+    t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+                 count(*) AS n_parts FROM v)
     SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100 AS part_value
     FROM v CROSS JOIN t
-    WHERE value_cents * 1000 > total_cents
+    WHERE value_cents * n_parts > total_cents * 2
     ORDER BY part_value DESC, l_partkey
     """,
 )
@@ -2984,10 +2985,13 @@ def q11_part_value_concentration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """TPC-H Q11 SHAPE: per-part value HAVING a scalar-subquery
-    threshold (share of the one-nation total > 0.1%).  The threshold
-    compare runs in integer CENTS — the decimal sum rounds exactly,
-    scales to bigint exactly, and ``value_cents * 1000 > total_cents``
-    is engine-identical integer arithmetic, with no float boundary to
+    threshold (share of the one-nation total above 2× the average
+    part share — RELATIVE, so the predicate keeps selecting at any
+    corpus scale where a fixed permille cutoff empties out; observed:
+    0.1% matched 238 parts at sf0.01 and zero at sf1).  The compare
+    runs in integer CENTS — the decimal sum rounds exactly, scales to
+    bigint exactly, and ``value_cents · n_parts > total_cents · 2`` is
+    engine-identical integer arithmetic, with no float boundary to
     disagree on.
 
     Scale: supplier/nation broadcast prunes lineitem to one nation
@@ -3014,10 +3018,16 @@ def q11_part_value_concentration(
             .alias("value_cents")
         )
     )
-    total = v.agg(F.sum("value_cents").alias("total_cents"))
+    total = v.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         v.crossJoin(F.broadcast(total))
-        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .filter(
+            F.col("value_cents") * F.col("n_parts")
+            > F.col("total_cents") * 2
+        )
         .select(
             "l_partkey",
             (F.col("value_cents").cast("double") / 100).alias("part_value"),
