@@ -214,3 +214,78 @@ def pq_adc_topk(
         k_top,
         rank_col="rank",
     )
+
+
+def pq_encode_kernel(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook_rows: list,
+    m: int,
+    block_dim: int,
+) -> DataFrame:
+    """STREAMING-friendly PQ encode: the codebook rides along as a
+    driver-collected constant (m·k rows — the same bounded-model class
+    as k-means centroids) and each Arrow batch encodes with one
+    vectorized numpy distance computation — a stateless ``mapInPandas``
+    projection, so it mounts directly on ``readStream`` (the join+agg
+    form :func:`pq_encode` uses is an aggregation and would need
+    update-mode semantics a stream encode doesn't want).
+
+    Same output contract as :func:`pq_encode`: ``(id, block, code)``
+    long form, ties to the lowest code (numpy argmin first-minimum ==
+    the batch form's min-struct ordering; a streaming≡batch parity
+    test pins it on real embeddings).
+
+    Scale: per-task memory = batch × m·k distance matrix; the
+    codebook constant is a few hundred KB at production m·k."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cb: dict[tuple[int, int], list[float]] = {
+        (int(r["block"]), int(r["code"])): list(r["vec"])
+        for r in codebook_rows
+    }
+    k = max(c for _, c in cb) + 1
+    C = np.zeros((m, k, block_dim), dtype="float64")
+    for (b, c), v in cb.items():
+        C[b, c, :] = v
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", T.LongType()),
+            T.StructField("block", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            ).reshape(len(pdf), m, block_dim)
+            # (n, m, k): squared L2 per block per code
+            d2 = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=-1)
+            codes = d2.argmin(axis=2).astype("int32")  # first min = low code
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "__id": np.repeat(
+                        pdf[id_col].to_numpy(dtype="int64"), m
+                    ),
+                    "block": np.tile(
+                        np.arange(m, dtype="int32"), n
+                    ),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(encode, schema=out_schema)
+        .withColumnRenamed("__id", id_col)
+    )

@@ -159,3 +159,65 @@ def rate_events_stream(
         (F.pmod(F.col("value") * 7, F.lit(1000)) / 10.0).alias("value"),
         F.lit("{}").alias("props"),
     )
+
+
+def kafka_payload_to_events(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-shaped (key, value, timestamp) frame into the
+    events schema — the TRANSFORM half of a Kafka source, factored out
+    so it is testable without a broker: `value` is a UTF-8 JSON blob
+    carrying the event fields; malformed rows surface as nulls in a
+    `_corrupt` flag column rather than killing the stream (a poison
+    message must never crash a 100 TB ingest).
+
+    The source half in production is just
+    ``spark.readStream.format("kafka").option("kafka.bootstrap.servers",
+    …).option("subscribe", "events").load()`` — environment-specific,
+    so the engine ships THIS function plus the rate/file sources, and
+    any Kafka deployment composes them."""
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts_us", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            ),
+        ).alias("e")
+    )
+    return parsed.select(
+        F.col("e.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("e.ts_us")).alias("ts"),
+        F.col("e.user_id").alias("user_id"),
+        F.col("e.event_type").alias("event_type"),
+        F.col("e.value").alias("value"),
+        F.col("e.props").alias("props"),
+        # PERMISSIVE from_json yields an all-null struct (not a null
+        # struct) for malformed input — corrupt = required key absent
+        (F.col("e").isNull() | F.col("e.event_id").isNull()).alias(
+            "_corrupt"
+        ),
+    )
+
+
+def kafka_events_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Kafka source → events schema (source half + transform half).
+    Requires a reachable broker and the spark-sql-kafka package —
+    environment-specific by nature; the decode logic it mounts is
+    :func:`kafka_payload_to_events`, which parity tests exercise on
+    static frames."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return kafka_payload_to_events(raw).filter(~F.col("_corrupt")).drop(
+        "_corrupt"
+    )

@@ -394,3 +394,92 @@ def test_stateful_ewma_matches_batch_fold(spark):
         ).collect()
     }
     assert last == batch
+
+
+def test_kafka_payload_decode_matches_events_and_flags_poison(spark):
+    """The Kafka transform half decodes a value-JSON frame back to the
+    exact events rows, and a poison (non-JSON) message surfaces as a
+    flagged row instead of an exception."""
+    import json
+
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+    from prod_recommendation_pyspark_spark.streaming.adapter import (
+        kafka_payload_to_events,
+    )
+
+    ev = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .table("events")
+        .orderBy("event_id")
+        .limit(20)
+    )
+    rows = ev.collect()
+    payloads = [
+        (
+            str(r.event_id).encode(),
+            json.dumps(
+                {
+                    "event_id": r.event_id,
+                    "ts_us": int(r.ts.timestamp() * 1_000_000),
+                    "user_id": r.user_id,
+                    "event_type": r.event_type,
+                    "value": r.value,
+                    "props": r.props,
+                }
+            ).encode(),
+        )
+        for r in rows
+    ] + [(b"poison", b"{not json at all")]
+    raw = spark.createDataFrame(payloads, "key binary, value binary")
+    out = kafka_payload_to_events(raw)
+    good = {r.event_id: r for r in out.filter(~F.col("_corrupt")).collect()}
+    assert len(good) == 20
+    for r in rows:
+        g = good[r.event_id]
+        assert (g.user_id, g.event_type, g.value, g.props) == (
+            r.user_id,
+            r.event_type,
+            r.value,
+            r.props,
+        )
+    corrupt = out.filter(F.col("_corrupt")).collect()
+    assert len(corrupt) == 1 and corrupt[0].event_id is None
+
+
+def test_streaming_pq_encode_matches_batch(spark, tmp_path):
+    """PQ encode mounted on readStream (stateless mapInPandas kernel
+    with the codebook as a driver-collected constant) must emit the
+    SAME (id, block, code) rows as the batch join+agg form."""
+    import shutil
+
+    from prod_recommendation_pyspark_spark.operators.pq import (
+        pq_encode,
+        pq_encode_kernel,
+        pq_fit,
+    )
+    from prod_recommendation_pyspark_spark.streaming.adapter import (
+        run_stream_to_memory,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    books = pq_fit(emb, "vec_id", "embedding", m=4, k=8, max_iter=2)
+    batch = {
+        (r.vec_id, r.block): r.code
+        for r in pq_encode(emb, "vec_id", "embedding", books, 4, 16).collect()
+    }
+
+    stage = tmp_path / "emb_stream"
+    stage.mkdir()
+    shutil.copy(src, stage / "part-0.parquet")
+    stream = spark.readStream.schema(emb.schema).parquet(str(stage))
+    out = pq_encode_kernel(
+        stream, "vec_id", "embedding", books.collect(), 4, 16
+    )
+    run_stream_to_memory(out, "pq_stream_codes", output_mode="append")
+    streamed = {
+        (r.vec_id, r.block): r.code
+        for r in spark.sql("SELECT * FROM pq_stream_codes").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == emb.count() * 4
