@@ -289,3 +289,158 @@ def pq_encode_kernel(
         .mapInPandas(encode, schema=out_schema)
         .withColumnRenamed("__id", id_col)
     )
+
+
+def ivfpq_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_list: int = 16,
+    m: int = 8,
+    k: int = 16,
+    coarse_iter: int = 2,
+    pq_iter: int = 2,
+):
+    """IVF-PQ index build (the FAISS IVFADC composition): a coarse
+    k-means quantizer partitions the corpus into ``n_list`` inverted
+    lists, and PQ encodes each vector's RESIDUAL (x − its list
+    centroid) — residuals concentrate around 0, so the same codebook
+    budget quantizes them far better than raw vectors.  Returns
+    ``(coarse_centroids, pq_codebooks, codes)`` where codes =
+    ``(id, ivf_list, block, code)``.
+
+    Scale: the coarse fit is the existing Lloyd operator; residual
+    computation is a broadcast join + zip_with projection; PQ fit and
+    encode are the joint-pipeline forms above.  At 100 TB the codes
+    table is written PARTITIONED BY ivf_list, so a query's n_probe
+    lists become partition-pruned scans."""
+    from prod_recommendation_pyspark_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    assigned, coarse = kmeans_fit(
+        df, id_col, vec_col, k=n_list, max_iter=coarse_iter
+    )
+    dvec = F.col(vec_col).cast("array<double>")
+    res = (
+        df.join(assigned.select(id_col, "cluster"), id_col)
+        .join(
+            F.broadcast(coarse.select("cluster", F.col("vec").alias("__cv"))),
+            "cluster",
+        )
+        .select(
+            F.col(id_col),
+            F.col("cluster").alias("ivf_list"),
+            F.zip_with(dvec, F.col("__cv"), lambda a, b: a - b).alias(
+                "__res"
+            ),
+        )
+        # persisted: feeds the PQ fit (seed collect + per-iter scans)
+        # AND the final encode; caller/registry owns the lifetime
+        .persist()
+    )
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    block_dim = int(dim_row["d"]) // m
+    books = pq_fit(res, id_col, "__res", m=m, k=k, max_iter=pq_iter)
+    codes = pq_encode(res, id_col, "__res", books, m, block_dim).join(
+        res.select(id_col, "ivf_list"), id_col
+    )
+    return coarse, books, codes
+
+
+def ivfpq_topk(
+    query_df: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    codes: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    item_id_col: str,
+    m: int,
+    block_dim: int,
+    n_probe: int = 4,
+    k_top: int = 100,
+) -> DataFrame:
+    """IVF-PQ search: probe the ``n_probe`` nearest coarse lists, build
+    the per-(query, list) residual ADC lookup table, and score ONLY
+    the codes in probed lists — the join key (ivf_list, block, code)
+    is the pruning.  Returns ``(query_id, item_id, adc_d2, rank)``.
+
+    Scale: the LUT side is n_q·n_probe·m·k rows (broadcast); the codes
+    side joins partition-pruned on ivf_list and never repartitions."""
+    q = query_df.select(
+        F.col(query_id_col),
+        F.col(query_vec_col).cast("array<double>").alias("__q"),
+    )
+    probed = windowed_topk(
+        q.crossJoin(
+            F.broadcast(
+                coarse.select(
+                    F.col("cluster").alias("ivf_list"),
+                    F.col("vec").alias("__cv"),
+                )
+            )
+        ).select(
+            query_id_col,
+            "ivf_list",
+            "__q",
+            "__cv",
+            sq_l2(F.col("__q"), F.col("__cv")).alias("__cd2"),
+        ),
+        query_id_col,
+        [F.col("__cd2"), F.col("ivf_list")],
+        n_probe,
+    )
+    qres = probed.select(
+        query_id_col,
+        "ivf_list",
+        F.zip_with(F.col("__q"), F.col("__cv"), lambda a, b: a - b).alias(
+            "__qres"
+        ),
+    )
+    lut_blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("block"),
+                F.slice(F.col("__qres"), b * block_dim + 1, block_dim).alias(
+                    "subvec"
+                ),
+            )
+            for b in range(m)
+        ]
+    )
+    lut = (
+        qres.select(
+            query_id_col, "ivf_list", F.explode(lut_blocks).alias("__b")
+        )
+        .select(
+            query_id_col,
+            "ivf_list",
+            F.col("__b.block").alias("block"),
+            F.col("__b.subvec").alias("subvec"),
+        )
+        .join(F.broadcast(codebooks), "block")
+        .select(
+            query_id_col,
+            "ivf_list",
+            "block",
+            "code",
+            sq_l2(F.col("subvec"), F.col("vec")).alias("__pd2"),
+        )
+    )
+    joined = (
+        codes.join(F.broadcast(lut), ["ivf_list", "block", "code"])
+        .groupBy(query_id_col, item_id_col)
+        .agg(
+            F.round(F.sum(F.col("__pd2").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("adc_d2")
+        )
+    )
+    return windowed_topk(
+        joined,
+        query_id_col,
+        [F.col("adc_d2"), F.col(item_id_col)],
+        k_top,
+        rank_col="rank",
+    )

@@ -1267,3 +1267,160 @@ def pq_adc_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --- IVF-PQ: coarse lists + residual codes + ADC ------------------------------
+_IVFPQ_NLIST, _IVFPQ_NPROBE = 16, 4
+
+
+@register(
+    "ivfpq_recall_contract",
+    sql=f"""
+    SELECT vec_id,
+           (SELECT count(*) FROM embeddings) AS n_items,
+           TRUE AS self_retrieved,
+           TRUE AS recall_ok,
+           TRUE AS pruned
+    FROM embeddings
+    WHERE vec_id < {_PQ_NQ}
+    ORDER BY vec_id
+    """,
+)
+def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end (operators/pq.py::ivfpq_build/ivfpq_topk —
+    the FAISS IVFADC composition): 16 coarse lists, PQ on RESIDUALS
+    (x − list centroid), queries probe their 4 nearest lists and
+    ADC-score ONLY codes in those lists, exact re-rank of the top-100
+    shortlist.  Contracts the oracle pins: each query's shortlist
+    contains itself, re-ranked recall@10 ≥ 0.6 (residual quantization
+    measures 0.8-1.0 at sf0.01 AND sf0.1 — ~0.2 better than flat PQ
+    on the same synthetic embeddings, the textbook residual win), and
+    PRUNING actually happened (per query, the probed lists hold fewer
+    than 60% of the corpus — the whole point of the inverted file).
+
+    Scale: coarse fit is Lloyd (broadcast centroids); residuals are a
+    broadcast join + zip_with projection; the search LUT is
+    n_q·n_probe·m·k broadcast rows joined on (ivf_list, block, code)
+    — with the codes table written partitioned by ivf_list, probing
+    is partition-pruned I/O, and raw vectors surface only for the
+    100-row re-rank."""
+    from prod_recommendation_pyspark_spark.operators.clustering import sq_l2
+    from prod_recommendation_pyspark_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+    )
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        spread_small_input,
+    )
+
+    emb = (
+        spread_small_input(Catalog(spark, sf_dir).table("embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    coarse, books, codes = ivfpq_build(
+        emb, "vec_id", "embedding", n_list=_IVFPQ_NLIST, m=_PQ_M, k=16
+    )
+    queries = emb.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    item_codes = codes.withColumnRenamed("vec_id", "item_id")
+    shortlist = ivfpq_topk(
+        queries,
+        coarse,
+        books,
+        item_codes,
+        "query_id",
+        "query_vec",
+        "item_id",
+        _PQ_M,
+        _PQ_BLOCK,
+        n_probe=_IVFPQ_NPROBE,
+        k_top=_PQ_SHORTLIST,
+    )
+    item_vecs = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("i_vec")
+    )
+    rerank = (
+        shortlist.select("query_id", "item_id")
+        .join(item_vecs, "item_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "item_id",
+            sq_l2(
+                F.col("query_vec").cast("array<double>"),
+                F.col("i_vec").cast("array<double>"),
+            ).alias("d2"),
+        )
+    )
+    rerank_top = windowed_topk(
+        rerank, "query_id", [F.col("d2"), F.col("item_id")], _PQ_TOPK
+    ).select("query_id", "item_id")
+    exact = queries.crossJoin(item_vecs).select(
+        "query_id",
+        "item_id",
+        sq_l2(
+            F.col("query_vec").cast("array<double>"),
+            F.col("i_vec").cast("array<double>"),
+        ).alias("d2"),
+    )
+    exact_top = windowed_topk(
+        exact, "query_id", [F.col("d2"), F.col("item_id")], _PQ_TOPK
+    ).select("query_id", "item_id")
+    recall = (
+        rerank_top.join(exact_top, ["query_id", "item_id"])
+        .groupBy("query_id")
+        .agg((F.count(F.lit(1)) / _PQ_TOPK).alias("recall"))
+    )
+    self_hit = (
+        shortlist.filter(F.col("query_id") == F.col("item_id"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("self_n"))
+    )
+    # pruning evidence: candidates per query = Σ sizes of its probed
+    # lists, recomputed from the probe top-n_probe + per-list sizes
+    list_sizes = item_codes.groupBy("ivf_list").agg(
+        F.count_distinct("item_id").alias("__lsz")
+    )
+    probed = windowed_topk(
+        queries.crossJoin(
+            F.broadcast(
+                coarse.select(
+                    F.col("cluster").alias("ivf_list"),
+                    F.col("vec").alias("__cv"),
+                )
+            )
+        ).select(
+            "query_id",
+            "ivf_list",
+            sq_l2(
+                F.col("query_vec").cast("array<double>"), F.col("__cv")
+            ).alias("__cd2"),
+        ),
+        "query_id",
+        [F.col("__cd2"), F.col("ivf_list")],
+        _IVFPQ_NPROBE,
+    )
+    cand = (
+        probed.join(F.broadcast(list_sizes), "ivf_list")
+        .groupBy("query_id")
+        .agg(F.sum("__lsz").alias("n_cand"))
+    )
+    n_items = emb.agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        recall.join(self_hit, "query_id", "left")
+        .join(cand, "query_id")
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "n_items",
+            (F.coalesce("self_n", F.lit(0)) == 1).alias("self_retrieved"),
+            (F.col("recall") >= 0.6).alias("recall_ok"),
+            (F.col("n_cand") < 0.6 * F.col("n_items")).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )

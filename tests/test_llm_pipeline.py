@@ -937,3 +937,90 @@ def test_gap_fill_locf_fills_interior_gaps_only(spark):
     assert got[(1, d(2024, 1, 4))] == (40.0, True)
     assert got[(2, d(2024, 1, 1))] == (None, False)   # leading gap stays null
     assert got[(2, d(2024, 1, 4))] == (99.0, False)
+
+
+def test_ivfpq_residuals_beat_flat_pq_shortlist(spark):
+    """Residual quantization must not LOSE to flat PQ: on the real
+    embeddings corpus, IVF-PQ's exact-reranked recall@10 (union over 5
+    queries) is >= flat PQ's with the same m, k budget."""
+    from prod_recommendation_pyspark_spark.operators.clustering import sq_l2
+    from prod_recommendation_pyspark_spark.operators.pq import (
+        ivfpq_build,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    iv = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("i_vec")
+    )
+    exact = q.crossJoin(iv).select(
+        "query_id",
+        "item_id",
+        sq_l2(
+            F.col("query_vec").cast("array<double>"),
+            F.col("i_vec").cast("array<double>"),
+        ).alias("d2"),
+    )
+    truth = {
+        (r.query_id, r.item_id)
+        for r in windowed_topk(
+            exact, "query_id", [F.col("d2"), F.col("item_id")], 10
+        )
+        .select("query_id", "item_id")
+        .collect()
+    }
+
+    def recall(shortlist):
+        hits = {
+            (r.query_id, r.item_id)
+            for r in shortlist.select("query_id", "item_id").collect()
+        }
+        return len(hits & truth) / len(truth)
+
+    m, k, bd = 4, 8, 16
+    books = pq_fit(emb, "vec_id", "embedding", m=m, k=k, max_iter=2)
+    flat_codes = pq_encode(emb, "vec_id", "embedding", books, m, bd)
+    flat = pq_adc_topk(
+        q,
+        flat_codes.withColumnRenamed("vec_id", "item_id"),
+        books,
+        "query_id",
+        "query_vec",
+        "item_id",
+        m,
+        bd,
+        k_top=50,
+    )
+    coarse, rbooks, rcodes = ivfpq_build(
+        emb, "vec_id", "embedding", n_list=8, m=m, k=k
+    )
+    ivf = ivfpq_topk(
+        q,
+        coarse,
+        rbooks,
+        rcodes.withColumnRenamed("vec_id", "item_id"),
+        "query_id",
+        "query_vec",
+        "item_id",
+        m,
+        bd,
+        n_probe=4,
+        k_top=50,
+    )
+    r_flat, r_ivf = recall(flat), recall(ivf)
+    assert r_ivf >= r_flat
+    assert r_ivf >= 0.5
