@@ -2614,3 +2614,80 @@ def bpe_encode_subword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(30)
     )
+
+
+# --- Sequence prep END-TO-END: chunk → count → pack ---------------------------
+@register(
+    "sequence_prep_e2e_docs",
+    sql="""
+    WITH d AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+        WHERE regexp_matches(text, '\\S')),
+    starts AS (
+        SELECT doc_id, toks, s.start_token
+        FROM d, unnest(range(0, greatest(len(toks) - 32, 1), 96)) AS s(start_token)),
+    chunks AS (
+        SELECT doc_id,
+               CAST(start_token // 96 AS INTEGER) AS chunk_idx,
+               CAST(least(len(toks) - start_token, 128) AS INTEGER)
+                   AS n_chunk_tokens
+        FROM starts),
+    keyed AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens,
+               doc_id * 4096 + chunk_idx AS chunk_key
+        FROM chunks),
+    packed AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens,
+               chunk_key % 16 AS shard,
+               coalesce(sum(n_chunk_tokens) OVER (
+                   PARTITION BY chunk_key % 16 ORDER BY chunk_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM keyed)
+    SELECT doc_id, chunk_idx, n_chunk_tokens, shard,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           CAST(cum_before // 512 AS BIGINT) AS pack_id
+    FROM packed
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def sequence_prep_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer sequence prep END-TO-END as one query: overlapping
+    128/32 token-window chunking (chunk_documents) → per-chunk token
+    counts → deterministic budgeted packing of the CHUNKS
+    (pack_sequences, budget 512, 16 shards, chunk key =
+    doc_id·4096 + chunk_idx — chunk counts are window counts of
+    bounded documents, far under 4096).  This is the
+    tokenize→chunk→pack composition a pretraining data job runs as
+    one pass; the oracle replays chunking, counting, sharding, the
+    exclusive running total, and the pack assignment under a single
+    value hash.
+
+    Scale: chunking is a scan-side projection; packing is ONE shuffle
+    on the shard key (pack decisions never leave the executor)."""
+    from prod_recommendation_pyspark_spark.operators.text import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=128, overlap=32
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        (F.col("doc_id") * 4096 + F.col("chunk_idx")).alias("chunk_key"),
+    )
+    packed = pack_sequences(
+        chunks, "chunk_key", "n_chunk_tokens", budget=512, n_shards=16
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        "shard",
+        "cum_before",
+        "pack_id",
+    ).orderBy("doc_id", "chunk_idx")
