@@ -509,3 +509,37 @@ def test_projected_recall_measures_the_veto(spark):
     assert all(0 <= r.n_overlap <= 10 for r in rows)
     mean = sum(r.n_overlap for r in rows) / len(rows)
     assert mean < 4  # the documented veto regime for this corpus
+
+
+def test_spread_small_input_spreads_checkpoint_backed_plans(spark):
+    """LogicalRDD-backed plans (localCheckpoint output) report the
+    defaultSizeInBytes SENTINEL, not a real size — the helper must
+    fall back to the real partition probe and still spread them
+    (round-7 review: the size-only test silently no-op'd here)."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        spread_small_input,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = (
+        spark.range(1000).coalesce(1).localCheckpoint(eager=True)
+    )
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = spread_small_input(narrow)
+    assert spread.rdd.getNumPartitions() == par
+    # and rows survive intact
+    assert spread.count() == 1000
+
+
+def test_spread_small_input_leaves_wide_checkpoint_alone(spark):
+    """A checkpoint-backed plan that is ALREADY at parallelism must
+    not gain a repartition shuffle."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        spread_small_input,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(par).localCheckpoint(eager=True)
+    out = spread_small_input(wide)
+    assert out.rdd.getNumPartitions() == wide.rdd.getNumPartitions()
+    assert out.count() == 1000

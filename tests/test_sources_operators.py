@@ -617,3 +617,46 @@ def test_temporal_split_has_gap_and_partitions_everything(spark):
     assert max(by_split["embargo"]) < min(by_split["test"])
     # the gap: no test day within gap_days of any train day
     assert min(by_split["test"]) - max(by_split["train"]) > 4
+
+
+def test_table_diff_key_only_membership(spark):
+    """Key-only tables (no shared non-key columns) still diff on
+    membership — added/removed rows, never 'changed' (round-7 review:
+    the empty compare set used to raise IndexError)."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    new = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    got = {
+        r.k: (r.diff_status, r.changed_cols)
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {1: ("removed", ""), 4: ("added", "")}
+
+
+def test_sorted_neighborhood_null_keys_rank_first(spark):
+    """Null sort keys coalesce to '' inside the blocker (round-7
+    review: Spark NULLS FIRST vs the oracle's NULLS LAST shifted every
+    global rank) — a null-keyed row ranks like an empty string and
+    still pairs with its neighbors instead of vanishing from the
+    bucket join."""
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "aa"), (3, "ab"), (4, "zz")],
+        "doc_id long, k string",
+    )
+    pairs = {
+        (r.id_a, r.id_b, r.rank_gap)
+        for r in sorted_neighborhood_pairs(
+            docs, "doc_id", F.col("k"), window=2, bucket_chars=2
+        ).collect()
+    }
+    # sort order: '' (null→coalesced), 'aa', 'ab', 'zz' → adjacent pairs
+    assert pairs == {(1, 2, 1), (2, 3, 1), (3, 4, 1)}
