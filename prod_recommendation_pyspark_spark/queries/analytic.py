@@ -3193,3 +3193,147 @@ def q20_heavy_shippers_of_red_parts(
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
     )
+
+
+# --- PIVOT: segments to columns ------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@register(
+    "pivot_segment_revenue_by_nation",
+    sql="""
+    SELECT n.n_name AS nation,
+           CAST(round(sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+               THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+               AS automobile,
+           CAST(round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+               THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+               AS building,
+           CAST(round(sum(CASE WHEN c.c_mktsegment = 'FURNITURE'
+               THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+               AS furniture,
+           CAST(round(sum(CASE WHEN c.c_mktsegment = 'HOUSEHOLD'
+               THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+               AS household,
+           CAST(round(sum(CASE WHEN c.c_mktsegment = 'MACHINERY'
+               THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 2) AS DOUBLE)
+               AS machinery
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+)
+def pivot_segment_revenue_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PIVOT surface: order revenue by nation with market segments
+    rotated into columns — ``groupBy().pivot(col, values).agg()``
+    with the value list EXPLICIT, which is the 100 TB contract: an
+    unlisted pivot forces a blocking distinct-scan of the pivot
+    column before planning, a listed one is a single pass compiled
+    to conditional aggregates (exactly the oracle's sum-of-CASE
+    form).  Decimal-accumulated sums, decimal-space rounding.
+
+    Scale: customer/nation broadcast onto orders; ONE fact shuffle on
+    the group key; 5 conditional aggregates per row in one
+    WholeStageCodegen span."""
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.table("orders")
+        .join(
+            F.broadcast(
+                cat.table("customer").select(
+                    "c_custkey", "c_nationkey", "c_mktsegment"
+                )
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+    )
+    out = (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2
+            ).cast("double")
+        )
+    )
+    return out.select(
+        "nation", *[F.col(s).alias(s.lower()) for s in _SEGMENTS]
+    ).orderBy("nation")
+
+
+# --- ROLLUP lattice with grouping flags ----------------------------------------
+@register(
+    "rollup_revenue_region_nation",
+    sql="""
+    SELECT coalesce(r.r_name, 'ALL')  AS region,
+           coalesce(n.n_name, 'ALL')  AS nation,
+           CAST(GROUPING(r.r_name) AS INTEGER) AS is_region_total,
+           CAST(GROUPING(n.n_name) AS INTEGER) AS is_nation_total,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(38,6))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY is_region_total, is_nation_total, region, nation
+    """,
+)
+def rollup_revenue_region_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLUP lattice (region → nation → grand total) with explicit
+    GROUPING flags — the drill-down report shape GROUPING SETS
+    queries hand-enumerate, here as the native hierarchy operator.
+    Both engines compute the same lattice in ONE aggregation pass
+    (Spark expands rollup to grouping sets with partial aggregation
+    below the shuffle); the grouping flags are emitted per-column
+    (engine-portable) rather than as the packed grouping_id bitmask,
+    whose bit order is an engine implementation detail.
+
+    Scale: dims broadcast; one fact shuffle keyed on the expanded
+    grouping-set id + keys; lattice depth multiplies rows only at
+    aggregate granularity, never fact granularity."""
+    cat = Catalog(spark, sf_dir)
+    joined = (
+        cat.table("orders")
+        .join(
+            F.broadcast(
+                cat.table("customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(cat.table("nation")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.table("region")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+    )
+    out = joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").alias("is_region_total"),
+        F.grouping("n_name").alias("is_nation_total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return out.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        F.col("is_region_total").cast("int").alias("is_region_total"),
+        F.col("is_nation_total").cast("int").alias("is_nation_total"),
+        "revenue",
+        "n_orders",
+    ).orderBy("is_region_total", "is_nation_total", "region", "nation")
