@@ -7,7 +7,7 @@ is TZ-naive).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from prod_recommendation_pyspark_spark.operators.events import (
@@ -1342,4 +1342,61 @@ def gap_fill_locf_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gap_fill_locf(daily, "user_id", "day", "value").orderBy(
         "user_id", "day"
+    )
+
+
+# --- Sequential next-event training examples ------------------------------------
+@register(
+    "next_event_training_examples",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               array_to_string(
+                   list(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+                   ',') AS context,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS ctx_len
+        FROM events WHERE user_id < 10)
+    SELECT user_id, event_id, context, event_type AS label
+    FROM ordered WHERE ctx_len = 3
+    ORDER BY user_id, event_id
+    """,
+)
+def next_event_training_examples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequential-model training examples from the event log: for each
+    event with ≥3 predecessors, (context = the previous 3 event types
+    in time order, label = the current type) — the next-item /
+    session-based-recommendation dataset builder (GRU4Rec/SASRec data
+    prep).  Context windows come from a frame-bounded collect_list
+    over the (ts, event_id)-deterministic per-user order, serialized
+    to a comma-joined string (scalar cells for the driver hash); the
+    oracle's windowed list() replays the same frames.
+
+    Scale: ONE shuffle on user_id; the frame bound (3 preceding) caps
+    per-row state regardless of user history length — no per-user
+    collect, no self-join of the log."""
+    ev = Catalog(spark, sf_dir).table("events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("label"),
+        F.array_join(F.collect_list("event_type").over(w), ",").alias(
+            "context"
+        ),
+        F.count(F.lit(1)).over(w).alias("__ctx_len"),
+    )
+    return (
+        ordered.filter(F.col("__ctx_len") == 3)
+        .select("user_id", "event_id", "context", "label")
+        .orderBy("user_id", "event_id")
     )

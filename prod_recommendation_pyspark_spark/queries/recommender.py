@@ -407,3 +407,71 @@ def als_recommend_topn_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("u_bad") == 0).alias("users_known_ok"),
         (F.sum("i_bad") == 0).alias("items_known_ok"),
     )
+
+
+# --- Deterministic negative sampling -------------------------------------------
+@register(
+    "negative_sampling_ratings",
+    sql=f"""
+    WITH {_USAGE_SQL},
+    pos AS (SELECT DISTINCT custkey, partkey FROM usage),
+    users AS (SELECT DISTINCT custkey FROM pos WHERE custkey < 30),
+    items AS (SELECT p_partkey AS partkey,
+                     row_number() OVER (ORDER BY p_partkey) - 1 AS idx
+              FROM part),
+    n AS (SELECT count(*) AS n_items FROM items),
+    trials AS (SELECT u.custkey, t.t
+               FROM users u, unnest(range(0, 15)) AS t(t)),
+    draws AS (
+        SELECT custkey, t,
+               (((((custkey * 131 + t) % 4294967296) // 65536)
+                  * 2654435761 % 4294967296) * 65536
+                + ((custkey * 131 + t) % 65536) * 2654435761)
+               % 4294967296 % n_items AS idx
+        FROM trials CROSS JOIN n),
+    cand AS (SELECT d.custkey, d.t, i.partkey
+             FROM draws d JOIN items i USING (idx)),
+    neg AS (SELECT c.custkey, c.t, c.partkey
+            FROM cand c LEFT JOIN pos p
+              ON p.custkey = c.custkey AND p.partkey = c.partkey
+            WHERE p.custkey IS NULL),
+    dedup AS (SELECT custkey, partkey, min(t) AS t
+              FROM neg GROUP BY 1, 2),
+    ranked AS (SELECT custkey, partkey,
+                      row_number() OVER (PARTITION BY custkey
+                                         ORDER BY t, partkey) AS neg_rank
+               FROM dedup)
+    SELECT custkey, partkey, CAST(neg_rank AS INTEGER) AS neg_rank
+    FROM ranked WHERE neg_rank <= 5
+    ORDER BY custkey, neg_rank
+    """,
+)
+def negative_sampling_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling
+    (recommender/ratings.py::negative_sample) over the usage
+    positives: 5 hash-drawn non-interacted parts per user (users < 30
+    bound the output) — the implicit-feedback training-set builder
+    (BPR / sampled softmax) whose SAMPLED ROWS the oracle replays
+    exactly: the multiplicative draw hash, the dense item index, the
+    positive anti-join, earliest-trial dedup, and the rank cut all
+    re-derive in SQL.
+
+    Scale: item index is the range-partitioned dense_ids (no global
+    window); draws are row-local; one anti-join on (user, item)."""
+    from prod_recommendation_pyspark_spark.recommender.ratings import (
+        negative_sample,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    pos = _usage(spark, sf_dir).filter(F.col("custkey") < 30)
+    out = negative_sample(
+        pos,
+        cat.table("part").select(F.col("p_partkey").alias("partkey")),
+        "custkey",
+        "partkey",
+        k=5,
+        oversample=3,
+    )
+    return out.select(
+        "custkey", "partkey", F.col("neg_rank").cast("int").alias("neg_rank")
+    ).orderBy("custkey", "neg_rank")

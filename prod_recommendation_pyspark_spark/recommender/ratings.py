@@ -79,3 +79,67 @@ def dense_id_ratings(
         )
     )
     return als_input, user_map, item_map
+
+
+def negative_sample(
+    positives: DataFrame,
+    items: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 5,
+    oversample: int = 3,
+) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for implicit-feedback training
+    (the BPR/word2vec data prep): for each user, draw ``k`` items the
+    user has NOT interacted with, by hashing (user, trial) into the
+    dense item index — reproducible in ANSI SQL, unlike ``rand()``
+    draws, so the sampled training set itself sits under a value hash.
+
+    Draw protocol: ``oversample·k`` trials per user; each trial t maps
+    ``uniform_hash_long(user·131 + t) % n_items`` to an item; positives
+    and duplicate draws are removed (duplicates keep their EARLIEST
+    trial); the first ``k`` survivors by trial order are the user's
+    negatives with ``neg_rank`` 1..k.  Users whose trials collide too
+    often may yield < k rows — raise ``oversample`` for dense users.
+
+    Scale: the item index is :func:`dense_ids` over the item DIM
+    (range-partitioned, no global window); trials are a row-local
+    projection (users × oversample·k rows); the positive check is one
+    anti-join on (user, item).  Nothing touches the fact table after
+    the distinct-positives pass."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+    from prod_recommendation_pyspark_spark.operators.text import (
+        uniform_hash_long,
+    )
+
+    pos = positives.select(user_col, item_col).distinct()
+    idx = dense_ids(items.select(item_col).distinct(), item_col, id_col="idx")
+    n_items = idx.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    trials = (
+        pos.select(user_col)
+        .distinct()
+        .select(
+            user_col,
+            F.explode(
+                F.sequence(F.lit(0), F.lit(oversample * k - 1))
+            ).alias("__t"),
+        )
+    )
+    draws = trials.crossJoin(F.broadcast(n_items)).select(
+        user_col,
+        "__t",
+        F.pmod(
+            uniform_hash_long(
+                F.col(user_col).cast("long") * 131 + F.col("__t")
+            ),
+            F.col("__n"),
+        ).alias("idx"),
+    )
+    cand = draws.join(idx, "idx").select(user_col, "__t", item_col)
+    neg = cand.join(pos, [user_col, item_col], "left_anti")
+    dedup = neg.groupBy(user_col, item_col).agg(F.min("__t").alias("__t"))
+    return windowed_topk(
+        dedup, user_col, [F.col("__t"), F.col(item_col)], k, rank_col="neg_rank"
+    ).select(user_col, item_col, "neg_rank")
