@@ -303,3 +303,51 @@ def extract_audio_features(df: DataFrame, fake: bool = True) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         kernel, schema="media_id long, n_samples long, rms double"
     )
+
+
+def image_ahash(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual AVERAGE-HASH per image: decode, flatten (grayscale
+    via channel mean for color), threshold every pixel against the
+    image mean (ties LOW — ``pixel > mean``), and pack the row-major
+    bit string into a signed 64-bit ``ahash`` (images larger than 64
+    pixels should be resized first — :func:`resize_images` — so every
+    image contributes the same bit count; smaller images use their
+    pixel count).  Perceptually-similar images land on equal or
+    near-equal hashes, so exact GROUP BY on the hash is the blocking
+    stage of an image-dedup pipeline — false positives are expected
+    and must die in a payload/feature verify stage, exactly like LSH
+    band candidates.
+
+    Arrow-batched ``mapInPandas``; output ``(media_id, ahash,
+    n_bits)``."""
+    from pyspark.sql import types as T
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, nbits = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _decode_bytes(bytes(payload), fake)
+                if img.ndim == 3:
+                    img = img.mean(axis=2)
+                px = img.reshape(-1)[:64]
+                bits = px > px.mean()
+                acc = 0
+                for b in bits:
+                    acc = (acc << 1) | int(b)
+                if acc >= 1 << 63:
+                    acc -= 1 << 64
+                ids.append(mid)
+                hashes.append(acc)
+                nbits.append(len(px))
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": hashes, "n_bits": nbits}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+            T.StructField("n_bits", T.IntegerType()),
+        ]
+    )
+    return df.select("media_id", "payload").mapInPandas(kernel, schema=schema)

@@ -2691,3 +2691,74 @@ def sequence_prep_e2e_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before",
         "pack_id",
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --- Perceptual image dedup: real decode → aHash blocking → exact verify -------
+@register(
+    "image_ahash_dedup_pairs",
+    sql=r"""
+    WITH c AS (
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                         1, 40) AS p
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM c a JOIN c b ON a.p = b.p AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def image_ahash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup END-TO-END on REAL image bytes: build an
+    8×8 P5 netpbm image per document (pixels = the normalized 40-char
+    text prefix, '.'-padded to 64 bytes — the pad char is outside the
+    [a-z0-9] alphabet so distinct prefixes never pad to equal bodies),
+    REALLY decode it (operators/multimodal.py::_decode_netpbm), block
+    on the 64-bit average hash (image_ahash), and verify candidates by
+    exact payload equality — the LSH-candidates→verify shape applied
+    to media: aHash equality over-generates on near-identical images
+    (that is its job), and the verify stage keeps only true duplicates,
+    which the oracle predicts as prefix-equal document pairs without
+    ever decoding a byte.
+
+    Scale: payload construction and verify are codegen'd binary
+    expressions; decode+hash is one Arrow-batched pass; the candidate
+    join shuffles on the 8-byte hash — image count, not pixel volume,
+    drives every shuffle."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        image_ahash,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    prefix = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 40
+    )
+    body = F.substring(F.rpad(prefix, 64, "."), 1, 64)
+    imgs = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.encode(F.lit("P5\n8 8\n255\n"), "utf-8"),
+            F.encode(body, "utf-8"),
+        ).alias("payload"),
+    )
+    hashed = image_ahash(imgs, fake=False).join(
+        imgs.select("media_id", "payload"), "media_id"
+    )
+    a = hashed.select(
+        F.col("ahash"),
+        F.col("media_id").alias("id_a"),
+        F.col("payload").alias("__pa"),
+    )
+    b = hashed.select(
+        F.col("ahash"),
+        F.col("media_id").alias("id_b"),
+        F.col("payload").alias("__pb"),
+    )
+    return (
+        a.join(b, "ahash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # exact verify: aHash false positives (near-identical but not
+        # identical images) die here, mirroring LSH verify
+        .filter(F.col("__pa") == F.col("__pb"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

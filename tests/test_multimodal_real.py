@@ -157,3 +157,30 @@ def test_real_pil_image_features(spark):
     rows = extract_image_features(df, n_features=8, fake=False).collect()
     mean = rows[0]["features"][0]
     assert abs(mean - (10 + 20 + 30) / 3) < 1e-9
+
+
+def test_image_ahash_blocks_similar_and_verify_kills_false_positives(spark):
+    """Two IDENTICAL images hash equal; a 1-pixel-changed image lands
+    within a couple of bits (the tweak flips its own threshold bit
+    and, by moving the image mean, possibly one borderline pixel's) —
+    the blocking property; exact dedup then relies on the payload
+    verify, not the hash."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        _encode_netpbm,
+        image_ahash,
+    )
+
+    import numpy as np
+
+    base = np.arange(64, dtype="float64").reshape(8, 8)
+    tweaked = base.copy()
+    tweaked[0, 0] = 63.0  # flips its own bit (and maybe one via the mean)
+    rows = [
+        (1, _encode_netpbm(base)),
+        (2, _encode_netpbm(base)),
+        (3, _encode_netpbm(tweaked)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.ahash for r in image_ahash(df, fake=False).collect()}
+    assert got[1] == got[2]
+    assert bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1") <= 2
