@@ -1327,7 +1327,10 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    item_codes = codes.withColumnRenamed("vec_id", "item_id")
+    # persisted: the codes table feeds both the ADC scoring join and
+    # the list-size pruning evidence; uncached, the whole encode
+    # pipeline re-runs per consumer (plan audit)
+    item_codes = codes.withColumnRenamed("vec_id", "item_id").persist()
     shortlist = ivfpq_topk(
         queries,
         coarse,

@@ -114,7 +114,10 @@ def negative_sample(
         uniform_hash_long,
     )
 
-    pos = positives.select(user_col, item_col).distinct()
+    # persisted: pos feeds the user list, the anti-join, and (via the
+    # caller's fact derivation) would otherwise re-run the usage join
+    # per consumer; registry clearCache owns the lifetime
+    pos = positives.select(user_col, item_col).distinct().persist()
     idx = dense_ids(items.select(item_col).distinct(), item_col, id_col="idx")
     n_items = idx.groupBy().agg(F.count(F.lit(1)).alias("__n"))
     trials = (
