@@ -2762,3 +2762,65 @@ def image_ahash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "audio_fingerprint_dedup_pairs",
+    sql=r"""
+    WITH c AS (
+        SELECT doc_id,
+               substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                         1, 40) AS p
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM c a JOIN c b ON a.p = b.p AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def audio_fingerprint_dedup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Perceptual AUDIO dedup END-TO-END on real WAV bytes — the audio
+    leg of the multimodal dedup triad (text: minhash/simhash; image:
+    image_ahash_dedup_pairs): synthesize a real 8-bit PCM RIFF/WAV per
+    document (samples = the '.'-padded normalized 40-char prefix),
+    REALLY decode it (operators/multimodal.py::decode_wav), block on
+    the gain-invariant energy-delta fingerprint (audio_fingerprint),
+    and verify candidates by exact payload equality.  The oracle
+    predicts the surviving pairs as prefix-equal documents without
+    touching a single sample.
+
+    Scale: synth+decode+fingerprint is one Arrow-batched pass each;
+    the candidate join shuffles on the 8-byte fingerprint — clip
+    count, not sample volume, drives every shuffle."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        audio_fingerprint,
+        synthesize_wav_from_bytes,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    prefix = F.substring(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""), 1, 40
+    )
+    body = F.substring(F.rpad(prefix, 64, "."), 1, 64)
+    raw = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(body, "utf-8").alias("payload"),
+    )
+    wavs = synthesize_wav_from_bytes(raw)
+    fps = audio_fingerprint(wavs, n_frames=16, fake=False).join(
+        wavs.select("media_id", "payload"), "media_id"
+    )
+    a = fps.select(
+        "afp", F.col("media_id").alias("id_a"), F.col("payload").alias("__pa")
+    )
+    b = fps.select(
+        "afp", F.col("media_id").alias("id_b"), F.col("payload").alias("__pb")
+    )
+    return (
+        a.join(b, "afp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("__pa") == F.col("__pb"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )

@@ -184,3 +184,28 @@ def test_image_ahash_blocks_similar_and_verify_kills_false_positives(spark):
     got = {r.media_id: r.ahash for r in image_ahash(df, fake=False).collect()}
     assert got[1] == got[2]
     assert bin((got[1] ^ got[3]) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    """The energy-DELTA fingerprint is invariant to uniform gain: the
+    same clip at half volume lands on the identical fingerprint, while
+    a reordered clip does not."""
+    from prod_recommendation_pyspark_spark.operators.multimodal import (
+        audio_fingerprint,
+    )
+
+    base = [0, 8000, -16000, 24000, -32000, 30000, -1000, 500] * 8
+    half = [s // 2 for s in base]
+    shuffled = list(reversed(base))
+    rows = [
+        (1, _wav_bytes(base)),
+        (2, _wav_bytes(half)),
+        (3, _wav_bytes(shuffled)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r.media_id: r.afp
+        for r in audio_fingerprint(df, n_frames=16, fake=False).collect()
+    }
+    assert got[1] == got[2]          # gain-invariant
+    assert got[1] != got[3]          # order matters
