@@ -252,3 +252,22 @@ def test_sorted_neighborhood_windows_all_partitioned_by_bucket(spark):
     # every other window must be bucket-partitioned
     assert len(partitioned) + len(unpartitioned) == len(wins)
     assert partitioned, "in-bucket rank windows must partition by __b"
+
+
+def test_headline_plans_never_use_row_at_a_time_python(spark):
+    """Global non-regression net: no bench headline query may plan a
+    row-at-a-time Python UDF (BatchEvalPython).  Arrow-batched
+    operators (mapInPandas/applyInPandas → ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas) are the sanctioned Python
+    surface; a BatchEvalPython node means someone wrapped hot-path
+    logic in F.udf and it would run ~10-100× slower at 100 TB."""
+    import bench
+
+    from prod_recommendation_pyspark_spark.queries.registry import QUERIES
+
+    for name in bench.HEADLINE:
+        if name not in QUERIES:
+            continue
+        df = QUERIES[name](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
