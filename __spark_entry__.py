@@ -54,9 +54,29 @@ def _driver_history() -> tuple[int, set[str], set[str]]:
                 continue
             if row.get("hash_match"):
                 hash_ok.add(name)
-            elif row.get("err") == "no_oracle" and row.get("rows_match"):
+            elif row.get("err") == "no_oracle" and (
+                row.get("rows_match") or (row.get("spark_rows") or 0) > 0
+            ):
+                # the driver records rows_match=null (not true) for
+                # no_oracle rows; a non-empty spark_rows is the rows-only
+                # pass signal, so count it — otherwise the two designed
+                # rows-only queries re-enter "fresh" every round and burn
+                # two sample slots forever
                 rows_only.add(name)
     return latest, hash_ok, rows_only
+
+
+#: The two rows-only-by-design queries and the hash-verified companion
+#: contract that carries their value evidence.  ``als_recommend_topn``
+#: is iterative MLlib factorization (not ANSI-SQL-reproducible);
+#: ``simhash_near_dup_pairs`` depends on Spark's xxhash64.  Their
+#: ``err == "no_oracle"`` rows in CORRECTNESS files are EXPECTED, not
+#: failures: the companion query pins the same computation's invariants
+#: (and for simhash, banded≡brute equivalence) under a full value hash.
+ROWS_ONLY_COMPANIONS = {
+    "als_recommend_topn": "als_recommend_topn_contract",
+    "simhash_near_dup_pairs": "simhash_banded_vs_brute",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -80,13 +100,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     latest_round, hash_ok, rows_only = _driver_history()
     fresh = [n for n in QUERIES if n not in hash_ok and n not in rows_only]
-    pool = [n for n in QUERIES if n in hash_ok or n in rows_only]
+    # the companion contracts that carry the rows-only pair's value
+    # evidence must recur in the sample window, not wait out a full
+    # rotation cycle (als contract last driver-green r06, simhash r02):
+    # pin them directly after the fresh block
+    pinned = [
+        n
+        for n in ROWS_ONLY_COMPANIONS.values()
+        if n in QUERIES and n not in fresh
+    ]
+    pool = [
+        n
+        for n in QUERIES
+        if (n in hash_ok or n in rows_only) and n not in pinned
+    ]
     if pool:
         # rotate by a stride coprime-ish to the pool size so successive
         # rounds sample disjoint slices of the verified set
         off = (latest_round * 37) % len(pool)
         pool = pool[off:] + pool[:off]
-    ordered = fresh + pool
+    ordered = fresh + pinned + pool
     return {n: QUERIES[n] for n in ordered}
 
 

@@ -268,8 +268,17 @@ def pq_encode_kernel(
             X = np.asarray(
                 [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
             ).reshape(len(pdf), m, block_dim)
-            # (n, m, k): squared L2 per block per code
-            d2 = ((X[:, :, None, :] - C[None, :, :, :]) ** 2).sum(axis=-1)
+            # (n, m, k): squared L2 per block per code.  Accumulated
+            # with an EXPLICIT left-to-right loop over the block
+            # dimension: numpy's .sum() uses pairwise reduction above
+            # 8 elements, whose rounding can differ by 1 ULP from the
+            # batch path's sequential sq_l2 fold and flip a near-tie
+            # argmin — the loop pins streaming≡batch parity for every
+            # block_dim, not just the shipped 8.
+            diff = X[:, :, None, :] - C[None, :, :, :]
+            d2 = np.zeros(diff.shape[:3], dtype="float64")
+            for j in range(block_dim):
+                d2 += diff[:, :, :, j] * diff[:, :, :, j]
             codes = d2.argmin(axis=2).astype("int32")  # first min = low code
             n = len(pdf)
             yield pd.DataFrame(

@@ -424,11 +424,16 @@ def als_recommend_topn_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM users u, unnest(range(0, 15)) AS t(t)),
     draws AS (
         SELECT custkey, t,
-               (((((custkey * 131 + t) % 4294967296) // 65536)
-                  * 2654435761 % 4294967296) * 65536
-                + ((custkey * 131 + t) % 65536) * 2654435761)
-               % 4294967296 % n_items AS idx
-        FROM trials CROSS JOIN n),
+               idx % n_items AS idx
+        FROM (
+          SELECT custkey, t, n_items,
+                 ((((h % 4294967296) // 65536)
+                    * 2654435761 % 4294967296) * 65536
+                  + (h % 65536) * 2654435761)
+                 % 4294967296 AS idx
+          FROM (SELECT custkey, t, n_items,
+                       (custkey % 4294967296) * 131 + t AS h
+                FROM trials CROSS JOIN n))),
     cand AS (SELECT d.custkey, d.t, i.partkey
              FROM draws d JOIN items i USING (idx)),
     neg AS (SELECT c.custkey, c.t, c.partkey

@@ -1925,8 +1925,8 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS exact_ndv,
-           TRUE AS est_within_2pct,
-           TRUE AS merged_within_2pct
+           TRUE AS est_within_3pct,
+           TRUE AS merged_within_3pct
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -1936,9 +1936,13 @@ def ndv_hll_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count SKETCHING contract: per-priority customer NDV
     estimated with Spark's native Apache DataSketches HLL
     (``hll_sketch_agg``, lgK=14), checked two ways inside the query —
-    the direct estimate lands within 2% of the exact count, and so
+    the direct estimate lands within 3% of the exact count, and so
     does the estimate from UNIONING per-year sub-sketches
-    (``hll_union_agg``).  The union check is the property that
+    (``hll_union_agg``).  3%, not 2%: at lgK=14 the sketch's relative
+    standard error is ~0.81%, so 2% is only ~2.5σ — a legitimately
+    unlucky grouping could fail with no code bug; 3% (~3.7σ) keeps the
+    pinned booleans comfortably inside the error distribution
+    (measured margin at sf0.01–sf0.1: ≤0.4%).  The union check is the property that
     matters at 100 TB: sketches roll up to the global NDV with no
     re-scan — the pattern that replaces count(DISTINCT) when the
     distinct set itself no longer fits anywhere.  The union and
@@ -1973,12 +1977,12 @@ def ndv_hll_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_ndv",
             (
                 F.abs(F.col("est") - F.col("exact_ndv"))
-                <= 0.02 * F.col("exact_ndv")
-            ).alias("est_within_2pct"),
+                <= 0.03 * F.col("exact_ndv")
+            ).alias("est_within_3pct"),
             (
                 F.abs(F.col("est_m") - F.col("exact_ndv"))
-                <= 0.02 * F.col("exact_ndv")
-            ).alias("merged_within_2pct"),
+                <= 0.03 * F.col("exact_ndv")
+            ).alias("merged_within_3pct"),
         )
         .orderBy("o_orderpriority")
     )

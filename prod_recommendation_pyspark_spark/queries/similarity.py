@@ -1238,6 +1238,10 @@ def pq_adc_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall = hits.groupBy("query_id").agg(
         (F.count(F.lit(1)) / _PQ_TOPK).alias("recall")
     )
+    # anchor on the queries frame so a zero-overlap query still emits
+    # a readable recall_ok=FALSE row instead of silently dropping out
+    # of the contract (row-count mismatch is a worse failure signal)
+    all_q = queries.select(F.col("q_id").alias("query_id"))
     self_hit = (
         shortlist.filter(F.col("query_id") == F.col("item_id"))
         .groupBy("query_id")
@@ -1250,7 +1254,8 @@ def pq_adc_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_items = emb.agg(F.count(F.lit(1)).alias("n_items"))
     return (
-        recall.join(self_hit, "query_id", "left")
+        all_q.join(recall, "query_id", "left")
+        .join(self_hit, "query_id", "left")
         .crossJoin(F.broadcast(code_stats))
         .crossJoin(F.broadcast(n_items))
         .select(
@@ -1263,7 +1268,7 @@ def pq_adc_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "blocks_complete"
             ),
             (F.coalesce("self_n", F.lit(0)) == 1).alias("self_retrieved"),
-            (F.col("recall") >= 0.5).alias("recall_ok"),
+            (F.coalesce("recall", F.lit(0.0)) >= 0.5).alias("recall_ok"),
         )
         .orderBy("vec_id")
     )
@@ -1414,16 +1419,24 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__lsz").alias("n_cand"))
     )
     n_items = emb.agg(F.count(F.lit(1)).alias("n_items"))
+    # anchor on the queries frame: a zero-overlap query must surface
+    # as recall_ok=FALSE (and a missing candidate row as pruned=FALSE),
+    # never as a silently-dropped contract row
     return (
-        recall.join(self_hit, "query_id", "left")
-        .join(cand, "query_id")
+        queries.select("query_id")
+        .join(recall, "query_id", "left")
+        .join(self_hit, "query_id", "left")
+        .join(cand, "query_id", "left")
         .crossJoin(F.broadcast(n_items))
         .select(
             F.col("query_id").alias("vec_id"),
             "n_items",
             (F.coalesce("self_n", F.lit(0)) == 1).alias("self_retrieved"),
-            (F.col("recall") >= 0.6).alias("recall_ok"),
-            (F.col("n_cand") < 0.6 * F.col("n_items")).alias("pruned"),
+            (F.coalesce("recall", F.lit(0.0)) >= 0.6).alias("recall_ok"),
+            (
+                F.coalesce("n_cand", F.col("n_items"))
+                < 0.6 * F.col("n_items")
+            ).alias("pruned"),
         )
         .orderBy("vec_id")
     )

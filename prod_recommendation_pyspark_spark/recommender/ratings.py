@@ -111,6 +111,7 @@ def negative_sample(
         windowed_topk,
     )
     from prod_recommendation_pyspark_spark.operators.text import (
+        HASH_MOD,
         uniform_hash_long,
     )
 
@@ -130,12 +131,19 @@ def negative_sample(
             ).alias("__t"),
         )
     )
+    # user id reduced mod 2^32 BEFORE the multiply (mirroring
+    # uniform_hash_long's overflow-safe split): the pre-hash product is
+    # then bounded by ~2^39, so the int64 arithmetic can never wrap for
+    # any 64-bit user key — and because uniform_hash_long reduces its
+    # input mod 2^32 anyway, the reduction changes no draw where the
+    # unreduced product fit in int64 (mod distributes over ·131 + t).
     draws = trials.crossJoin(F.broadcast(n_items)).select(
         user_col,
         "__t",
         F.pmod(
             uniform_hash_long(
-                F.col(user_col).cast("long") * 131 + F.col("__t")
+                F.pmod(F.col(user_col).cast("long"), F.lit(HASH_MOD)) * 131
+                + F.col("__t")
             ),
             F.col("__n"),
         ).alias("idx"),
