@@ -37,6 +37,12 @@ HEADLINE = [
     "als_recommend_topn",
     "session_windows_events",
     "peer_search_hybrid_topk",
+    # the production-scale peer search: NAICS-block ∪ revenue-bucket
+    # candidate pruning ahead of the same exact kernel (recall 1.0 at
+    # sf0.1 per peer_search_pruned_recall).  The exact all-pairs query
+    # above stays benched as the oracle baseline; this is the plan
+    # that survives 100x scale (SCALE.md: exact is 19x wall at sf1).
+    "peer_search_hybrid_topk_pruned",
     "penetration_table_products",
 ]
 

@@ -136,6 +136,34 @@ def grid_search(
     return min(valid, key=lambda cr: cr[1])
 
 
+def save_model(model: ALSModel, path: str) -> None:
+    """Persist the trained factorization for a SEPARATE inference job —
+    the operational form of the reference's Stage-2 → Stage-3 handoff
+    (recommender_prod_rec.py:261-269 writes recommendation FILES that
+    inference_postprocess.py:37-38 re-reads).  Persisting the model
+    instead moves the smaller artifact — the user/item factor matrices,
+    rank·(n_users+n_items) floats as parquet part-files plus one small
+    JSON metadata file — and lets the inference side pick its own top-N
+    and join targets.
+
+    Scale: ``ALSModel.write`` writes the factor frames distributed
+    (no driver collect); overwrite semantics make RE-TRAINING
+    idempotent against a fixed artifact path.  Caveat (standard Spark
+    lazy-source rule): a model obtained from :func:`load_model` is
+    backed by the parquet files at its load path — re-saving it OVER
+    that same path deletes its own input mid-write; save a loaded
+    model to a fresh path (the parity pytest pins both directions)."""
+    model.write().overwrite().save(path)
+
+
+def load_model(path: str) -> ALSModel:
+    """Reload a :func:`save_model` artifact in a fresh job.  The loaded
+    model recommends IDENTICALLY to the in-process one — the factor
+    matrices round-trip exactly through parquet (float32 bit patterns,
+    no re-fit) — pinned by the save→load→recommend parity pytest."""
+    return ALSModel.load(path)
+
+
 def recommend_topn(
     model: ALSModel,
     n: int,

@@ -12,6 +12,9 @@ from prod_recommendation_pyspark_spark.queries.recommender import (
 from prod_recommendation_pyspark_spark.recommender.als import (
     ALSConfig,
     evaluate_rmse,
+    load_model,
+    recommend_topn,
+    save_model,
     train_als,
 )
 from prod_recommendation_pyspark_spark.recommender.ratings import (
@@ -45,3 +48,40 @@ def test_rmse_reasonable(spark):
     # ratings here are percent-rank sums — just assert it learned
     # something finite and sane.
     assert 0.0 <= rmse < 10.0
+
+
+def test_save_load_recommend_parity(spark, tmp_path):
+    """The Stage-2 → Stage-3 operational handoff: a model saved by the
+    training job and reloaded by a separate inference job must emit
+    byte-identical recommendations (factors round-trip exactly through
+    parquet; no re-fit on load)."""
+    als_input, user_map, item_map = _als_input(spark)
+    model = train_als(als_input, ALSConfig(max_iter=3))
+    path = str(tmp_path / "als_model")
+    save_model(model, path)
+    loaded = load_model(path)
+    assert loaded.rank == model.rank
+
+    def flat(m):
+        return sorted(
+            recommend_topn(m, 5, user_map, item_map).collect(),
+            key=lambda r: (r["custkey"], -r["rating"], r["partkey"]),
+        )
+
+    a, b = flat(model), flat(loaded)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        assert ra["custkey"] == rb["custkey"]
+        assert ra["partkey"] == rb["partkey"]
+        assert ra["rating"] == rb["rating"]  # exact, not approx
+
+    # a LOADED model re-saves to a fresh path (its factor frames are
+    # lazily backed by the load path — see save_model docstring) ...
+    path2 = str(tmp_path / "als_model_copy")
+    save_model(loaded, path2)
+    assert load_model(path2).rank == model.rank
+    # ... and overwrite semantics let a re-train clobber the original
+    # artifact path (this also invalidates `loaded`'s backing files —
+    # the documented reason a loaded model must not overwrite itself)
+    save_model(model, path)
+    assert load_model(path).rank == model.rank
