@@ -187,3 +187,96 @@ def test_quantile_arm_actually_prunes(spark):
     ).count()
     # ~3/20 of all pairs (+ bucket-boundary slack); all-pairs = 40000
     assert n_cand < 0.3 * n * n, f"quantile arm did not prune: {n_cand}"
+
+
+def _sf_sides(spark, sf_dir):
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _firmographics,
+    )
+
+    firmo = _firmographics(spark, sf_dir)
+    pros = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
+    )
+    clis = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src_custkey"), "vec", "naics", "lat", "lon"
+    )
+    return pros, clis
+
+
+def test_rank_window_matches_exact_kernel(spark, sf_dir):
+    """The round-9 linear-candidate path (rank_window_candidates →
+    scored top-15) must return the IDENTICAL pair set as the exact
+    blocked kernel — the level-decomposition containment argument,
+    pinned end-to-end.  (At sf1 the ±64 geo slack is outgrown and
+    recall is 0.9924 — measured in SCALE.md; at test scales it is
+    exact.)"""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk,
+        rank_window_candidates,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        THRESHOLD,
+        TOPK_PEERS,
+        W_HAVS,
+        W_HOPS,
+    )
+
+    pros, clis = _sf_sides(spark, sf_dir)
+    cand = rank_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", window=64
+    )
+    # linear candidate bound: (code_len + 1) arms x 2·window per
+    # prospect (the malformed arm is empty on this data)
+    n_pros = pros.count()
+    assert cand.count() <= 7 * n_pros * 128
+    ranked = hybrid_topk_pruned(
+        pros, clis, "tgt_custkey", "src_custkey",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+        candidates=cand, dim=2,
+    )
+    exact = hybrid_topk(
+        pros, clis, "tgt_custkey", "src_custkey",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+    )
+    a = {(r[0], r[1]) for r in ranked.select("tgt_custkey", "src_custkey").collect()}
+    b = {(r[0], r[1]) for r in exact.select("tgt_custkey", "src_custkey").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_unrolled_dot_bit_identical_to_hof_fold(spark, sf_dir):
+    """hybrid_topk_pruned(dim=2) must score BIT-identically to the
+    HOF zip_with/aggregate fold (same left-to-right accumulation;
+    0.0 + x == x in IEEE) — the codegen fast path may not move a
+    single score."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_candidates,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        THRESHOLD,
+        TOPK_PEERS,
+        W_HAVS,
+        W_HOPS,
+    )
+
+    pros, clis = _sf_sides(spark, sf_dir)
+    cand = rank_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", window=64
+    ).cache()
+    kw = dict(
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+        candidates=cand,
+    )
+    fast = hybrid_topk_pruned(
+        pros, clis, "tgt_custkey", "src_custkey", dim=2, **kw
+    ).collect()
+    hof = hybrid_topk_pruned(
+        pros, clis, "tgt_custkey", "src_custkey", **kw
+    ).collect()
+    key = lambda r: (r["tgt_custkey"], r["src_custkey"])  # noqa: E731
+    fast, hof = sorted(fast, key=key), sorted(hof, key=key)
+    assert len(fast) == len(hof) > 0
+    for a, b in zip(fast, hof):
+        assert key(a) == key(b)
+        assert a["score"] == b["score"]  # bit-exact, not approx
+    cand.unpersist()
