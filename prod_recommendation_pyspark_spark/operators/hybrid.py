@@ -628,17 +628,24 @@ def hybrid_topk_pruned(
     quantile_buckets: int | None = None,
     dim: int | None = None,
 ) -> DataFrame:
-    """Candidate-pruned hybrid top-K — the 100×-scale path for Stage
-    1's peer search.  Exact hybrid scoring (same formula as
-    ``hybrid_topk``) restricted to ``hybrid_candidates`` pairs; the
+    """Candidate-pruned hybrid top-K: exact hybrid scoring (same
+    formula as ``hybrid_topk``) restricted to candidate pairs; the
     O(L×R) score matrix never exists.  Top-K is per left row over the
     candidate set, so results match the exact kernel whenever every
     true top-k pair is a candidate (recall is measured by the
-    ``peer_search_pruned_recall`` query; tune ``naics_prefix_len``
-    down or LSH tables up for more recall, up/down for more pruning).
+    ``peer_search_pruned_recall`` query).
 
-    Fully declarative scoring (zip_with dot + when-ladder hops +
-    native-trig haversine) — whole-stage codegen, SQL-oracle-able."""
+    Candidate source matters at scale: the default
+    ``hybrid_candidates`` (NAICS-block ∪ quantile-bucket arms) is a
+    CONSTANT-FACTOR prune — measured at sf1 it was slower than the
+    exact kernel (672s vs ~170-205s; SCALE.md round-9 appendix).  The
+    production path passes ``candidates=rank_window_candidates(...)``
+    (linear in the left side) and ``dim=`` for the unrolled codegen
+    dot; the default is kept as the documented negative result and
+    for the recall query's replay.
+
+    Fully declarative scoring (dot + when-ladder hops + native-trig
+    haversine) — whole-stage codegen, SQL-oracle-able."""
     if candidates is None:
         candidates = hybrid_candidates(
             left, right, left_id, right_id, vec_col, naics_col,

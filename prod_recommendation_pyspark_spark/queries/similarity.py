@@ -560,21 +560,24 @@ def _pruned_spark(spark: SparkSession, sf_dir: str):
     """,
 )
 def peer_search_hybrid_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage-1 peer search on the 100×-scale path: candidate pairs
-    from a 4-digit industry-prefix block join ∪ equi-depth quantile
-    blocking on the normalized angle proxy (64 exact-percentile
-    buckets of the client side, prospects probing bucket ±1), exact
-    hybrid scoring on candidates only, per-prospect top-15.  The
-    O(L×R) score matrix of the exact kernel never exists — both
-    candidate arms are equi-joins; the quantile arm's equal-depth
-    buckets bound per-bucket pair counts by construction, and bucket
-    count is the knob that grows with corpus density.  Measured at
-    sf0.1: 2.87M candidates of 20.25M possible (7× prune) at recall
-    1.0000 — replacing the round-2 sign-LSH arm, which degenerates on
-    2-D all-positive vectors (19.2M "candidates", i.e. no pruning).
-    Value-oracled end-to-end (the SQL replicates splits, bucketing,
-    and scoring bit-for-bit); ``peer_search_pruned_recall`` quantifies
-    recall vs the exact kernel."""
+    """Stage-1 peer search via the round-7 block/bucket prune:
+    candidate pairs from a 4-digit industry-prefix block join ∪
+    equi-depth quantile blocking on the normalized angle proxy (64
+    exact-percentile buckets, prospects probing bucket ±1), exact
+    hybrid scoring on candidates only, per-prospect top-15.  Measured
+    at sf0.1: 2.87M candidates of 20.25M possible (7× prune) at
+    recall 1.0000.
+
+    KEPT AS A DOCUMENTED NEGATIVE RESULT for scale (round 9): both
+    arms are constant-factor prunes (the full 4-digit block product
+    is pairs/10 on this data; fixed 64 buckets are 3·pairs/64), so
+    candidate volume stays QUADRATIC — measured at sf1 it ran 672s
+    vs the exact kernel's ~170-205s.  The production path is
+    ``peer_search_rank_window_topk`` (linear candidates; 22.7s at sf1
+    at recall 1.0000 — SCALE.md round-9 appendix).  Value-oracled
+    end-to-end (the SQL replicates splits, bucketing, and scoring
+    bit-for-bit); ``peer_search_pruned_recall`` quantifies recall vs
+    the exact kernel."""
     return (
         _pruned_spark(spark, sf_dir)
         .select("tgt_custkey", "src_custkey", F.round("score", 4).alias("score"))
@@ -678,7 +681,11 @@ def _rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_window_candidates,
     )
 
-    firmo = _firmographics(spark, sf_dir)
+    # persisted: the firmographics subtree (scan + min/max stats agg +
+    # normalize) feeds both candidate arms AND both scoring sides —
+    # uncached it re-runs ~6× (plan audit).  Registry-level clearCache
+    # owns the lifetime.
+    firmo = _firmographics(spark, sf_dir).persist()
     prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
     )

@@ -38,6 +38,7 @@ HEAVY = [
     "minhash_lsh_dedup_candidates",
     "ann_lsh_topk_embeddings",
     "peer_search_hybrid_topk",
+    "peer_search_rank_window_topk",
     "pagerank_trade_graph",
 ]
 
