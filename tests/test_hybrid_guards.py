@@ -280,3 +280,55 @@ def test_unrolled_dot_bit_identical_to_hof_fold(spark, sf_dir):
         assert key(a) == key(b)
         assert a["score"] == b["score"]  # bit-exact, not approx
     cand.unpersist()
+
+
+def test_rank_window_covers_malformed_codes(spark):
+    """Malformed industry codes score hops = −1 against everyone —
+    a CONSTANT level — so the malformed-client arm plus the global
+    arm must keep rank-window results identical to the exact
+    crossjoin even when codes are missing/short/long."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_crossjoin,
+        rank_window_candidates,
+    )
+
+    import math
+
+    def naics(i):
+        if i % 11 == 0:
+            return None  # missing
+        if i % 7 == 0:
+            return "52"  # too short
+        if i % 5 == 0:
+            return "5201234"  # too long
+        return f"52{i % 3}1{i % 4}0"
+
+    # UNIQUE, well-separated angles: neighbor dot-gaps (~0.01) exceed
+    # the geo slack (w_geo/w_dot ~ 0.0017), so the containment
+    # argument needs window only slightly above k.  (Data with heavy
+    # angle TIES needs window >= the tie count - that density
+    # dependence is the documented knob, not a defect.)
+    rows = [
+        (
+            i,
+            naics(i),
+            [math.cos(0.1 + 1.3 * i / 120), math.sin(0.1 + 1.3 * i / 120)],
+            float(i % 50),
+            float(i % 80),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, naics string, vec array<double>, lat double, lon double"
+    )
+    pros = df.filter(F.col("id") % 4 == 0).withColumnRenamed("id", "tgt")
+    clis = df.filter(F.col("id") % 4 != 0).withColumnRenamed("id", "src")
+    cand = rank_window_candidates(pros, clis, "tgt", "src", window=16)
+    got = hybrid_topk_pruned(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0,
+        candidates=cand, dim=2,
+    )
+    want = hybrid_topk_crossjoin(pros, clis, "tgt", "src", k=5, threshold=-10.0)
+    a = {(r[0], r[1]) for r in got.select("tgt", "src").collect()}
+    b = {(r[0], r[1]) for r in want.select("tgt", "src").collect()}
+    assert a == b and len(a) > 0
