@@ -27,11 +27,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["topk_segments_by_nation"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_history() -> tuple[int, set[str], set[str]]:
-    """(latest round number, hash-verified names, rows-only names)
-    across all committed CORRECTNESS_r*.json files.  Hash-verified
-    means a real value-hash match; ``err == 'no_oracle'`` rows only
-    ever got a rows-only check and are tracked separately."""
+def _driver_history() -> tuple[int, set[str], set[str], dict[str, int]]:
+    """(latest round number, hash-verified names, rows-only names,
+    name → last round it passed) across all committed
+    CORRECTNESS_r*.json files.  Hash-verified means a real value-hash
+    match; ``err == 'no_oracle'`` rows only ever got a rows-only check
+    and are tracked separately."""
     import glob
     import json
     import re
@@ -40,10 +41,11 @@ def _driver_history() -> tuple[int, set[str], set[str]]:
     latest = 0
     hash_ok: set[str] = set()
     rows_only: set[str] = set()
+    last_pass: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m:
-            latest = max(latest, int(m.group(1)))
+        rnd = int(m.group(1)) if m else 0
+        latest = max(latest, rnd)
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -54,16 +56,25 @@ def _driver_history() -> tuple[int, set[str], set[str]]:
                 continue
             if row.get("hash_match"):
                 hash_ok.add(name)
+                last_pass[name] = max(last_pass.get(name, 0), rnd)
             elif row.get("err") == "no_oracle" and (
-                row.get("rows_match") or (row.get("spark_rows") or 0) > 0
+                row.get("rows_match")
+                or (
+                    name in ROWS_ONLY_COMPANIONS
+                    and (row.get("spark_rows") or 0) > 0
+                )
             ):
                 # the driver records rows_match=null (not true) for
                 # no_oracle rows; a non-empty spark_rows is the rows-only
-                # pass signal, so count it — otherwise the two designed
-                # rows-only queries re-enter "fresh" every round and burn
-                # two sample slots forever
+                # pass signal — but ONLY for the two DESIGNED rows-only
+                # queries (otherwise they re-enter "fresh" every round
+                # and burn two sample slots forever).  Any OTHER query
+                # surfacing no_oracle means its SQL oracle is missing by
+                # accident, and it must keep re-entering fresh so the
+                # gap stays visible.
                 rows_only.add(name)
-    return latest, hash_ok, rows_only
+                last_pass[name] = max(last_pass.get(name, 0), rnd)
+    return latest, hash_ok, rows_only, last_pass
 
 
 #: The two rows-only-by-design queries and the hash-verified companion
@@ -98,25 +109,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        but are tracked separately from hash-verified ones — a rows-only
        pass never counts as hash verification.
     """
-    latest_round, hash_ok, rows_only = _driver_history()
+    latest_round, hash_ok, rows_only, last_pass = _driver_history()
     fresh = [n for n in QUERIES if n not in hash_ok and n not in rows_only]
     # Pinned directly after the fresh block, ahead of the rotation:
     # 1. the companion contracts that carry the rows-only pair's value
     #    evidence must recur in the sample window, not wait out a full
     #    rotation cycle (als contract last driver-green r06, simhash
-    #    banded r02);
-    # 2. queries whose code changed THIS round (round-9 review fixes)
-    #    get driver re-verification the same round instead of riding
-    #    their stale green from an earlier round.
-    changed_this_round = [
-        "pq_adc_recall_contract",
-        "ivfpq_recall_contract",
-        "negative_sampling_ratings",
-        "ndv_hll_contract_orders",
+    #    banded r02) — pinned only while STALE (no driver pass within
+    #    the last 2 rounds), so the slots free up once current;
+    # 2. queries whose code changed in round 9 (review fixes) get
+    #    driver re-verification that round instead of riding their
+    #    stale green — GATED on the history state so the pin expires:
+    #    once CORRECTNESS_r09 exists (latest_round >= 9) the slots
+    #    return to the rotation instead of being consumed forever.
+    changed_r9 = (
+        [
+            "pq_adc_recall_contract",
+            "ivfpq_recall_contract",
+            "negative_sampling_ratings",
+            "ndv_hll_contract_orders",
+        ]
+        if latest_round == 8
+        else []
+    )
+    stale_companions = [
+        n
+        for n in ROWS_ONLY_COMPANIONS.values()
+        if latest_round - last_pass.get(n, 0) >= 2
     ]
     pinned = [
         n
-        for n in list(ROWS_ONLY_COMPANIONS.values()) + changed_this_round
+        for n in stale_companions + changed_r9
         if n in QUERIES and n not in fresh
     ]
     pool = [

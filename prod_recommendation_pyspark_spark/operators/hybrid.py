@@ -491,23 +491,32 @@ def rank_window_candidates(
 
     Level decomposition (exactness argument): the hybrid score is
     ``w_dot·dot + w_hops·hops + w_geo·hav`` and ``naics_hops_score``
-    is CONSTANT on each shared-prefix level p.  Take a true top-k pair
-    (t, s) whose prefix agreement is exactly p: fewer than k pairs
-    beat it on the full score, and every client sharing s's p-prefix
-    pairs with t at hops ≥ the level-p score, so fewer than k clients
-    in that p-prefix block beat s on ``w_dot·dot + w_geo·hav``.
-    Hence the union over p of each prospect's per-p-prefix-block
-    top-k by (dot, hav) — plus a GLOBAL arm, which covers the
-    minimum attainable hops level by the same argument — contains
-    every true top-k pair.
+    is CONSTANT on each level.  The levels, and the arm covering
+    each:
 
-    Within an arm, top-k by dot needs no pair enumeration when the
-    vectors are 2-D and non-negative (this pipeline's firmographics):
-    dot = cos(Δθ) is monotone in the angle gap, so a block's k
-    nearest by dot lie within the ±k sorted-neighborhood around the
-    prospect's angle-insertion position.  ``window`` ≫ k pads that
-    neighborhood to absorb w_geo-driven reorderings: hav shifts the
-    within-level rank by at most w_geo/w_dot in dot units, so the
+    - malformed codes (NULL / wrong length) score the constant −1
+      against EVERYONE → one arm holds the malformed clients, and
+      every prospect probes it.  This arm is load-bearing, not
+      belt-and-braces: malformed clients beat a well-formed pair on
+      (dot, hav) while losing on the full score, so they may not
+      crowd the well-formed arms' windows — which is also why the
+      prefix/global arms hold WELL-FORMED clients only.
+    - shared p-prefix, p ≥ 1 → the p-prefix block arms.
+    - no shared prefix (hops 0.0, the well-formed minimum) → the
+      global arm (all well-formed clients): any well-formed pair has
+      hops ≥ 0, so a true top-k pair at this level is top-k in the
+      arm by (dot, hav).
+
+    For a true top-k pair (t, s) at level ℓ: fewer than k pairs beat
+    it on the full score, and every client in its arm pairs with t at
+    hops ≥ the level's score, so fewer than k clients in the arm beat
+    s on ``w_dot·dot + w_geo·hav``.  Hence per-prospect top-k within
+    each arm contains every true top-k pair.  In 2-D non-negative
+    vector space dot = cos(Δθ) is monotone in the angle gap, so an
+    arm's top-k by dot lies within the ±k sorted-neighborhood around
+    the prospect's angle-insertion position.  ``window`` ≫ k pads
+    that neighborhood to absorb w_geo-driven reorderings: hav shifts
+    the within-level rank by at most w_geo/w_dot in dot units, so the
     window must cover the clients within that dot-margin of the k-th
     within-level dot — a count that grows with ANGLE-TIE DENSITY
     (measured sf1: window 64 → recall 0.9924, 256 → 1.0000; a corpus
@@ -515,30 +524,29 @@ def rank_window_candidates(
     Parity with the exact kernel is pinned by pytest and the
     registered recall query.
 
-    The malformed arm is belt-and-braces, not load-bearing: a
-    malformed code's hops (−1) is the global MINIMUM, so by the same
-    level argument any top-k malformed pair already ranks top-k on
-    dot+hav against ALL clients and is covered by the global arm;
-    the dedicated arm just keeps the worst case obvious (and the
-    malformed-codes pytest green without reasoning through that).
-
-    Mechanics: one frame holds clients and prospects exploded to
-    arms (lvl 0 = global, lvl p = p-char prefix block; one extra arm
-    collects malformed codes, whose hops is the constant −1 against
-    everyone).  A single window pass per (lvl, blk) assigns client
-    positions and prospect insertion points (count of clients
-    strictly before by the (angle, id) total order); candidates are
-    the clients in positions [ins−window+1, ins+window], fetched by
-    an equi-join on (lvl, blk, ⌊pos/window⌋) with the prospect
-    exploded to the ≤3 covering position blocks.
+    Mechanics: clients explode to their arms (lvl −1 = malformed
+    sentinel, else lvl 0 = global + lvl p = p-prefix block);
+    prospects probe every arm (−1, 0, 1..code_len).  Positions and
+    insertion points come from a DISTRIBUTED rank — the
+    ``dense_ids`` construction, not a per-(lvl, blk) window (whose
+    corpus-sized blocks would sort on a single task): range-partition
+    the union by (lvl, blk, angle, id, side), running-count clients
+    locally per partition, and add each (partition, lvl, blk)'s
+    exclusive prefix of client counts (a ≤(partitions + blocks)-row
+    broadcast).  A client is "before" a prospect iff strictly less by
+    (angle, id) — prospects sort before clients on full ties, exactly
+    the SQL oracle's strict-less comparator.  Candidates are the
+    clients in positions [ins−window+1, ins+window], fetched by an
+    equi-join on (lvl, blk, ⌊pos/window⌋) with the prospect exploded
+    to the ≤3 covering position blocks.
 
     Scale: candidates ≤ (code_len+2)·|L|·2·window — linear in the
     prospect count, independent of |R| (measured sf0.1→sf1: candidate
-    volume grows 10×, not 100×).  The window pass shuffles
-    (code_len+2)·(|L|+|R|) slim rows on bounded (lvl, blk) keys; the
-    skew cap is the global arm, whose single block is equal-depth
-    split by the position-block join key ⌊pos/window⌋."""
-    from pyspark.sql import Window
+    volume grows 10×, not 100×).  The rank pass shuffles
+    (code_len+2)·(|L|+|R|) slim rows via one range partitioning (no
+    single-task sort at any block size); the candidate join's skew
+    cap is the equal-depth position-block key ⌊pos/window⌋."""
+    spark = left.sparkSession
 
     nrm = F.sqrt(
         F.aggregate(
@@ -548,40 +556,95 @@ def rank_window_candidates(
         )
     )
     v1n = (F.element_at(F.col(vec_col), 2).cast("double") / nrm).alias("__v1n")
-    lvls = F.array(*[F.lit(i) for i in range(code_len + 1)])
-    malformed = F.length(F.col(naics_col)) != code_len
-    # lvl 0 = global arm (blk ''); lvl p = p-prefix block; malformed
-    # codes route to a dedicated arm at every lvl>0 slot's place via a
-    # single sentinel block (their hops is constant −1 vs everyone,
-    # one arm suffices — the explode keeps the plan uniform)
-    blk = F.when(F.col("__lvl") == 0, F.lit("")).otherwise(
-        F.when(malformed, F.lit(" __malformed")).otherwise(
-            F.expr(f"substring({naics_col}, 1, __lvl)")
-        )
+    # null-safe: NULL codes are malformed (length(NULL) != n is NULL,
+    # which F.when treats as false — the isNull arm catches it)
+    malformed = F.col(naics_col).isNull() | (
+        F.length(F.col(naics_col)) != code_len
+    )
+    all_lvls = F.array(*[F.lit(i) for i in range(-1, code_len + 1)])
+    wf_lvls = F.array(*[F.lit(i) for i in range(code_len + 1)])
+    mal_lvls = F.array(F.lit(-1))
+    blk = (
+        F.when(F.col("__lvl") == -1, F.lit(" __malformed"))
+        .when(F.col("__lvl") == 0, F.lit(""))
+        .otherwise(F.expr(f"substring({naics_col}, 1, __lvl)"))
     )
     cli = (
-        right.select(
-            F.col(right_id).alias("__id"), v1n, F.col(naics_col)
+        right.select(F.col(right_id).alias("__id"), v1n, F.col(naics_col))
+        .select(
+            "__id",
+            "__v1n",
+            naics_col,
+            F.explode(F.when(malformed, mal_lvls).otherwise(wf_lvls)).alias(
+                "__lvl"
+            ),
         )
-        .select("__id", "__v1n", naics_col, F.explode(lvls).alias("__lvl"))
-        .select("__id", "__v1n", "__lvl", blk.alias("__blk"), F.lit(1).alias("__isc"))
+        .select(
+            "__id", "__v1n", "__lvl", blk.alias("__blk"), F.lit(1).alias("__isc")
+        )
     )
+    # prospects probe EVERY arm (a malformed prospect's lvl>=1 probes
+    # carry junk/NULL prefixes — NULL keys drop from the equi-join,
+    # junk prefixes only add candidates; its coverage is the lvl -1
+    # and lvl 0 arms, where its hops is the constant -1)
     pro = (
         left.select(F.col(left_id).alias("__id"), v1n, F.col(naics_col))
-        .select("__id", "__v1n", naics_col, F.explode(lvls).alias("__lvl"))
-        .select("__id", "__v1n", "__lvl", blk.alias("__blk"), F.lit(0).alias("__isc"))
+        .select(
+            "__id",
+            "__v1n",
+            naics_col,
+            F.explode(all_lvls).alias("__lvl"),
+        )
+        .select(
+            "__id", "__v1n", "__lvl", blk.alias("__blk"), F.lit(0).alias("__isc")
+        )
+        .filter(F.col("__blk").isNotNull())
     )
-    u = cli.unionByName(pro)
-    order = Window.partitionBy("__lvl", "__blk").orderBy("__v1n", "__id")
-    pos = F.sum("__isc").over(
-        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    n_parts = spark.sparkContext.defaultParallelism
+    # persisted so the sampled range boundaries are identical in the
+    # offsets pass and the join pass (the dense_ids caveat); the
+    # registry-level clearCache owns the lifetime
+    u = (
+        cli.unionByName(pro)
+        .repartitionByRange(
+            n_parts, "__lvl", "__blk", "__v1n", "__id", "__isc"
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
-    ranked = u.select(
+    # exclusive prefix of client counts per (lvl, blk) across the
+    # range partitions: <= (partitions + blocks) metadata rows
+    counts = (
+        u.groupBy("__pid", "__lvl", "__blk")
+        .agg(F.sum("__isc").alias("__c"))
+        .collect()
+    )
+    off_rows, running, prev = [], 0, None
+    for r in sorted(counts, key=lambda r: (r["__lvl"], r["__blk"], r["__pid"])):
+        key = (r["__lvl"], r["__blk"])
+        if key != prev:
+            running, prev = 0, key
+        off_rows.append((r["__pid"], r["__lvl"], r["__blk"], running))
+        running += r["__c"] or 0
+    offsets = spark.createDataFrame(
+        off_rows or [(0, 0, "", 0)],
+        "__pid int, __lvl int, __blk string, __off long",
+    )
+    from pyspark.sql import Window
+
+    local = Window.partitionBy("__pid", "__lvl", "__blk").orderBy(
+        "__v1n", "__id", "__isc"
+    )
+    pos = F.col("__off") + F.sum("__isc").over(
+        local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = u.join(F.broadcast(offsets), ["__pid", "__lvl", "__blk"]).select(
         "__id", "__lvl", "__blk", "__isc", pos.alias("__pos")
     )
-    # clients: __pos is their 1-based rank among clients (their own
-    # __isc included); prospects: __pos = #clients strictly before
-    # (the running sum excludes nothing of theirs — __isc 0)
+    # clients: __pos is their 1-based rank among the arm's clients by
+    # (angle, id); prospects: __pos = #clients strictly before by the
+    # same order (__isc sorts prospects BEFORE clients on full ties,
+    # so a tied client is NOT counted — the strict-less comparator)
     clis_pos = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
         "__lvl",
@@ -688,7 +751,11 @@ def hybrid_topk_pruned(
         # accumulate strictly left-to-right) but stays inside
         # whole-stage codegen instead of per-element lambda eval —
         # the HOF path was measured ~3x slower on the 1e8-candidate
-        # sf1 scoring pass
+        # sf1 scoring pass.  Precondition: array<double> vectors (as
+        # l2_normalize emits) — for array<float> this path casts each
+        # element BEFORE the multiply (exact product) while the HOF
+        # fold multiplies in float32 first, so scores could differ by
+        # ULPs; the parity pytest runs on the double-typed pipeline
         dot = F.element_at("__lvec", 1).cast("double") * F.element_at(
             "__rvec", 1
         ).cast("double")

@@ -226,10 +226,11 @@ def test_rank_window_matches_exact_kernel(spark, sf_dir):
     cand = rank_window_candidates(
         pros, clis, "tgt_custkey", "src_custkey", window=64
     )
-    # linear candidate bound: (code_len + 1) arms x 2·window per
-    # prospect (the malformed arm is empty on this data)
+    # linear candidate bound: (code_len + 2) arms (malformed, global,
+    # 6 prefix levels) x 2·window per prospect; on this clean-code
+    # data the malformed arm is empty so 7 arms suffice
     n_pros = pros.count()
-    assert cand.count() <= 7 * n_pros * 128
+    assert cand.count() <= 8 * n_pros * 128
     ranked = hybrid_topk_pruned(
         pros, clis, "tgt_custkey", "src_custkey",
         k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
@@ -332,3 +333,21 @@ def test_rank_window_covers_malformed_codes(spark):
     a = {(r[0], r[1]) for r in got.select("tgt", "src").collect()}
     b = {(r[0], r[1]) for r in want.select("tgt", "src").collect()}
     assert a == b and len(a) > 0
+
+
+def test_rank_window_empty_sides(spark):
+    """Empty prospect or client relations must flow through the
+    rank-window path as empty outputs (window functions over empty
+    frames, no crashes)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_candidates,
+    )
+
+    schema = "id long, naics string, vec array<double>, lat double, lon double"
+    full = spark.createDataFrame(
+        [(1, "520100", [0.6, 0.8], 1.0, 2.0)], schema
+    )
+    empty = spark.createDataFrame([], schema)
+    assert rank_window_candidates(empty, full, "id", "id").count() == 0
+    assert rank_window_candidates(full, empty, "id", "id").count() == 0
+    assert rank_window_candidates(empty, empty, "id", "id").count() == 0
