@@ -547,7 +547,26 @@ def rank_window_candidates(
     single-task sort at any block size); the candidate join's skew
     cap is the equal-depth position-block key ⌊pos/window⌋."""
     spark = left.sparkSession
+    cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
+    pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
+    ranked = _distributed_rank(cli.unionByName(pro), spark)
+    clis_pos = ranked.filter(F.col("__isc") == 1).select(
+        F.col("__id").alias("__rid"),
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__cpos"),
+        F.floor((F.col("__pos") - 1) / window).alias("__wb"),
+    )
+    pros_ins = ranked.filter(F.col("__isc") == 0).select(
+        F.col("__id").alias("__tid"),
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__ins"),
+    )
+    return _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
 
+
+def _v1n_expr(vec_col: str):
     nrm = F.sqrt(
         F.aggregate(
             F.col(vec_col).cast("array<double>"),
@@ -555,22 +574,44 @@ def rank_window_candidates(
             lambda a, x: a + x * x,
         )
     )
-    v1n = (F.element_at(F.col(vec_col), 2).cast("double") / nrm).alias("__v1n")
+    return (F.element_at(F.col(vec_col), 2).cast("double") / nrm).alias(
+        "__v1n"
+    )
+
+
+def _malformed_expr(naics_col: str, code_len: int):
     # null-safe: NULL codes are malformed (length(NULL) != n is NULL,
     # which F.when treats as false — the isNull arm catches it)
-    malformed = F.col(naics_col).isNull() | (
+    return F.col(naics_col).isNull() | (
         F.length(F.col(naics_col)) != code_len
     )
-    all_lvls = F.array(*[F.lit(i) for i in range(-1, code_len + 1)])
-    wf_lvls = F.array(*[F.lit(i) for i in range(code_len + 1)])
-    mal_lvls = F.array(F.lit(-1))
-    blk = (
+
+
+def _blk_expr(naics_col: str):
+    return (
         F.when(F.col("__lvl") == -1, F.lit(" __malformed"))
         .when(F.col("__lvl") == 0, F.lit(""))
         .otherwise(F.expr(f"substring({naics_col}, 1, __lvl)"))
     )
-    cli = (
-        right.select(F.col(right_id).alias("__id"), v1n, F.col(naics_col))
+
+
+def _arm_clients(
+    right: DataFrame,
+    right_id: str,
+    vec_col: str,
+    naics_col: str,
+    code_len: int,
+) -> DataFrame:
+    """Clients exploded to their arms: malformed codes go ONLY to the
+    lvl −1 sentinel arm; well-formed codes to lvl 0 (global) + every
+    p-prefix arm."""
+    wf_lvls = F.array(*[F.lit(i) for i in range(code_len + 1)])
+    mal_lvls = F.array(F.lit(-1))
+    malformed = _malformed_expr(naics_col, code_len)
+    return (
+        right.select(
+            F.col(right_id).alias("__id"), _v1n_expr(vec_col), F.col(naics_col)
+        )
         .select(
             "__id",
             "__v1n",
@@ -580,40 +621,69 @@ def rank_window_candidates(
             ),
         )
         .select(
-            "__id", "__v1n", "__lvl", blk.alias("__blk"), F.lit(1).alias("__isc")
+            "__id",
+            "__v1n",
+            "__lvl",
+            _blk_expr(naics_col).alias("__blk"),
+            F.lit(1).alias("__isc"),
         )
     )
-    # prospects probe EVERY arm (a malformed prospect's lvl>=1 probes
-    # carry junk/NULL prefixes — NULL keys drop from the equi-join,
-    # junk prefixes only add candidates; its coverage is the lvl -1
-    # and lvl 0 arms, where its hops is the constant -1)
-    pro = (
-        left.select(F.col(left_id).alias("__id"), v1n, F.col(naics_col))
+
+
+def _arm_prospects(
+    left: DataFrame,
+    left_id: str,
+    vec_col: str,
+    naics_col: str,
+    code_len: int,
+) -> DataFrame:
+    """Prospects probe EVERY arm (a malformed prospect's lvl>=1 probes
+    carry junk/NULL prefixes — NULL keys drop from the equi-join, junk
+    prefixes only add candidates; its coverage is the lvl −1 and lvl 0
+    arms, where its hops is the constant −1)."""
+    all_lvls = F.array(*[F.lit(i) for i in range(-1, code_len + 1)])
+    return (
+        left.select(
+            F.col(left_id).alias("__id"), _v1n_expr(vec_col), F.col(naics_col)
+        )
+        .select(
+            "__id", "__v1n", naics_col, F.explode(all_lvls).alias("__lvl")
+        )
         .select(
             "__id",
             "__v1n",
-            naics_col,
-            F.explode(all_lvls).alias("__lvl"),
-        )
-        .select(
-            "__id", "__v1n", "__lvl", blk.alias("__blk"), F.lit(0).alias("__isc")
+            "__lvl",
+            _blk_expr(naics_col).alias("__blk"),
+            F.lit(0).alias("__isc"),
         )
         .filter(F.col("__blk").isNotNull())
     )
+
+
+def _distributed_rank(u: DataFrame, spark) -> DataFrame:
+    """Running client-count per (lvl, blk) in (angle, id, side) order,
+    WITHOUT a per-block window (corpus-sized blocks would sort on one
+    task): the dense_ids construction — one range partitioning, local
+    running sums, and a ≤(partitions + blocks)-row broadcast of
+    exclusive prefix offsets.  Prospects sort before clients on full
+    (angle, id) ties, so a tied client is NOT counted — the SQL
+    oracle's strict-less comparator.  Returns
+    (__id, __v1n, __lvl, __blk, __isc, __pos) where __pos is a
+    client's 1-based rank among the arm's clients, or a prospect's
+    insertion count."""
+    from pyspark.sql import Window
+
     n_parts = spark.sparkContext.defaultParallelism
     # persisted so the sampled range boundaries are identical in the
     # offsets pass and the join pass (the dense_ids caveat); the
     # registry-level clearCache owns the lifetime
     u = (
-        cli.unionByName(pro)
-        .repartitionByRange(
+        u.repartitionByRange(
             n_parts, "__lvl", "__blk", "__v1n", "__id", "__isc"
         )
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
-    # exclusive prefix of client counts per (lvl, blk) across the
-    # range partitions: <= (partitions + blocks) metadata rows
     counts = (
         u.groupBy("__pid", "__lvl", "__blk")
         .agg(F.sum("__isc").alias("__c"))
@@ -630,52 +700,42 @@ def rank_window_candidates(
         off_rows or [(0, 0, "", 0)],
         "__pid int, __lvl int, __blk string, __off long",
     )
-    from pyspark.sql import Window
-
     local = Window.partitionBy("__pid", "__lvl", "__blk").orderBy(
         "__v1n", "__id", "__isc"
     )
     pos = F.col("__off") + F.sum("__isc").over(
         local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = u.join(F.broadcast(offsets), ["__pid", "__lvl", "__blk"]).select(
-        "__id", "__lvl", "__blk", "__isc", pos.alias("__pos")
+    return u.join(F.broadcast(offsets), ["__pid", "__lvl", "__blk"]).select(
+        "__id", "__v1n", "__lvl", "__blk", "__isc", pos.alias("__pos")
     )
-    # clients: __pos is their 1-based rank among the arm's clients by
-    # (angle, id); prospects: __pos = #clients strictly before by the
-    # same order (__isc sorts prospects BEFORE clients on full ties,
-    # so a tied client is NOT counted — the strict-less comparator)
-    clis_pos = ranked.filter(F.col("__isc") == 1).select(
-        F.col("__id").alias("__rid"),
+
+
+def _window_fetch(
+    pros_ins: DataFrame,
+    clis_pos: DataFrame,
+    window: int,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Fetch the clients in positions [ins−window+1, ins+window] via an
+    equi-join on (lvl, blk, ⌊pos/window⌋), the prospect exploded to the
+    ≤3 covering position blocks."""
+    probes = pros_ins.select(
+        "__tid",
         "__lvl",
         "__blk",
-        F.col("__pos").alias("__cpos"),
-        F.floor((F.col("__pos") - 1) / window).alias("__wb"),
-    )
-    pros_ins = (
-        ranked.filter(F.col("__isc") == 0)
-        .select(
-            F.col("__id").alias("__tid"),
-            "__lvl",
-            "__blk",
-            F.col("__pos").alias("__ins"),
-        )
-        .select(
-            "__tid",
-            "__lvl",
-            "__blk",
-            "__ins",
-            F.explode(
-                F.array(
-                    F.floor(F.col("__ins") / window) - 1,
-                    F.floor(F.col("__ins") / window),
-                    F.floor(F.col("__ins") / window) + 1,
-                )
-            ).alias("__wb"),
-        )
+        "__ins",
+        F.explode(
+            F.array(
+                F.floor(F.col("__ins") / window) - 1,
+                F.floor(F.col("__ins") / window),
+                F.floor(F.col("__ins") / window) + 1,
+            )
+        ).alias("__wb"),
     )
     return (
-        pros_ins.join(clis_pos, ["__lvl", "__blk", "__wb"])
+        probes.join(clis_pos, ["__lvl", "__blk", "__wb"])
         .filter(
             F.col("__cpos").between(
                 F.col("__ins") - window + 1, F.col("__ins") + window
@@ -686,6 +746,140 @@ def rank_window_candidates(
         )
         .distinct()
     )
+
+
+def rank_window_index(
+    right: DataFrame,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    window: int = 64,
+    code_len: int = CODE_LEN,
+) -> DataFrame:
+    """Build the PERSISTABLE client-side index of the rank-window peer
+    search — the serving-path split (same pattern as the incremental
+    dedup's persisted band-key index): rank the client corpus ONCE,
+    write/cache the result, and let :func:`rank_window_probe` answer
+    per-prospect (or per-micro-batch) lookups without re-ranking
+    anything.
+
+    Returns one row per (client, arm): ``(__rid, __v1n, __lvl, __blk,
+    __cpos, __wb)`` — the client's 1-based angle-rank within the arm
+    and its window-block id.  Positions are DENSE per (lvl, blk), so
+    every window block below an arm's last is exactly ``window`` rows
+    — the fact the probe's offset arithmetic relies on.
+
+    Scale: (code_len+1)·|R| slim rows, ranked by the distributed
+    dense_ids construction (no single-task sort); write it
+    partitioned/bucketed by (lvl, blk) for pruned probe I/O."""
+    spark = right.sparkSession
+    cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
+    ranked = _distributed_rank(cli, spark)
+    return ranked.select(
+        F.col("__id").alias("__rid"),
+        "__v1n",
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__cpos"),
+        F.floor((F.col("__pos") - 1) / window).alias("__wb"),
+    )
+
+
+def rank_window_probe(
+    left: DataFrame,
+    index: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    window: int = 64,
+    code_len: int = CODE_LEN,
+) -> DataFrame:
+    """Probe a :func:`rank_window_index` with a prospect batch and
+    return the SAME candidate pairs as the batch
+    :func:`rank_window_candidates` (pytest-pinned set equality) —
+    WITHOUT touching the client corpus beyond the probed window
+    blocks.  Per-row independent, so it composes with streaming
+    (``foreachBatch`` or a stream-static join per micro-batch) and
+    splitting the prospect set across batches cannot change any
+    prospect's candidates.
+
+    Insertion point from the index alone: window blocks are dense
+    (``base = wb·window`` clients strictly below block ``wb``), so
+    ``ins = swb·window + |{clients in block swb with key < k}|`` where
+    ``swb`` is the last block whose FIRST key ≤ k — found against a
+    broadcast ≤|R|/window-row block-summary, then one ≤window-row
+    partial count.  The strict-less comparator on (angle, id) is the
+    batch path's exactly.
+
+    Scale: the block summary is |R|·(code_len+1)/window rows
+    (broadcast); each prospect touches ≤3 window blocks of the index
+    plus one straddling block — at serving batch sizes that is an
+    index lookup, not a corpus pass."""
+    pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
+    blocks = index.groupBy("__lvl", "__blk", "__wb").agg(
+        F.min(F.struct("__v1n", F.col("__rid").alias("__id"))).alias("__lo")
+    )
+    k_lt = lambda a_v, a_i, b_v, b_i: (a_v < b_v) | (  # noqa: E731
+        (a_v == b_v) & (a_i < b_i)
+    )
+    # straddling block: max wb whose first key <= prospect key
+    straddle = (
+        pro.join(
+            F.broadcast(blocks),
+            ["__lvl", "__blk"],
+        )
+        .filter(
+            ~k_lt(
+                F.col("__v1n"),
+                F.col("__id"),
+                F.col("__lo.__v1n"),
+                F.col("__lo.__id"),
+            )
+        )
+        .groupBy("__id", "__v1n", "__lvl", "__blk")
+        .agg(F.max("__wb").alias("__swb"))
+    )
+    # partial count inside the straddling block (<= window rows/probe)
+    idx_s = index.select(
+        "__lvl",
+        "__blk",
+        F.col("__wb").alias("__swb"),
+        F.col("__v1n").alias("__cv"),
+        "__rid",
+    )
+    partial = (
+        straddle.join(idx_s, ["__lvl", "__blk", "__swb"])
+        .filter(
+            k_lt(
+                F.col("__cv"),
+                F.col("__rid"),
+                F.col("__v1n"),
+                F.col("__id"),
+            )
+        )
+        .groupBy("__id", "__lvl", "__blk", "__swb")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    pros_ins = (
+        pro.join(straddle.select("__id", "__lvl", "__blk", "__swb"),
+                 ["__id", "__lvl", "__blk"], "left")
+        .join(partial.select("__id", "__lvl", "__blk", "__cnt"),
+              ["__id", "__lvl", "__blk"], "left")
+        .select(
+            F.col("__id").alias("__tid"),
+            "__lvl",
+            "__blk",
+            # no block with first key <= k -> the prospect precedes
+            # every client: ins = 0 (swb and cnt both null-coalesce)
+            (
+                F.coalesce(F.col("__swb"), F.lit(0)) * window
+                + F.coalesce("__cnt", F.lit(0))
+            ).alias("__ins"),
+        )
+    )
+    clis_pos = index.select("__rid", "__lvl", "__blk", "__cpos", "__wb")
+    return _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
 
 
 def hybrid_topk_pruned(

@@ -351,3 +351,84 @@ def test_rank_window_empty_sides(spark):
     assert rank_window_candidates(empty, full, "id", "id").count() == 0
     assert rank_window_candidates(full, empty, "id", "id").count() == 0
     assert rank_window_candidates(empty, empty, "id", "id").count() == 0
+
+
+def test_index_probe_matches_batch_candidates(spark, sf_dir):
+    """The serving-path split (rank_window_index + rank_window_probe)
+    must produce the IDENTICAL candidate set as the one-shot batch
+    rank_window_candidates, and be invariant to splitting the
+    prospect set across probe batches (per-row independence — the
+    micro-batch contract)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_candidates,
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    pros, clis = _sf_sides(spark, sf_dir)
+    batch = rank_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", window=64
+    )
+    index = rank_window_index(clis, "src_custkey", window=64).cache()
+    probe = rank_window_probe(
+        pros, index, "tgt_custkey", "src_custkey", window=64
+    )
+    a = {(r[0], r[1]) for r in batch.collect()}
+    b = {(r[0], r[1]) for r in probe.collect()}
+    assert a == b and len(a) > 0
+    # split invariance: two half-batches probe to the same union
+    h1 = rank_window_probe(
+        pros.filter(F.col("tgt_custkey") % 2 == 0), index,
+        "tgt_custkey", "src_custkey", window=64,
+    )
+    h2 = rank_window_probe(
+        pros.filter(F.col("tgt_custkey") % 2 != 0), index,
+        "tgt_custkey", "src_custkey", window=64,
+    )
+    c = {(r[0], r[1]) for r in h1.collect()} | {
+        (r[0], r[1]) for r in h2.collect()
+    }
+    assert c == a
+    index.unpersist()
+
+
+def test_index_probe_matches_batch_on_malformed_codes(spark):
+    """Index/probe parity must hold with NULL/short/long codes too —
+    the malformed arm and the ins=0 (prospect-before-all-clients)
+    edge both live in this fixture."""
+    import math
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_candidates,
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    def naics(i):
+        if i % 11 == 0:
+            return None
+        if i % 7 == 0:
+            return "52"
+        return f"52{i % 3}1{i % 4}0"
+
+    rows = [
+        (
+            i,
+            naics(i),
+            [math.cos(0.1 + 1.3 * i / 90), math.sin(0.1 + 1.3 * i / 90)],
+            float(i % 50),
+            float(i % 80),
+        )
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, naics string, vec array<double>, lat double, lon double"
+    )
+    pros = df.filter(F.col("id") % 4 == 0).withColumnRenamed("id", "tgt")
+    clis = df.filter(F.col("id") % 4 != 0).withColumnRenamed("id", "src")
+    batch = rank_window_candidates(pros, clis, "tgt", "src", window=8)
+    index = rank_window_index(clis, "src", window=8)
+    probe = rank_window_probe(pros, index, "tgt", "src", window=8)
+    a = {(r[0], r[1]) for r in batch.collect()}
+    b = {(r[0], r[1]) for r in probe.collect()}
+    assert a == b and len(a) > 0
