@@ -547,6 +547,8 @@ def rank_window_candidates(
     single-task sort at any block size); the candidate join's skew
     cap is the equal-depth position-block key ⌊pos/window⌋."""
     spark = left.sparkSession
+    _require_dim2(right, vec_col, "rank_window_candidates(right)")
+    _require_dim2(left, vec_col, "rank_window_candidates(left)")
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli.unionByName(pro), spark)
@@ -564,6 +566,27 @@ def rank_window_candidates(
         F.col("__pos").alias("__ins"),
     )
     return _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
+
+
+def _require_dim2(df: DataFrame, vec_col: str, who: str) -> None:
+    """Fail LOUDLY when the rank-window path is handed vectors it
+    cannot order correctly.  ``_v1n_expr`` uses component 2 of the
+    normalized vector as the angle proxy — a total order that matches
+    the dot product ONLY for 2-D non-negative vectors.  Before this
+    guard, a caller passing 64-dim embeddings got silently wrong
+    candidates (low recall, no error); now misuse raises at plan-build
+    time with a pointer at the high-dim operators.  Empty inputs pass
+    (``probe_dim`` returns None; downstream yields empty results)."""
+    dim = probe_dim(df, vec_col)
+    if dim is not None and dim != 2:
+        raise ValueError(
+            f"{who}: rank-window candidates order clients by "
+            f"element_at({vec_col}, 2)/||{vec_col}|| — exact only for "
+            f"2-D non-negative vectors, but '{vec_col}' has dim={dim}. "
+            "For higher-dim embeddings use the ANN operators instead "
+            "(ann_lsh_topk / ivf / ivfpq in operators/similarity.py, "
+            "operators/pq.py)."
+        )
 
 
 def _v1n_expr(vec_col: str):
@@ -674,15 +697,22 @@ def _distributed_rank(u: DataFrame, spark) -> DataFrame:
     from pyspark.sql import Window
 
     n_parts = spark.sparkContext.defaultParallelism
-    # persisted so the sampled range boundaries are identical in the
-    # offsets pass and the join pass (the dense_ids caveat); the
-    # registry-level clearCache owns the lifetime
+    # localCheckpoint (NOT persist): the collected offsets are only
+    # valid against the exact partition ids the offsets pass saw.  A
+    # persist()ed frame can silently RECOMPUTE on executor loss —
+    # re-sampling range boundaries and reassigning spark_partition_id
+    # while the already-collected offsets are stale, i.e. silently
+    # wrong positions.  localCheckpoint truncates lineage: the ranked
+    # layout either survives as materialized blocks or the job FAILS
+    # loudly — never desynchronizes.  Blocks live outside the
+    # CacheManager and are reclaimed by the ContextCleaner once the
+    # result frame is garbage-collected (no clearCache dependence).
     u = (
         u.repartitionByRange(
             n_parts, "__lvl", "__blk", "__v1n", "__id", "__isc"
         )
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     counts = (
         u.groupBy("__pid", "__lvl", "__blk")
@@ -773,6 +803,7 @@ def rank_window_index(
     dense_ids construction (no single-task sort); write it
     partitioned/bucketed by (lvl, blk) for pruned probe I/O."""
     spark = right.sparkSession
+    _require_dim2(right, vec_col, "rank_window_index(right)")
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli, spark)
     return ranked.select(
@@ -816,6 +847,7 @@ def rank_window_probe(
     (broadcast); each prospect touches ≤3 window blocks of the index
     plus one straddling block — at serving batch sizes that is an
     index lookup, not a corpus pass."""
+    _require_dim2(left, vec_col, "rank_window_probe(left)")
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
     blocks = index.groupBy("__lvl", "__blk", "__wb").agg(
         F.min(F.struct("__v1n", F.col("__rid").alias("__id"))).alias("__lo")
@@ -940,6 +972,26 @@ def hybrid_topk_pruned(
         F.col(lon_col).alias("__rlon"),
     )
     if dim is not None:
+        # Validate dim against the ACTUAL vector length before taking
+        # the unrolled path: element_at beyond the array is NULL (a
+        # too-large dim would NULL every score) and a too-small dim
+        # would silently TRUNCATE the dot product — both diverging
+        # from the HOF fold this path claims bit-parity with.  One
+        # limit-1 probe per side at plan-build time, loud on mismatch.
+        for side, df_side in (("left", left), ("right", right)):
+            actual = probe_dim(df_side, vec_col)
+            if actual is not None and actual != dim:
+                raise ValueError(
+                    f"hybrid_topk_pruned: dim={dim} but the {side} "
+                    f"side's '{vec_col}' vectors have dim={actual} — "
+                    "the unrolled dot would "
+                    + (
+                        "silently truncate the product"
+                        if actual > dim
+                        else "NULL every score (element_at past end)"
+                    )
+                    + "; pass the true dim or dim=None for the HOF fold."
+                )
         # unrolled codegen dot: bit-identical to the HOF fold below
         # ((0.0 + x) == x in IEEE for products of reals, and both
         # accumulate strictly left-to-right) but stays inside

@@ -681,11 +681,15 @@ def _rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_window_candidates,
     )
 
-    # persisted: the firmographics subtree (scan + min/max stats agg +
-    # normalize) feeds both candidate arms AND both scoring sides —
-    # uncached it re-runs ~6× (plan audit).  Registry-level clearCache
-    # owns the lifetime.
-    firmo = _firmographics(spark, sf_dir).persist()
+    # localCheckpoint: the firmographics subtree (scan + min/max stats
+    # agg + normalize) feeds both candidate arms AND both scoring
+    # sides — unmaterialized it re-runs ~6× (plan audit).  Checkpoint
+    # blocks live outside the CacheManager and are reclaimed by the
+    # ContextCleaner when the result frame is GC'd, so repeated
+    # DIRECT calls (tests, notebooks, serving loops) cannot
+    # accumulate cached frames the way persist() did (round-9 advice);
+    # registry dispatch additionally clearCache()s on entry.
+    firmo = _firmographics(spark, sf_dir).localCheckpoint()
     prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
     )
@@ -725,7 +729,16 @@ def _rank_cte() -> str:
     the clients within ±window positions.  The correlated insertion
     count is O(|pros|·levels·|clis|) — fine at oracle scale, and it
     replays Spark's running-sum insertion EXACTLY (same strict-less
-    comparator on (v1n, c_custkey))."""
+    comparator on (v1n, c_custkey)).
+
+    DATA INVARIANT this CTE relies on: ``_firmographics`` synthesizes
+    always-well-formed 6-char NAICS codes, so the oracle omits the
+    Spark path's malformed arm (lvl −1) and NULL/length handling —
+    levels 0..6 cover everything.  If a future fixture ever emits
+    NULL or non-6-char codes, extend ``lvls``/``blk`` with the −1
+    sentinel arm (see ``_arm_clients``) BEFORE chasing a confusing
+    hash mismatch; the Spark side already handles malformed codes
+    (pytest ``test_rank_window_covers_malformed_codes``)."""
     w = _RANK_WINDOW
     return f"""
     varr AS (SELECT c_custkey, c_name, naics, lat, lon, v0, v1,

@@ -432,3 +432,57 @@ def test_index_probe_matches_batch_on_malformed_codes(spark):
     a = {(r[0], r[1]) for r in batch.collect()}
     b = {(r[0], r[1]) for r in probe.collect()}
     assert a == b and len(a) > 0
+
+
+def test_rank_window_rejects_non_2d_vectors(spark):
+    """Round-10 advice: the angle proxy (element_at(vec, 2)/norm) is a
+    total order matching dot only for 2-D non-negative vectors.  A
+    caller handing 3-D+ vectors to any rank-window entry point must
+    get a LOUD ValueError at plan-build time — not silently low-recall
+    candidates."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_candidates,
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    df = _firmo(spark, 24)  # 3-dim vectors
+    pros = df.filter(F.col("id") % 4 == 0).withColumnRenamed("id", "tgt")
+    clis = df.filter(F.col("id") % 4 != 0).withColumnRenamed("id", "src")
+    with pytest.raises(ValueError, match="dim=3"):
+        rank_window_candidates(pros, clis, "tgt", "src")
+    with pytest.raises(ValueError, match="dim=3"):
+        rank_window_index(clis, "src")
+    empty_index = spark.createDataFrame(
+        [],
+        "__rid long, __v1n double, __lvl int, __blk string, "
+        "__cpos long, __wb long",
+    )
+    with pytest.raises(ValueError, match="dim=3"):
+        rank_window_probe(pros, empty_index, "tgt", "src")
+    # the error must route users somewhere useful
+    with pytest.raises(ValueError, match="ANN operators"):
+        rank_window_index(clis, "src")
+
+
+def test_pruned_dim_mismatch_raises(spark):
+    """Round-10 advice: hybrid_topk_pruned(dim=N) must validate N
+    against the actual vector length — a too-small dim silently
+    truncated the dot, a too-large dim NULLed every score."""
+    df = _firmo(spark, 24)  # 3-dim vectors
+    pros = df.filter(F.col("id") % 4 == 0).withColumnRenamed("id", "tgt")
+    clis = df.filter(F.col("id") % 4 != 0).withColumnRenamed("id", "src")
+    cand = pros.select(F.col("tgt")).crossJoin(clis.select("src")).limit(5)
+    with pytest.raises(ValueError, match="truncate"):
+        hybrid_topk_pruned(
+            pros, clis, "tgt", "src", dim=2, candidates=cand
+        )
+    with pytest.raises(ValueError, match="NULL every score"):
+        hybrid_topk_pruned(
+            pros, clis, "tgt", "src", dim=7, candidates=cand
+        )
+    # matching dim still works
+    out = hybrid_topk_pruned(
+        pros, clis, "tgt", "src", dim=3, candidates=cand, k=3
+    )
+    assert out.count() > 0
