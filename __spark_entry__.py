@@ -147,11 +147,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for n in QUERIES
         if (n in hash_ok or n in rows_only) and n not in pinned
     ]
-    if pool:
-        # rotate by a stride coprime-ish to the pool size so successive
-        # rounds sample disjoint slices of the verified set
-        off = (latest_round * 37) % len(pool)
-        pool = pool[off:] + pool[:off]
+    # STALENESS-ordered (round-9 verdict #5): oldest driver evidence
+    # first, so the sample window always resamples the queries whose
+    # last green is most stale — each pass refreshes their last_pass,
+    # which rotates them to the back naturally.  The old stride
+    # rotation sampled disjoint slices but could leave a query
+    # unrefreshed for ~len(pool)/50 rounds regardless of staleness.
+    # Tie-break on registration order (dict order) for determinism.
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+    pool.sort(key=lambda n: (last_pass.get(n, 0), reg_order[n]))
     ordered = fresh + pinned + pool
     return {n: QUERIES[n] for n in ordered}
 

@@ -676,19 +676,18 @@ def peer_search_pruned_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANK_WINDOW = 256
 
 
-def _rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prod_recommendation_pyspark_spark.operators.hybrid import (
-        rank_window_candidates,
-    )
-
-    # localCheckpoint: the firmographics subtree (scan + min/max stats
-    # agg + normalize) feeds both candidate arms AND both scoring
-    # sides — unmaterialized it re-runs ~6× (plan audit).  Checkpoint
-    # blocks live outside the CacheManager and are reclaimed by the
-    # ContextCleaner when the result frame is GC'd, so repeated
-    # DIRECT calls (tests, notebooks, serving loops) cannot
-    # accumulate cached frames the way persist() did (round-9 advice);
-    # registry dispatch additionally clearCache()s on entry.
+def _rank_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(prospects, clients) for the rank-window queries, on a
+    localCheckpointed firmographics subtree: the scan + min/max stats
+    agg + normalize feeds both candidate arms AND both scoring sides —
+    unmaterialized it re-runs ~6× (plan audit).  Checkpoint blocks
+    live outside the CacheManager and are reclaimed by the
+    ContextCleaner when the result frames are GC'd, so repeated
+    DIRECT calls (tests, notebooks, serving loops) cannot accumulate
+    cached frames the way persist() did (round-9 advice); registry
+    dispatch additionally clearCache()s on entry."""
     firmo = _firmographics(spark, sf_dir).localCheckpoint()
     prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
@@ -696,6 +695,15 @@ def _rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients = firmo.filter(F.col("c_custkey") % 10 != 0).select(
         F.col("c_custkey").alias("src_custkey"), "vec", "naics", "lat", "lon"
     )
+    return prospects, clients
+
+
+def _rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_candidates,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
     cand = rank_window_candidates(
         prospects,
         clients,
@@ -826,6 +834,85 @@ def peer_search_rank_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (search_ranking_peers.py:489-494,606-613)."""
     return (
         _rank_spark(spark, sf_dir)
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "peer_search_probe_parity",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte()}
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM rank_ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def peer_search_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING-PATH twin of ``peer_search_rank_window_topk``: rank the
+    client corpus ONCE into the persistable index
+    (operators/hybrid.py::rank_window_index), then answer the prospect
+    set in TWO independent probe batches
+    (operators/hybrid.py::rank_window_probe) — the index/probe split a
+    nightly-built, intraday-served deployment runs, and the shape the
+    streaming micro-batch twin reuses per batch.  The probed
+    candidates are scored and top-15'd exactly like the batch path,
+    so the FULL VALUE ORACLE is the same rank-window CTE: a hash-green
+    row proves (a) the index's dense per-arm positions, (b) the
+    probe's block-summary insertion arithmetic, and (c) batch-split
+    invariance (splitting prospects across probes changes nothing —
+    the probe is per-row independent by construction) end-to-end
+    against an independent SQL replay, not merely against the batch
+    Spark path.
+
+    Scale: the index is (code_len+1)·|R| slim rows built by the
+    distributed rank (no single-task sort); each probe batch touches
+    a broadcast block summary (|index|/window rows) plus ≤4 window
+    blocks per (prospect, arm) — index-lookup I/O, independent of
+    corpus size.  Reference anchor: the per-batch scoring loop this
+    serves online, search_ranking_peers.py:489-494,536-559."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
+    # build once; localCheckpoint = the "persisted nightly artifact"
+    # stand-in (three index references per probe × two probes below)
+    index = rank_window_index(
+        clients, "src_custkey", window=_RANK_WINDOW
+    ).localCheckpoint()
+    batches = [
+        prospects.filter(F.col("tgt_custkey") % 20 == 0),
+        prospects.filter(F.col("tgt_custkey") % 20 != 0),
+    ]
+    probed = [
+        rank_window_probe(
+            b, index, "tgt_custkey", "src_custkey", window=_RANK_WINDOW
+        )
+        for b in batches
+    ]
+    cand = probed[0].unionByName(probed[1])
+    return (
+        hybrid_topk_pruned(
+            prospects,
+            clients,
+            "tgt_custkey",
+            "src_custkey",
+            vec_col="vec",
+            naics_col="naics",
+            lat_col="lat",
+            lon_col="lon",
+            k=TOPK_PEERS,
+            threshold=THRESHOLD,
+            w_hops=W_HOPS,
+            w_havs=W_HAVS,
+            candidates=cand,
+            dim=2,
+        )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
         )
