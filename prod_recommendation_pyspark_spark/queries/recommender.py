@@ -18,7 +18,9 @@ from prod_recommendation_pyspark_spark.operators.relational import windowed_topk
 from prod_recommendation_pyspark_spark.queries.registry import register
 from prod_recommendation_pyspark_spark.recommender.als import (
     ALSConfig,
+    load_model,
     recommend_topn,
+    save_model,
     train_als,
 )
 from prod_recommendation_pyspark_spark.recommender.ratings import (
@@ -406,6 +408,102 @@ def als_recommend_topn_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("nd") == F.col("n")).alias("items_distinct_ok"),
         (F.sum("u_bad") == 0).alias("users_known_ok"),
         (F.sum("i_bad") == 0).alias("items_known_ok"),
+    )
+
+
+@register(
+    "als_saveload_recommend_contract",
+    sql=f"""
+    WITH {_USAGE_SQL},
+    acc AS (SELECT custkey, partkey FROM usage GROUP BY custkey, partkey)
+    SELECT (SELECT count(DISTINCT custkey) FROM acc) AS n_users,
+           TRUE AS saveload_parity_ok,
+           TRUE AS rows_per_user_ok,
+           TRUE AS nonneg_ok,
+           TRUE AS items_distinct_ok
+    """,
+)
+def als_saveload_recommend_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Stage-2 → Stage-3 OPERATIONAL handoff under driver evidence
+    (round-9 verdict #6): train the ALS model, ``save_model`` it to an
+    artifact path, ``load_model`` it back the way a separate inference
+    job would (recommender_prod_rec.py:261-269 writes files that
+    inference_postprocess.py:37-38 re-reads — here the artifact is the
+    factor matrices, not materialized recommendations), and emit one
+    row proving
+
+    - ``saveload_parity_ok``: the loaded model's top-10 per user is
+      IDENTICAL (pair-for-pair, bit-exact ratings — factors round-trip
+      exactly through parquet, no re-fit on load) to the in-process
+      model's, via one full-outer join;
+    - the loaded artifact SERVES correctly: 10 rows per user,
+      nonnegative scores, no duplicate item per user;
+    - ``n_users``: one model user per distinct rating user — the only
+      data-dependent value, which DuckDB recomputes from the usage
+      CTE.
+
+    The aggregates are collected eagerly (one row) so the temp
+    artifact can be removed before returning; everything upstream of
+    that single-row collect is distributed.  Complements the pytest
+    (tests/test_recommender.py::test_save_load_recommend_parity) with
+    a driver-facing hash check."""
+    import shutil
+    import tempfile
+
+    usage = _usage(spark, sf_dir)
+    rated = percent_rank_ratings(usage, "custkey", "partkey", "quantity")
+    acc = accumulated_volume(
+        rated, "custkey", "partkey", "rating", out_col="acc"
+    ).persist()
+    als_input, user_map, item_map = dense_id_ratings(acc, "custkey", "partkey", "acc")
+    model = train_als(als_input.cache(), ALSConfig())
+    path = tempfile.mkdtemp(prefix="als_saveload_contract_")
+    try:
+        save_model(model, path)
+        loaded = load_model(path)
+        mem = recommend_topn(model, 10, user_map, item_map).select(
+            "custkey", "partkey", F.col("rating").cast("double").alias("rm")
+        )
+        ld = recommend_topn(loaded, 10, user_map, item_map).select(
+            "custkey", "partkey", F.col("rating").cast("double").alias("rl")
+        )
+        joined = mem.join(ld, ["custkey", "partkey"], "full")
+        mismatch = F.sum(
+            (
+                F.col("rm").isNull()
+                | F.col("rl").isNull()
+                | (F.col("rm") != F.col("rl"))
+            ).cast("int")
+        )
+        per_user = ld.groupBy("custkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rl").alias("mn"),
+            F.countDistinct("partkey").alias("nd"),
+        )
+        shape = per_user.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            ((F.min("n") == 10) & (F.max("n") == 10)).alias("rows_ok"),
+            (F.min("mn") >= 0.0).alias("nonneg_ok"),
+            F.every(F.col("nd") == F.col("n")).alias("distinct_ok"),
+        ).first()
+        n_mismatch = joined.agg(mismatch.alias("m")).first()["m"] or 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        acc.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                shape["n_users"],
+                bool(n_mismatch == 0),
+                bool(shape["rows_ok"]),
+                bool(shape["nonneg_ok"]),
+                bool(shape["distinct_ok"]),
+            )
+        ],
+        "n_users long, saveload_parity_ok boolean, rows_per_user_ok boolean, "
+        "nonneg_ok boolean, items_distinct_ok boolean",
     )
 
 
