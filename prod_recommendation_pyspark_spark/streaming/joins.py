@@ -152,3 +152,75 @@ def streaming_incremental_dedup(
     return banded.join(store, ["band", "key"], "inner").select(
         id_col, "corpus_id", "band"
     )
+
+
+def streaming_peer_serving(
+    prospects_stream: DataFrame,
+    index: DataFrame,
+    clients: DataFrame,
+    left_id: str,
+    right_id: str,
+    emit,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    window: int = 64,
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = 0.399,
+    w_havs: float = 0.001,
+):
+    """Streaming serving loop for the rank-window peer search: per
+    micro-batch of arriving prospects, probe the STATIC persisted
+    client index (``operators/hybrid.py::rank_window_index`` — the
+    nightly artifact), exact-score the probed candidates against the
+    static client attributes, keep the per-prospect top-k, and hand
+    the scored frame to ``emit(df, batch_id)`` (an idempotent sink —
+    same contract as the foreachBatch CDC maintenance sink in
+    ``streaming/maintenance.py``).
+
+    Why foreachBatch and not a plain stream-static join:
+    ``rank_window_probe`` needs two groupBys (straddling-block max,
+    partial count) and the top-k needs a window function — streaming
+    aggregation restrictions (one agg, no windows in append mode)
+    rule the direct plan out, while per-batch the frames are static
+    and the full batch operators run unchanged.  CORRECTNESS under
+    batching is free: the probe is per-row independent and each
+    prospect arrives in exactly one micro-batch, so the union of
+    per-batch top-k IS the batch path's top-k (pytest-pinned
+    streamed≡batch parity).
+
+    Scale: each micro-batch touches a broadcast block summary
+    (|index|/window rows) plus ≤4 window blocks per (prospect, arm) —
+    index-lookup I/O, independent of corpus size; the probe's dim
+    guard costs one limit-1 job per batch.  State: NONE (no streaming
+    aggregation, no watermark) — the index and client attributes are
+    static sides, re-read (or cached) per batch.  Returns the started
+    ``StreamingQuery``."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        rank_window_probe,
+    )
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cand = rank_window_probe(
+            batch_df, index, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col, window=window,
+        )
+        topk = hybrid_topk_pruned(
+            batch_df, clients, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            candidates=cand, dim=2,
+        )
+        emit(topk, batch_id)
+
+    return (
+        prospects_stream.writeStream.foreachBatch(_serve)
+        .outputMode("update")
+        .start()
+    )

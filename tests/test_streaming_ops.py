@@ -483,3 +483,79 @@ def test_streaming_pq_encode_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) == emb.count() * 4
+
+
+def test_streaming_peer_serving_matches_batch(spark):
+    """The foreachBatch peer-serving loop (probe the static rank-window
+    index per micro-batch of prospects) must emit EXACTLY the batch
+    path's per-prospect top-k — per-row independence means batching
+    cannot change any prospect's result.  Multiple micro-batches are
+    forced via maxFilesPerTrigger=1 over two staged files."""
+    import os
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        rank_window_candidates,
+        rank_window_index,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _firmographics,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_peer_serving,
+    )
+
+    firmo = _firmographics(spark, SF_SMOKE).localCheckpoint()
+    pros = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt"), "vec", "naics", "lat", "lon"
+    )
+    clis = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"), "vec", "naics", "lat", "lon"
+    )
+    index = rank_window_index(clis, "src", window=32).localCheckpoint()
+
+    # stage prospects as two files -> two micro-batches
+    d = tempfile.mkdtemp(prefix="peer_serve_")
+    pros.filter(F.col("tgt") % 20 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/a")
+    pros.filter(F.col("tgt") % 20 != 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/b")
+    flat = tempfile.mkdtemp(prefix="peer_serve_flat_")
+    n = 0
+    for sub in ("a", "b"):
+        for f in os.listdir(f"{d}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{d}/{sub}/{f}", f"{flat}/part-{n}.parquet")
+                n += 1
+    assert n == 2
+
+    stream = (
+        spark.readStream.schema(pros.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    got_rows = []
+    batch_ids = []
+
+    def emit(df, batch_id):
+        batch_ids.append(batch_id)
+        got_rows.extend(df.collect())
+
+    q = streaming_peer_serving(
+        stream, index, clis, "tgt", "src", emit, window=32, k=5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batch_ids) >= 2  # really ran as multiple micro-batches
+
+    cand = rank_window_candidates(pros, clis, "tgt", "src", window=32)
+    want = hybrid_topk_pruned(
+        pros, clis, "tgt", "src", candidates=cand, dim=2, k=5
+    ).collect()
+    got = {(r["tgt"], r["src"], round(r["score"], 9)) for r in got_rows}
+    exp = {(r["tgt"], r["src"], round(r["score"], 9)) for r in want}
+    assert got == exp and len(got) > 0
