@@ -472,6 +472,55 @@ def hybrid_candidates(
     return cand.distinct()
 
 
+#: Allowed derived-window values: powers of two from 64 up.  A ladder
+#: (not raw 2·max_needed) keeps the derivation STABLE — a ±1 wobble in
+#: the sampled statistic (e.g. an oracle replaying the same derivation
+#: with ULP-different scores) almost never crosses a rung, and when it
+#: does both windows exceed the true need so the final top-k is
+#: identical anyway.
+RANK_WINDOW_LADDER = tuple(64 << i for i in range(15))
+
+
+def _ladder_window(target: int) -> int:
+    for w in RANK_WINDOW_LADDER:
+        if w >= target:
+            return w
+    raise ValueError(
+        f"derived rank window target {target} exceeds the ladder max "
+        f"{RANK_WINDOW_LADDER[-1]} — the corpus' tie density makes the "
+        "sorted-neighborhood prune degenerate; use the exact kernel "
+        "(hybrid_topk) for this data."
+    )
+
+
+def _needed_window_stats(
+    pairs: DataFrame, pros_ins: DataFrame, clis_pos: DataFrame
+) -> tuple[int, int | None]:
+    """(n_pairs, max_needed) over calibration pairs: for each true
+    top-k pair, the MINIMUM window (over every arm where prospect and
+    client co-occur — global, each shared-prefix level, malformed)
+    that would make the client a candidate: the pair is fetched iff
+    cpos ∈ [ins − w + 1, ins + w] at SOME shared arm, i.e.
+    w ≥ min over arms of max(ins − cpos + 1, cpos − ins)."""
+    need = (
+        pairs.join(pros_ins, "__tid")
+        .join(clis_pos.drop("__wb"), ["__rid", "__lvl", "__blk"])
+        .groupBy("__tid", "__rid")
+        .agg(
+            F.min(
+                F.greatest(
+                    F.col("__ins") - F.col("__cpos") + 1,
+                    F.col("__cpos") - F.col("__ins"),
+                )
+            ).alias("__need")
+        )
+    )
+    row = need.agg(
+        F.count(F.lit(1)).alias("n"), F.max("__need").alias("mx")
+    ).first()
+    return int(row["n"]), (None if row["mx"] is None else int(row["mx"]))
+
+
 def rank_window_candidates(
     left: DataFrame,
     right: DataFrame,
@@ -479,8 +528,15 @@ def rank_window_candidates(
     right_id: str,
     vec_col: str = "vec",
     naics_col: str = "naics",
-    window: int = 64,
+    window: int | None = 64,
     code_len: int = CODE_LEN,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    sample_mod: int = 500,
 ) -> DataFrame:
     """LINEAR-candidate generation for the hybrid peer score — the
     asymptotic replacement for :func:`hybrid_candidates`, whose two
@@ -545,25 +601,59 @@ def rank_window_candidates(
     volume grows 10×, not 100×).  The rank pass shuffles
     (code_len+2)·(|L|+|R|) slim rows via one range partitioning (no
     single-task sort at any block size); the candidate join's skew
-    cap is the equal-depth position-block key ⌊pos/window⌋."""
+    cap is the equal-depth position-block key ⌊pos/window⌋.
+
+    ``window=None`` DERIVES the window from the data instead of
+    pinning a constant (the round-9 pinned 256 was a scale landmine of
+    the same species as round 8's bucket count — the exact-recall
+    window grows with angle-tie density, so any constant is wrong at
+    some corpus): a deterministic prospect sample
+    (``left_id % sample_mod == 0`` — numeric ids) is exact-scored
+    against the whole corpus (ONE linear pass, |sample|·|R| dots —
+    the cost of the exact kernel on a tiny left side), each true
+    top-k pair's minimum required window across its shared arms is
+    read off the already-built rank, and the window is
+    max-need × 2 (out-of-sample safety pad) rounded up the
+    power-of-two ladder, floor 64.  Measured (SCALE.md round-10
+    appendix): true global need 15 → 23 → ~100 at sf0.01/0.1/1 while
+    the padded derivation stays ≥ it at every scale; the derivation
+    is an ESTIMATOR with measured margin, not a worst-case bound —
+    the worst case (every client tied at one angle) degenerates to
+    corpus-sized windows, which ``_ladder_window`` turns into a loud
+    error instead of a silent quadratic plan."""
     spark = left.sparkSession
     _require_dim2(right, vec_col, "rank_window_candidates(right)")
     _require_dim2(left, vec_col, "rank_window_candidates(left)")
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli.unionByName(pro), spark)
-    clis_pos = ranked.filter(F.col("__isc") == 1).select(
+    clis_base = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
         "__lvl",
         "__blk",
         F.col("__pos").alias("__cpos"),
-        F.floor((F.col("__pos") - 1) / window).alias("__wb"),
     )
     pros_ins = ranked.filter(F.col("__isc") == 0).select(
         F.col("__id").alias("__tid"),
         "__lvl",
         "__blk",
         F.col("__pos").alias("__ins"),
+    )
+    if window is None:
+        sample = left.filter(F.col(left_id) % sample_mod == 0)
+        exact = hybrid_topk(
+            sample, right, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+        )
+        pairs = exact.select(
+            F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+        )
+        _, mx = _needed_window_stats(pairs, pros_ins, clis_base)
+        window = _ladder_window(max(64, 2 * (mx or 0)))
+    clis_pos = clis_base.withColumn(
+        "__wb", F.floor((F.col("__cpos") - 1) / window)
     )
     return _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
 
@@ -776,6 +866,86 @@ def _window_fetch(
         )
         .distinct()
     )
+
+
+def derive_rank_window_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    sample_mod: int = 500,
+    code_len: int = CODE_LEN,
+) -> dict:
+    """STANDALONE window derivation — for :func:`rank_window_index`
+    builds (derive once at index time; probes must reuse the index's
+    window) and the registered derivation-evidence query.  Same
+    estimator as ``rank_window_candidates(window=None)``: exact-score
+    a deterministic prospect sample (``left_id % sample_mod == 0``)
+    against the whole corpus — ONE linear |sample|·|R| pass — read
+    each true top-k pair's minimum required window off a rank of the
+    full client corpus plus only the sampled prospects, then pad ×2
+    and round up the power-of-two ladder (floor 64).
+
+    Returns ``{"n_sampled", "n_pairs", "max_needed", "window"}``
+    (``max_needed`` None when the sample yields no pairs — window
+    falls to the 64 floor; at corpora small enough to sample nothing,
+    64 is ≥ the measured exact-recall need by a wide margin)."""
+    spark = left.sparkSession
+    _require_dim2(right, vec_col, "derive_rank_window_stats(right)")
+    _require_dim2(left, vec_col, "derive_rank_window_stats(left)")
+    sample = left.filter(F.col(left_id) % sample_mod == 0)
+    cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
+    pro = _arm_prospects(sample, left_id, vec_col, naics_col, code_len)
+    ranked = _distributed_rank(cli.unionByName(pro), spark)
+    clis_base = ranked.filter(F.col("__isc") == 1).select(
+        F.col("__id").alias("__rid"),
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__cpos"),
+    )
+    pros_ins = ranked.filter(F.col("__isc") == 0).select(
+        F.col("__id").alias("__tid"),
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__ins"),
+    )
+    exact = hybrid_topk(
+        sample, right, left_id, right_id,
+        vec_col=vec_col, naics_col=naics_col,
+        lat_col=lat_col, lon_col=lon_col,
+        k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+    )
+    pairs = exact.select(
+        F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+    )
+    n_pairs, mx = _needed_window_stats(pairs, pros_ins, clis_base)
+    return {
+        "n_sampled": sample.count(),
+        "n_pairs": n_pairs,
+        "max_needed": mx,
+        "window": _ladder_window(max(64, 2 * (mx or 0))),
+    }
+
+
+def derive_rank_window(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    **kwargs,
+) -> int:
+    """The derived window alone — see :func:`derive_rank_window_stats`."""
+    return derive_rank_window_stats(left, right, left_id, right_id, **kwargs)[
+        "window"
+    ]
 
 
 def rank_window_index(
