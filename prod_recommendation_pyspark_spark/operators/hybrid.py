@@ -493,6 +493,40 @@ def _ladder_window(target: int) -> int:
     )
 
 
+def _derivation_sample(
+    left: DataFrame, left_id: str, sample_mod: int, min_sample: int = 8
+) -> tuple[DataFrame, int, int]:
+    """Deterministic calibration sample for the window derivation:
+    ``left_id % mod == 0``, WIDENED (mod halved) until it holds at
+    least ``min_sample`` prospects (or all of them) — at small corpora
+    ``left_id % 500 == 0`` picks 1-3 rows, and a max-statistic
+    estimated from a near-empty sample is noise, not evidence.
+
+    Returns ``(sample, n_sampled, used_mod)``.  Fails LOUDLY when the
+    sample stays empty at mod 1 on a non-empty left — ids that are
+    NULL or non-numeric make ``% mod`` null out the filter silently,
+    which would otherwise masquerade as "derived window = floor":
+    pass an explicit ``window=`` for such ids instead."""
+    n_left = left.count()
+    if n_left == 0:
+        return left, 0, sample_mod
+    mod = max(1, sample_mod)
+    while True:
+        sample = left.filter(F.col(left_id) % mod == 0)
+        n = sample.count()
+        if n >= min(min_sample, n_left) or mod == 1:
+            break
+        mod = max(1, mod // 2)
+    if n == 0:
+        raise ValueError(
+            f"window derivation sample is EMPTY at mod=1 on a "
+            f"{n_left}-row left — '{left_id}' % mod is null for every "
+            "row (NULL or non-numeric ids). The derivation needs "
+            "numeric ids; pass an explicit window= instead."
+        )
+    return sample, n, mod
+
+
 def _needed_window_stats(
     pairs: DataFrame, pros_ins: DataFrame, clis_pos: DataFrame
 ) -> tuple[int, int | None]:
@@ -537,6 +571,7 @@ def rank_window_candidates(
     w_hops: float = DEFAULT_W_HOPS,
     w_havs: float = DEFAULT_W_HAVS,
     sample_mod: int = 500,
+    min_window: int = 64,
 ) -> DataFrame:
     """LINEAR-candidate generation for the hybrid peer score — the
     asymptotic replacement for :func:`hybrid_candidates`, whose two
@@ -608,19 +643,27 @@ def rank_window_candidates(
     the same species as round 8's bucket count — the exact-recall
     window grows with angle-tie density, so any constant is wrong at
     some corpus): a deterministic prospect sample
-    (``left_id % sample_mod == 0`` — numeric ids) is exact-scored
-    against the whole corpus (ONE linear pass, |sample|·|R| dots —
-    the cost of the exact kernel on a tiny left side), each true
-    top-k pair's minimum required window across its shared arms is
-    read off the already-built rank, and the window is
+    (``left_id % sample_mod == 0`` — numeric ids; the mod HALVES
+    itself until the sample holds ≥8 prospects, and an empty sample
+    on a non-empty left raises instead of silently deriving the
+    floor) is exact-scored against the whole corpus (ONE linear pass,
+    |sample|·|R| dots — the cost of the exact kernel on a tiny left
+    side), each true top-k pair's minimum required window across its
+    shared arms is read off the already-built rank, and the window is
     max-need × 2 (out-of-sample safety pad) rounded up the
-    power-of-two ladder, floor 64.  Measured (SCALE.md round-10
-    appendix): true global need 15 → 23 → ~100 at sf0.01/0.1/1 while
-    the padded derivation stays ≥ it at every scale; the derivation
-    is an ESTIMATOR with measured margin, not a worst-case bound —
-    the worst case (every client tied at one angle) degenerates to
+    power-of-two ladder, floor ``min_window`` (default 64; production
+    callers floor at the measured-exact 256 so derivation can only
+    RAISE the window, never lower it below the proven constant).
+    Measured (SCALE.md round-11 appendix): sampled max-need
+    15 → 16 → 78 at sf0.01/0.1/1, deriving window 64 → 64 → 256 —
+    landing exactly on the measured-exact 256 at sf1, where the
+    pinned-64 floor reads recall 0.9924 — with end-to-end recall
+    1.0000 vs the exact kernel at all three scales; the derivation is
+    an ESTIMATOR with measured margin, not a worst-case bound — the
+    worst case (every client tied at one angle) degenerates to
     corpus-sized windows, which ``_ladder_window`` turns into a loud
-    error instead of a silent quadratic plan."""
+    error instead of a silent quadratic plan (tie-heavy fixture +
+    overflow pytests in test_hybrid_guards.py)."""
     spark = left.sparkSession
     _require_dim2(right, vec_col, "rank_window_candidates(right)")
     _require_dim2(left, vec_col, "rank_window_candidates(left)")
@@ -640,18 +683,21 @@ def rank_window_candidates(
         F.col("__pos").alias("__ins"),
     )
     if window is None:
-        sample = left.filter(F.col(left_id) % sample_mod == 0)
-        exact = hybrid_topk(
-            sample, right, left_id, right_id,
-            vec_col=vec_col, naics_col=naics_col,
-            lat_col=lat_col, lon_col=lon_col,
-            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-        )
-        pairs = exact.select(
-            F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
-        )
-        _, mx = _needed_window_stats(pairs, pros_ins, clis_base)
-        window = _ladder_window(max(64, 2 * (mx or 0)))
+        sample, n_sampled, _ = _derivation_sample(left, left_id, sample_mod)
+        if n_sampled:
+            exact = hybrid_topk(
+                sample, right, left_id, right_id,
+                vec_col=vec_col, naics_col=naics_col,
+                lat_col=lat_col, lon_col=lon_col,
+                k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            )
+            pairs = exact.select(
+                F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+            )
+            _, mx = _needed_window_stats(pairs, pros_ins, clis_base)
+        else:
+            mx = None  # empty left: any window yields the empty result
+        window = _ladder_window(max(min_window, 2 * (mx or 0)))
     clis_pos = clis_base.withColumn(
         "__wb", F.floor((F.col("__cpos") - 1) / window)
     )
@@ -883,25 +929,30 @@ def derive_rank_window_stats(
     w_havs: float = DEFAULT_W_HAVS,
     sample_mod: int = 500,
     code_len: int = CODE_LEN,
+    min_window: int = 64,
 ) -> dict:
     """STANDALONE window derivation — for :func:`rank_window_index`
     builds (derive once at index time; probes must reuse the index's
     window) and the registered derivation-evidence query.  Same
     estimator as ``rank_window_candidates(window=None)``: exact-score
-    a deterministic prospect sample (``left_id % sample_mod == 0``)
+    a deterministic prospect sample (``left_id % sample_mod == 0``,
+    auto-widened to ≥8 prospects — :func:`_derivation_sample`)
     against the whole corpus — ONE linear |sample|·|R| pass — read
     each true top-k pair's minimum required window off a rank of the
     full client corpus plus only the sampled prospects, then pad ×2
-    and round up the power-of-two ladder (floor 64).
+    and round up the power-of-two ladder (floor ``min_window``).
 
-    Returns ``{"n_sampled", "n_pairs", "max_needed", "window"}``
-    (``max_needed`` None when the sample yields no pairs — window
-    falls to the 64 floor; at corpora small enough to sample nothing,
-    64 is ≥ the measured exact-recall need by a wide margin)."""
+    Returns ``{"n_sampled", "n_pairs", "max_needed", "window",
+    "sample_mod"}`` (``max_needed`` None when the sample yields no
+    pairs — window falls to the floor; at corpora small enough to
+    sample nothing, the floor is ≥ the measured exact-recall need by
+    a wide margin)."""
     spark = left.sparkSession
     _require_dim2(right, vec_col, "derive_rank_window_stats(right)")
     _require_dim2(left, vec_col, "derive_rank_window_stats(left)")
-    sample = left.filter(F.col(left_id) % sample_mod == 0)
+    sample, n_sampled, used_mod = _derivation_sample(
+        left, left_id, sample_mod
+    )
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     pro = _arm_prospects(sample, left_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli.unionByName(pro), spark)
@@ -928,10 +979,11 @@ def derive_rank_window_stats(
     )
     n_pairs, mx = _needed_window_stats(pairs, pros_ins, clis_base)
     return {
-        "n_sampled": sample.count(),
+        "n_sampled": n_sampled,
         "n_pairs": n_pairs,
         "max_needed": mx,
-        "window": _ladder_window(max(64, 2 * (mx or 0))),
+        "window": _ladder_window(max(min_window, 2 * (mx or 0))),
+        "sample_mod": used_mod,
     }
 
 
@@ -964,14 +1016,21 @@ def rank_window_index(
     anything.
 
     Returns one row per (client, arm): ``(__rid, __v1n, __lvl, __blk,
-    __cpos, __wb)`` — the client's 1-based angle-rank within the arm
-    and its window-block id.  Positions are DENSE per (lvl, blk), so
-    every window block below an arm's last is exactly ``window`` rows
-    — the fact the probe's offset arithmetic relies on.
+    __cpos, __wb, __w)`` — the client's 1-based angle-rank within the
+    arm, its window-block id, and the BUILD WINDOW as a constant
+    metadata column.  Positions are DENSE per (lvl, blk), so every
+    window block below an arm's last is exactly ``window`` rows — the
+    fact the probe's offset arithmetic relies on; ``__w`` is what lets
+    :func:`rank_window_probe` verify (or derive) the window it must
+    use — a probe with a mismatched window silently fetches wrong
+    neighborhoods, so the window travels WITH the artifact.
 
     Scale: (code_len+1)·|R| slim rows, ranked by the distributed
     dense_ids construction (no single-task sort); write it
-    partitioned/bucketed by (lvl, blk) for pruned probe I/O."""
+    partitioned by ``__lvl`` (NOT by ``__blk``: the global arm's block
+    id is the empty string, which Hive-style partition paths round-trip
+    as NULL — pytest-pinned parquet round-trip) and sorted/bucketed by
+    (__blk, __wb) within files for pruned probe I/O."""
     spark = right.sparkSession
     _require_dim2(right, vec_col, "rank_window_index(right)")
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
@@ -983,7 +1042,40 @@ def rank_window_index(
         "__blk",
         F.col("__pos").alias("__cpos"),
         F.floor((F.col("__pos") - 1) / window).alias("__wb"),
+        F.lit(int(window)).alias("__w"),
     )
+
+
+def _resolve_probe_window(index: DataFrame, window: int | None) -> int:
+    """Window the probe MUST use = the window the index was built
+    with: ``ins = swb·window + cnt`` and the ``__wb`` equi-join are
+    silently wrong on any other value (round-10 advice).  Indexes
+    carry it as the ``__w`` metadata column; this reads it (one
+    limit-1 job) and either returns it (``window=None`` — derive) or
+    asserts equality (explicit ``window`` — validate).  Pre-round-11
+    indexes without ``__w`` require an explicit window."""
+    if "__w" in index.columns:
+        row = index.select("__w").first()
+        if row is None:  # empty index: every window yields empty
+            return window if window is not None else 64
+        iw = int(row["__w"])
+        if window is None:
+            return iw
+        if int(window) != iw:
+            raise ValueError(
+                f"rank_window_probe: window={window} does not match "
+                f"the index's build window __w={iw} — probing with a "
+                "mismatched window silently fetches wrong "
+                "neighborhoods. Pass window=None to use the index's."
+            )
+        return iw
+    if window is None:
+        raise ValueError(
+            "rank_window_probe: window=None but the index carries no "
+            "__w metadata column (pre-round-11 artifact) — pass the "
+            "window the index was built with explicitly."
+        )
+    return int(window)
 
 
 def rank_window_probe(
@@ -993,7 +1085,7 @@ def rank_window_probe(
     right_id: str,
     vec_col: str = "vec",
     naics_col: str = "naics",
-    window: int = 64,
+    window: int | None = None,
     code_len: int = CODE_LEN,
 ) -> DataFrame:
     """Probe a :func:`rank_window_index` with a prospect batch and
@@ -1016,8 +1108,14 @@ def rank_window_probe(
     Scale: the block summary is |R|·(code_len+1)/window rows
     (broadcast); each prospect touches ≤3 window blocks of the index
     plus one straddling block — at serving batch sizes that is an
-    index lookup, not a corpus pass."""
+    index lookup, not a corpus pass.
+
+    ``window=None`` (the default) reads the window off the index's
+    ``__w`` metadata column; an explicit ``window`` is VALIDATED
+    against it — a mismatch raises instead of silently fetching wrong
+    neighborhoods (round-10 advice)."""
     _require_dim2(left, vec_col, "rank_window_probe(left)")
+    window = _resolve_probe_window(index, window)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
     blocks = index.groupBy("__lvl", "__blk", "__wb").agg(
         F.min(F.struct("__v1n", F.col("__rid").alias("__id"))).alias("__lo")

@@ -698,7 +698,15 @@ def _rank_sides(
     return prospects, clients
 
 
-def _rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rank_spark(
+    spark: SparkSession, sf_dir: str, window: int | None = None,
+    min_window: int = 64,
+) -> DataFrame:
+    """Shared body of the rank-window queries.  ``window=None`` runs
+    the data-driven derivation (floor ``min_window``); the production
+    query passes ``min_window=_RANK_WINDOW`` — derive-then-floor, so
+    the derivation can only RAISE the window above the measured-exact
+    256, never lower it (round-10 verdict #2)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         rank_window_candidates,
     )
@@ -709,7 +717,12 @@ def _rank_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         clients,
         "tgt_custkey",
         "src_custkey",
-        window=_RANK_WINDOW,
+        window=window,
+        min_window=min_window,
+        k=TOPK_PEERS,
+        threshold=THRESHOLD,
+        w_hops=W_HOPS,
+        w_havs=W_HAVS,
     )
     return hybrid_topk_pruned(
         prospects,
@@ -830,10 +843,59 @@ def peer_search_rank_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCALE.md; at sf1 window 64 reads 0.9924 — 256 is the measured
     exact point, at 17× the top-k).
 
+    Round 11: the window is now DERIVED from the data and floored at
+    the measured-exact 256 (derive-then-floor — the derivation can
+    only raise the window when a denser corpus needs more, never
+    lower it below the proven constant; the pure-derived path is
+    registered separately as ``rank_window_derived_parity``).  The
+    oracle CTE replays the pinned-256 candidates; both windows exceed
+    the true need at every measured scale (SCALE.md round-11
+    appendix), so the top-15 is window-invariant and the hash still
+    pins full value equality.
+
     Reference anchor: the MIN_BATCH loop this replaces
     (search_ranking_peers.py:489-494,606-613)."""
     return (
-        _rank_spark(spark, sf_dir)
+        _rank_spark(spark, sf_dir, window=None, min_window=_RANK_WINDOW)
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "rank_window_derived_parity",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte()}
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM rank_ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def rank_window_derived_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DERIVATION-evidence twin of ``peer_search_rank_window_topk``
+    (round-10 verdict #1b): run the PURE data-derived window —
+    ``rank_window_candidates(window=None)``, floor 64, no 256 pin —
+    and pin the top-15 under the SAME full value oracle.  The oracle
+    CTE generates candidates at the pinned 256; the derivation
+    (operators/hybrid.py::derive_rank_window_stats — deterministic
+    sample, auto-widened mod, max-need ×2, power-of-two ladder) must
+    land a window that, like 256, exceeds the corpus' true need, so
+    the final top-15 is IDENTICAL and hash-checkable.  A hash-green
+    row therefore proves the estimator end-to-end: sampling, the
+    min-need read-off from the shared rank, the ladder rounding, and
+    exact recall of the resulting window — against an independent SQL
+    replay, not against the Spark batch path.
+
+    Measured (SCALE.md round-11 appendix): sampled max-need
+    15 → 16 → 78 at sf0.01/sf0.1/sf1, deriving window 64 → 64 → 256
+    — the derivation rides the growing tie density and lands exactly
+    on the measured-exact 256 at sf1 (where the 64 floor reads recall
+    0.9924), with end-to-end recall 1.0000 at all three scales."""
+    return (
+        _rank_spark(spark, sf_dir, window=None)
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
         )
@@ -889,10 +951,11 @@ def peer_search_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         prospects.filter(F.col("tgt_custkey") % 20 == 0),
         prospects.filter(F.col("tgt_custkey") % 20 != 0),
     ]
+    # window intentionally NOT passed: the probe derives it from the
+    # index's __w metadata column (round-11 — the window travels WITH
+    # the artifact, so a mismatched probe is impossible by default)
     probed = [
-        rank_window_probe(
-            b, index, "tgt_custkey", "src_custkey", window=_RANK_WINDOW
-        )
+        rank_window_probe(b, index, "tgt_custkey", "src_custkey")
         for b in batches
     ]
     cand = probed[0].unionByName(probed[1])
@@ -913,6 +976,83 @@ def peer_search_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             candidates=cand,
             dim=2,
         )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "streaming_peer_serving_replay",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte()}
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM rank_ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def streaming_peer_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming serving loop REGISTERED under the full value
+    oracle (round-10 verdict #6; precedent:
+    ``streaming_e2e_hourly_counts``): prospects staged as three files
+    in a temp landing dir → ``readStream`` with maxFilesPerTrigger=1
+    (three real micro-batches) →
+    ``streaming/joins.py::streaming_peer_serving`` — per batch, probe
+    the static rank-window index (window DERIVED from its ``__w``
+    metadata), exact-score the probed candidates, top-15 — appending
+    each batch's output to a parquet sink; the sink is read back as
+    the result.  Because the probe is per-row independent and each
+    prospect lands in exactly one micro-batch, the unioned per-batch
+    top-15 IS the batch path's top-15 — so the same rank-window CTE
+    replays the whole loop, and a hash-green row pins the streaming
+    execution (file source batching, foreachBatch plumbing, sink
+    append), not just the operators it composes.
+
+    Scale: per micro-batch I/O is the broadcast block summary plus ≤4
+    index window-blocks per (prospect, arm) — independent of corpus
+    size (measured sf1: see SCALE.md round-11 appendix).  Reference
+    anchor: the per-batch scoring loop this serves online,
+    search_ranking_peers.py:536-559."""
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_peer_serving,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
+    index = rank_window_index(
+        clients, "src_custkey", window=_RANK_WINDOW
+    ).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="peer_serving_replay_")
+    landing, out = f"{base}/landing", f"{base}/out"
+    for i in range(3):  # three part files -> three micro-batches
+        prospects.filter(F.col("tgt_custkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(prospects.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def emit(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    q = streaming_peer_serving(
+        stream, index, clients, "tgt_custkey", "src_custkey", emit,
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out)
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
         )

@@ -30,6 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prod_recommendation_pyspark_spark.operators.hybrid import (
+    DEFAULT_W_HAVS,
+    DEFAULT_W_HOPS,
+)
+
 
 def split_clicks_views(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Project the two event-type substreams used by the attribution
@@ -165,11 +170,11 @@ def streaming_peer_serving(
     naics_col: str = "naics",
     lat_col: str = "lat",
     lon_col: str = "lon",
-    window: int = 64,
+    window: int | None = None,
     k: int = 15,
     threshold: float = 0.0,
-    w_hops: float = 0.399,
-    w_havs: float = 0.001,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
 ):
     """Streaming serving loop for the rank-window peer search: per
     micro-batch of arriving prospects, probe the STATIC persisted
@@ -191,17 +196,27 @@ def streaming_peer_serving(
     per-batch top-k IS the batch path's top-k (pytest-pinned
     streamed≡batch parity).
 
+    ``window=None`` (the default) resolves the window FROM the
+    index's ``__w`` metadata column at start; an explicit ``window``
+    is validated against it (round-10 advice: the probe's
+    ``ins = swb·window + cnt`` arithmetic is silently wrong on a
+    mismatched window — now it raises before the first batch).
+
     Scale: each micro-batch touches a broadcast block summary
     (|index|/window rows) plus ≤4 window blocks per (prospect, arm) —
     index-lookup I/O, independent of corpus size; the probe's dim
-    guard costs one limit-1 job per batch.  State: NONE (no streaming
-    aggregation, no watermark) — the index and client attributes are
-    static sides, re-read (or cached) per batch.  Returns the started
+    guard costs one limit-1 job per batch (the window is resolved
+    ONCE, not per batch).  State: NONE (no streaming aggregation, no
+    watermark) — the index and client attributes are static sides,
+    re-read (or cached) per batch.  Returns the started
     ``StreamingQuery``."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
+        _resolve_probe_window,
         hybrid_topk_pruned,
         rank_window_probe,
     )
+
+    window = _resolve_probe_window(index, window)
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -486,3 +486,199 @@ def test_pruned_dim_mismatch_raises(spark):
         pros, clis, "tgt", "src", dim=3, candidates=cand, k=3
     )
     assert out.count() > 0
+
+
+# ---------------------------------------------------------------------
+# Round-11: the window=None derivation under evidence (r10 verdict #1)
+
+
+def test_ladder_window_rungs_stability_and_overflow():
+    """The derived window snaps UP a power-of-two ladder: a ±1 wobble
+    in the sampled statistic almost never changes the window (only at
+    an exact rung edge, where both values exceed the true need anyway),
+    and a target beyond the ladder max raises LOUDLY instead of
+    planning a silently quadratic window."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        RANK_WINDOW_LADDER,
+        _ladder_window,
+    )
+
+    assert _ladder_window(1) == 64
+    assert _ladder_window(63) == 64
+    assert _ladder_window(64) == 64
+    assert _ladder_window(65) == 128
+    assert _ladder_window(129) == 256
+    # stability: every target strictly inside a rung's half-open span
+    # maps to that rung, so ±1 moves the window only at the edge
+    for rung in RANK_WINDOW_LADDER[1:4]:
+        lo = rung // 2 + 1
+        assert _ladder_window(lo) == rung
+        assert _ladder_window(lo + 1) == rung
+        assert _ladder_window(rung - 1) == rung
+        assert _ladder_window(rung) == rung
+    with pytest.raises(ValueError, match="exact kernel"):
+        _ladder_window(RANK_WINDOW_LADDER[-1] + 1)
+
+
+def _tie_heavy_sides(spark, n=240):
+    """Fixture whose ANGLE-TIE DENSITY defeats the 64 floor: every row
+    shares one vector (one giant tie run in the angle order) and one
+    NAICS block, while lat/lon scatter decides the true top-k — so a
+    true top-k client can sit ~|run| positions from the prospect's
+    insertion point and the required window grows to the tie count."""
+    rows = [
+        (
+            i,
+            "520100",
+            [0.6, 0.8],
+            float((i * 37) % 90),
+            float((i * 53) % 180),
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, naics string, vec array<double>, lat double, lon double"
+    )
+    pros = df.filter(F.col("id") % 4 == 0).withColumnRenamed("id", "tgt")
+    clis = df.filter(F.col("id") % 4 != 0).withColumnRenamed("id", "src")
+    return pros, clis
+
+
+def test_derived_window_beats_floor_and_matches_exact(spark):
+    """On a tie-heavy corpus the derivation must (a) RAISE the window
+    above the 64 floor (the floor would miss true top-k pairs here —
+    that is the scale landmine the derivation exists for) and (b) make
+    rank_window_candidates(window=None) reproduce the exact crossjoin
+    top-k, end to end."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        derive_rank_window_stats,
+        hybrid_topk_crossjoin,
+        rank_window_candidates,
+    )
+
+    pros, clis = _tie_heavy_sides(spark)
+    stats = derive_rank_window_stats(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0
+    )
+    assert stats["n_sampled"] >= 8  # the mod auto-widened
+    assert stats["sample_mod"] < 500
+    assert stats["n_pairs"] == 5 * stats["n_sampled"]
+    assert stats["max_needed"] is not None and stats["max_needed"] > 32
+    assert stats["window"] > 64
+    assert stats["window"] >= 2 * stats["max_needed"]
+    cand = rank_window_candidates(
+        pros, clis, "tgt", "src", window=None, k=5, threshold=-10.0
+    )
+    got = hybrid_topk_pruned(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0,
+        candidates=cand, dim=2,
+    )
+    want = hybrid_topk_crossjoin(pros, clis, "tgt", "src", k=5, threshold=-10.0)
+    a = {(r[0], r[1]) for r in got.select("tgt", "src").collect()}
+    b = {(r[0], r[1]) for r in want.select("tgt", "src").collect()}
+    assert a == b and len(a) > 0
+    # and the floor REALLY would have missed pairs (the derivation is
+    # load-bearing, not a no-op on this fixture)
+    floor_cand = rank_window_candidates(
+        pros, clis, "tgt", "src", window=64
+    )
+    floored = hybrid_topk_pruned(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0,
+        candidates=floor_cand, dim=2,
+    )
+    c = {(r[0], r[1]) for r in floored.select("tgt", "src").collect()}
+    assert c != b
+
+
+def test_derivation_min_window_floor(spark, sf_dir):
+    """min_window floors the derived window — the production
+    derive-then-floor hybrid can only RAISE the window above the
+    proven constant, never lower it."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        derive_rank_window_stats,
+    )
+
+    pros, clis = _sf_sides(spark, sf_dir)
+    stats = derive_rank_window_stats(
+        pros, clis, "tgt_custkey", "src_custkey", min_window=256
+    )
+    assert stats["window"] >= 256
+
+
+def test_derivation_sample_widens_and_raises_on_null_ids(spark):
+    """left_id % 500 picks ≤1 row at small scales — the sample must
+    auto-widen to ≥8 prospects; and all-NULL ids (the % filter nulls
+    out) must raise loudly instead of deriving the floor from an
+    empty sample."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        _derivation_sample,
+    )
+
+    schema = "id long, naics string, vec array<double>, lat double, lon double"
+    small = spark.createDataFrame(
+        [(i, "520100", [0.6, 0.8], 1.0, 2.0) for i in range(1, 61)], schema
+    )
+    sample, n, mod = _derivation_sample(small, "id", 500)
+    assert n >= 8 and mod < 500
+    nulls = spark.createDataFrame(
+        [(None, "520100", [0.6, 0.8], 1.0, 2.0) for _ in range(10)], schema
+    )
+    with pytest.raises(ValueError, match="numeric ids"):
+        _derivation_sample(nulls, "id", 500)
+    # empty left: no raise, empty sample (downstream floors the window)
+    empty = spark.createDataFrame([], schema)
+    _, n0, _ = _derivation_sample(empty, "id", 500)
+    assert n0 == 0
+
+
+def test_index_parquet_roundtrip_probe_parity(spark):
+    """The nightly-deployment contract: build the index, WRITE it to
+    parquet (partitioned by __lvl — NOT __blk, whose empty-string
+    global-arm value would Hive-roundtrip as NULL), read it back, and
+    probe with window=None (derived from the persisted __w metadata) —
+    candidates must equal the in-memory probe's exactly."""
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    pros, clis = _tie_heavy_sides(spark, n=120)
+    index = rank_window_index(clis, "src", window=16)
+    d = tempfile.mkdtemp(prefix="rank_window_index_")
+    try:
+        index.write.mode("overwrite").partitionBy("__lvl").parquet(d)
+        back = spark.read.parquet(d)
+        assert {r["__w"] for r in back.select("__w").distinct().collect()} == {16}
+        mem = rank_window_probe(pros, index, "tgt", "src", window=16)
+        disk = rank_window_probe(pros, back, "tgt", "src")  # window derived
+        a = {(r[0], r[1]) for r in mem.collect()}
+        b = {(r[0], r[1]) for r in disk.collect()}
+        assert a == b and len(a) > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_probe_window_mismatch_raises(spark):
+    """Round-10 advice: probing with a window ≠ the index's build
+    window silently fetched wrong neighborhoods — now it raises."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    pros, clis = _tie_heavy_sides(spark, n=60)
+    index = rank_window_index(clis, "src", window=8)
+    with pytest.raises(ValueError, match="does not match"):
+        rank_window_probe(pros, index, "tgt", "src", window=16)
+    # matching + derived both fine and identical
+    a = {(r[0], r[1]) for r in
+         rank_window_probe(pros, index, "tgt", "src", window=8).collect()}
+    b = {(r[0], r[1]) for r in
+         rank_window_probe(pros, index, "tgt", "src").collect()}
+    assert a == b and len(a) > 0
+    # legacy index (no __w) + window=None must raise, not guess
+    with pytest.raises(ValueError, match="pre-round-11"):
+        rank_window_probe(pros, index.drop("__w"), "tgt", "src")
