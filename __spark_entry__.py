@@ -132,6 +132,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if latest_round == 8
         else []
     )
+    # 3. same pattern for round 11: the production rank-window query
+    #    switched to the derived window (derive-then-floor-at-256) and
+    #    the probe-parity query now derives its window from the
+    #    index's __w metadata — both must be driver re-verified the
+    #    round the change lands, not ride their round-10 greens to the
+    #    back of the staleness rotation.
+    changed_r11 = (
+        [
+            "peer_search_rank_window_topk",
+            "peer_search_probe_parity",
+        ]
+        if latest_round == 10
+        else []
+    )
     stale_companions = [
         n
         for n in ROWS_ONLY_COMPANIONS.values()
@@ -139,7 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     pinned = [
         n
-        for n in stale_companions + changed_r9
+        for n in stale_companions + changed_r9 + changed_r11
         if n in QUERIES and n not in fresh
     ]
     pool = [
