@@ -1005,8 +1005,18 @@ def rank_window_index(
     right_id: str,
     vec_col: str = "vec",
     naics_col: str = "naics",
-    window: int = 64,
+    window: int | None = 64,
     code_len: int = CODE_LEN,
+    calibration: DataFrame | None = None,
+    calibration_id: str | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    sample_mod: int = 500,
+    min_window: int = 64,
 ) -> DataFrame:
     """Build the PERSISTABLE client-side index of the rank-window peer
     search — the serving-path split (same pattern as the incremental
@@ -1030,9 +1040,34 @@ def rank_window_index(
     partitioned by ``__lvl`` (NOT by ``__blk``: the global arm's block
     id is the empty string, which Hive-style partition paths round-trip
     as NULL — pytest-pinned parquet round-trip) and sorted/bucketed by
-    (__blk, __wb) within files for pruned probe I/O."""
+    (__blk, __wb) within files for pruned probe I/O.
+
+    ``window=None`` DERIVES the build window at index time — the
+    nightly-build story end to end: pass ``calibration`` (a
+    representative prospect frame, e.g. yesterday's batch) and
+    ``calibration_id``, and :func:`derive_rank_window_stats` picks the
+    window from the corpus' measured tie density (floor
+    ``min_window``; the remaining keyword args parameterize the
+    calibration scoring).  Probes then need no window at all — they
+    read ``__w`` off the artifact."""
     spark = right.sparkSession
     _require_dim2(right, vec_col, "rank_window_index(right)")
+    if window is None:
+        if calibration is None or calibration_id is None:
+            raise ValueError(
+                "rank_window_index: window=None derives the build "
+                "window from the data — pass calibration= (a "
+                "representative prospect frame) and calibration_id=, "
+                "or an explicit window."
+            )
+        window = derive_rank_window_stats(
+            calibration, right, calibration_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            sample_mod=sample_mod, code_len=code_len,
+            min_window=min_window,
+        )["window"]
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli, spark)
     return ranked.select(

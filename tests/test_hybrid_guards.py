@@ -682,3 +682,34 @@ def test_probe_window_mismatch_raises(spark):
     # legacy index (no __w) + window=None must raise, not guess
     with pytest.raises(ValueError, match="pre-round-11"):
         rank_window_probe(pros, index.drop("__w"), "tgt", "src")
+
+
+def test_index_time_window_derivation(spark):
+    """The nightly-build story end to end: rank_window_index
+    (window=None, calibration=prospects) derives the build window from
+    the corpus' tie density, stamps it into __w, and window-less
+    probes reproduce the batch candidates at that window exactly."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        derive_rank_window_stats,
+        rank_window_candidates,
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    pros, clis = _tie_heavy_sides(spark)
+    with pytest.raises(ValueError, match="calibration"):
+        rank_window_index(clis, "src", window=None)
+    index = rank_window_index(
+        clis, "src", window=None, calibration=pros, calibration_id="tgt",
+        k=5, threshold=-10.0,
+    )
+    w = index.select("__w").first()["__w"]
+    stats = derive_rank_window_stats(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0
+    )
+    assert w == stats["window"] > 64  # deterministic estimator, same answer
+    probe = rank_window_probe(pros, index, "tgt", "src")
+    batch = rank_window_candidates(pros, clis, "tgt", "src", window=w)
+    a = {(r[0], r[1]) for r in probe.collect()}
+    b = {(r[0], r[1]) for r in batch.collect()}
+    assert a == b and len(a) > 0

@@ -271,3 +271,27 @@ def test_headline_plans_never_use_row_at_a_time_python(spark):
         df = QUERIES[name](spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
+
+
+def test_probe_block_summary_stays_broadcast(spark):
+    """The serving-path probe's corpus-independent-I/O claim rests on
+    the block summary (|R|·(code_len+1)/window rows) joining as a
+    BROADCAST — if it ever degrades to a shuffle the probe re-pays a
+    corpus pass per micro-batch.  Pin it on the probe-parity query's
+    plan, along with no cartesian anywhere in the path."""
+    plan = _plan(spark, "peer_search_probe_parity")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rank_window_fetch_is_single_equi_join_band(spark):
+    """The derived-window production query must fetch candidates via
+    the (lvl, blk, window-block) equi-join with the position-band
+    residual — a plan that lost the equi-keys would appear as a
+    nested-loop over the full client rank.  Also: no row-at-a-time
+    Python in the path (the scoring is codegen'd arithmetic)."""
+    plan = _plan(spark, "peer_search_rank_window_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "__wb" in plan  # the window-block equi-key survived
