@@ -506,25 +506,60 @@ def _derivation_sample(
     sample stays empty at mod 1 on a non-empty left — ids that are
     NULL or non-numeric make ``% mod`` null out the filter silently,
     which would otherwise masquerade as "derived window = floor":
-    pass an explicit ``window=`` for such ids instead."""
-    n_left = left.count()
+    pass an explicit ``window=`` for such ids instead.
+
+    ONE job: the whole halving ladder (≤ ~10 rungs) is counted in a
+    single aggregation (one conditional count per rung) instead of a
+    count job per attempted mod — the widening loop's cost does not
+    depend on how far it has to widen."""
+    mods, m = [], max(1, sample_mod)
+    while True:
+        mods.append(m)
+        if m == 1:
+            break
+        m = max(1, m // 2)
+    counts = left.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.count(F.when(F.col(left_id) % m == 0, 1)).alias(f"__c{m}")
+            for m in mods
+        ],
+    ).first()
+    n_left = int(counts["__n"])
     if n_left == 0:
         return left, 0, sample_mod
-    mod = max(1, sample_mod)
-    while True:
-        sample = left.filter(F.col(left_id) % mod == 0)
-        n = sample.count()
-        if n >= min(min_sample, n_left) or mod == 1:
-            break
-        mod = max(1, mod // 2)
-    if n == 0:
-        raise ValueError(
-            f"window derivation sample is EMPTY at mod=1 on a "
-            f"{n_left}-row left — '{left_id}' % mod is null for every "
-            "row (NULL or non-numeric ids). The derivation needs "
-            "numeric ids; pass an explicit window= instead."
-        )
-    return sample, n, mod
+    for m in mods:
+        n = int(counts[f"__c{m}"])
+        # mod 1 is the terminal rung: accept whatever non-null ids
+        # exist (partially-null ids yield a smaller-than-asked sample,
+        # same as the pre-single-pass widening loop)
+        if n >= min(min_sample, n_left) or (m == 1 and n > 0):
+            return left.filter(F.col(left_id) % m == 0), n, m
+    raise ValueError(
+        f"window derivation sample is EMPTY at mod=1 on a "
+        f"{n_left}-row left — '{left_id}' % mod is null for every "
+        "row (NULL or non-numeric ids). The derivation needs "
+        "numeric ids; pass an explicit window= instead."
+    )
+
+
+def _calibration_exact_topk(
+    sample: DataFrame, n_sampled: int, right: DataFrame,
+    left_id: str, right_id: str, **score_kwargs,
+) -> DataFrame:
+    """Exact top-k of the calibration sample against the full corpus
+    — ALWAYS the blocked kernel, deliberately: ``hybrid_topk_crossjoin``
+    looks cheaper at tiny×big shape but broadcasts the CORPUS side and
+    shuffles every scored pair into its top-k window, both of which
+    break at real corpus sizes; the blocked kernel bounds worker
+    memory and map-side-reduces each block to k candidates per
+    prospect before the re-rank shuffle, so the calibration pass stays
+    |sample|·k-shaped on the wire at any |R|.  (``n_sampled`` is
+    accepted so a future shape-aware kernel choice has the statistic
+    in hand — and to keep both call sites honest about having
+    counted.)"""
+    del n_sampled  # shape-independent today; see docstring
+    return hybrid_topk(sample, right, left_id, right_id, **score_kwargs)
 
 
 def _needed_window_stats(
@@ -685,8 +720,8 @@ def rank_window_candidates(
     if window is None:
         sample, n_sampled, _ = _derivation_sample(left, left_id, sample_mod)
         if n_sampled:
-            exact = hybrid_topk(
-                sample, right, left_id, right_id,
+            exact = _calibration_exact_topk(
+                sample, n_sampled, right, left_id, right_id,
                 vec_col=vec_col, naics_col=naics_col,
                 lat_col=lat_col, lon_col=lon_col,
                 k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
@@ -968,8 +1003,8 @@ def derive_rank_window_stats(
         "__blk",
         F.col("__pos").alias("__ins"),
     )
-    exact = hybrid_topk(
-        sample, right, left_id, right_id,
+    exact = _calibration_exact_topk(
+        sample, n_sampled, right, left_id, right_id,
         vec_col=vec_col, naics_col=naics_col,
         lat_col=lat_col, lon_col=lon_col,
         k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
