@@ -175,6 +175,7 @@ def streaming_peer_serving(
     threshold: float = 0.0,
     w_hops: float = DEFAULT_W_HOPS,
     w_havs: float = DEFAULT_W_HAVS,
+    checkpoint_dir: str | None = None,
 ):
     """Streaming serving loop for the rank-window peer search: per
     micro-batch of arriving prospects, probe the STATIC persisted
@@ -209,7 +210,15 @@ def streaming_peer_serving(
     ONCE, not per batch).  State: NONE (no streaming aggregation, no
     watermark) — the index and client attributes are static sides,
     re-read (or cached) per batch.  Returns the started
-    ``StreamingQuery``."""
+    ``StreamingQuery``.
+
+    ``checkpoint_dir`` makes the loop RESTARTABLE: the file-source
+    offsets live in the checkpoint, so a restarted query (same landing
+    dir + checkpoint) reprocesses NOTHING already served — with an
+    idempotent ``emit`` that is exactly-once per prospect across
+    restarts (pytest-pinned).  Without it Spark uses a temp checkpoint
+    and a restart re-serves from scratch (fine for replay jobs, wrong
+    for a 24/7 server)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         _resolve_probe_window,
         hybrid_topk_pruned,
@@ -234,8 +243,9 @@ def streaming_peer_serving(
         )
         emit(topk, batch_id)
 
-    return (
-        prospects_stream.writeStream.foreachBatch(_serve)
-        .outputMode("update")
-        .start()
+    writer = prospects_stream.writeStream.foreachBatch(_serve).outputMode(
+        "update"
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

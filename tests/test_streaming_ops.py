@@ -559,3 +559,88 @@ def test_streaming_peer_serving_matches_batch(spark):
     got = {(r["tgt"], r["src"], round(r["score"], 9)) for r in got_rows}
     exp = {(r["tgt"], r["src"], round(r["score"], 9)) for r in want}
     assert got == exp and len(got) > 0
+
+
+def test_streaming_peer_serving_restart_is_exactly_once(spark):
+    """The 24/7-server contract: a peer-serving query restarted on the
+    SAME landing dir + checkpoint must reprocess NOTHING already
+    served (file-source offsets live in the checkpoint), so an
+    idempotent emit is exactly-once per prospect across restarts; new
+    files arriving after the restart are served exactly once too."""
+    import os
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _firmographics,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_peer_serving,
+    )
+
+    firmo = _firmographics(spark, SF_SMOKE).localCheckpoint()
+    pros = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt"), "vec", "naics", "lat", "lon"
+    )
+    clis = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"), "vec", "naics", "lat", "lon"
+    )
+    index = rank_window_index(clis, "src", window=32).localCheckpoint()
+
+    base = tempfile.mkdtemp(prefix="peer_serve_restart_")
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    pros.filter(F.col("tgt") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    pros.filter(F.col("tgt") % 3 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+
+    served: list = []
+
+    def emit(df, batch_id):
+        served.extend(df.collect())
+
+    def start():
+        stream = (
+            spark.readStream.schema(pros.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        return streaming_peer_serving(
+            stream, index, clis, "tgt", "src", emit, k=5,
+            checkpoint_dir=ckpt,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = {(r["tgt"], r["src"]) for r in served}
+    n_first = len(served)
+    assert n_first > 0
+
+    # restart on the same checkpoint: nothing reprocessed
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(served) == n_first
+
+    # a file landing after the restart is served exactly once
+    pros.filter(F.col("tgt") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    new = {(r["tgt"], r["src"]) for r in served} - first
+    new_tgts = {t for t, _ in new}
+    assert new_tgts and all(t % 3 == 2 for t in new_tgts)
+    # union across the restarts = every prospect served exactly once
+    assert len(served) == len({(r["tgt"], r["src"]) for r in served})
