@@ -544,7 +544,7 @@ def _derivation_sample(
 
 
 def _calibration_exact_topk(
-    sample: DataFrame, n_sampled: int, right: DataFrame,
+    sample: DataFrame, right: DataFrame,
     left_id: str, right_id: str, **score_kwargs,
 ) -> DataFrame:
     """Exact top-k of the calibration sample against the full corpus
@@ -554,11 +554,7 @@ def _calibration_exact_topk(
     break at real corpus sizes; the blocked kernel bounds worker
     memory and map-side-reduces each block to k candidates per
     prospect before the re-rank shuffle, so the calibration pass stays
-    |sample|·k-shaped on the wire at any |R|.  (``n_sampled`` is
-    accepted so a future shape-aware kernel choice has the statistic
-    in hand — and to keep both call sites honest about having
-    counted.)"""
-    del n_sampled  # shape-independent today; see docstring
+    |sample|·k-shaped on the wire at any |R|."""
     return hybrid_topk(sample, right, left_id, right_id, **score_kwargs)
 
 
@@ -721,7 +717,7 @@ def rank_window_candidates(
         sample, n_sampled, _ = _derivation_sample(left, left_id, sample_mod)
         if n_sampled:
             exact = _calibration_exact_topk(
-                sample, n_sampled, right, left_id, right_id,
+                sample, right, left_id, right_id,
                 vec_col=vec_col, naics_col=naics_col,
                 lat_col=lat_col, lon_col=lon_col,
                 k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
@@ -1004,7 +1000,7 @@ def derive_rank_window_stats(
         F.col("__pos").alias("__ins"),
     )
     exact = _calibration_exact_topk(
-        sample, n_sampled, right, left_id, right_id,
+        sample, right, left_id, right_id,
         vec_col=vec_col, naics_col=naics_col,
         lat_col=lat_col, lon_col=lon_col,
         k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
@@ -1121,14 +1117,30 @@ def _resolve_probe_window(index: DataFrame, window: int | None) -> int:
     with: ``ins = swb·window + cnt`` and the ``__wb`` equi-join are
     silently wrong on any other value (round-10 advice).  Indexes
     carry it as the ``__w`` metadata column; this reads it (one
-    limit-1 job) and either returns it (``window=None`` — derive) or
-    asserts equality (explicit ``window`` — validate).  Pre-round-11
-    indexes without ``__w`` require an explicit window."""
+    small agg job) and either returns it (``window=None`` — derive) or
+    asserts equality (explicit ``window`` — validate).  The agg checks
+    min == max, not an arbitrary first row: an index path holding
+    MIXED builds (a window-32 rebuild appended over a window-64
+    artifact, or two builds unioned) is exactly the silent-wrong-
+    neighborhood hazard this function exists to catch, so it raises
+    loudly.  Pre-round-11 indexes without ``__w`` require an explicit
+    window."""
     if "__w" in index.columns:
-        row = index.select("__w").first()
-        if row is None:  # empty index: every window yields empty
+        row = index.agg(
+            F.min("__w").alias("lo"), F.max("__w").alias("hi")
+        ).first()
+        if row is None or row["lo"] is None:
+            # empty index: every window yields the empty result
             return window if window is not None else 64
-        iw = int(row["__w"])
+        if int(row["lo"]) != int(row["hi"]):
+            raise ValueError(
+                f"rank_window_probe: index holds MIXED build windows "
+                f"__w ∈ [{int(row['lo'])}, {int(row['hi'])}] — e.g. a "
+                "rebuild appended over an old artifact. Rebuild the "
+                "index path cleanly; probing mixed builds silently "
+                "fetches wrong neighborhoods."
+            )
+        iw = int(row["lo"])
         if window is None:
             return iw
         if int(window) != iw:

@@ -1015,6 +1015,8 @@ def streaming_peer_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     size (measured sf1: see SCALE.md round-11 appendix).  Reference
     anchor: the per-batch scoring loop this serves online,
     search_ranking_peers.py:536-559."""
+    import os
+    import shutil
     import tempfile
 
     from prod_recommendation_pyspark_spark.operators.hybrid import (
@@ -1051,6 +1053,14 @@ def streaming_peer_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         q.processAllAvailable()
     finally:
         q.stop()
+    # the landing staging is only read by the (stopped) stream — drop
+    # it now so repeated runs don't accumulate prospect copies in /tmp
+    # (the out dir must outlive us: the returned frame reads it lazily)
+    shutil.rmtree(landing, ignore_errors=True)
+    if not os.path.isdir(out):  # no batch emitted (empty prospect set)
+        return spark.createDataFrame(
+            [], "tgt_custkey long, src_custkey long, score double"
+        )
     return (
         spark.read.parquet(out)
         .select(

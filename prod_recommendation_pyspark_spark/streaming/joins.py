@@ -226,12 +226,17 @@ def streaming_peer_serving(
     )
 
     window = _resolve_probe_window(index, window)
+    # resolved + validated ONCE above; per batch, probe a __w-stripped
+    # view with the explicit window so _resolve_probe_window's agg job
+    # does not re-run every micro-batch (the index is static — its
+    # window cannot change under a running query)
+    probe_index = index.drop("__w")
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         cand = rank_window_probe(
-            batch_df, index, left_id, right_id,
+            batch_df, probe_index, left_id, right_id,
             vec_col=vec_col, naics_col=naics_col, window=window,
         )
         topk = hybrid_topk_pruned(

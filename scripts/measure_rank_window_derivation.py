@@ -41,19 +41,16 @@ from prod_recommendation_pyspark_spark.queries.similarity import (
     TOPK_PEERS,
     W_HAVS,
     W_HOPS,
-    _firmographics,
+    _rank_sides,
 )
 from prod_recommendation_pyspark_spark.session import get_spark
 
 
 def run(spark, sf_dir: str) -> dict:
-    firmo = _firmographics(spark, sf_dir).localCheckpoint()
-    pros = firmo.filter(F.col("c_custkey") % 10 == 0).select(
-        F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
-    )
-    clis = firmo.filter(F.col("c_custkey") % 10 != 0).select(
-        F.col("c_custkey").alias("src_custkey"), "vec", "naics", "lat", "lon"
-    )
+    # the REGISTERED queries' own prospect/client split — measuring
+    # anything else would let the evidence drift from what production
+    # runs (code-review r11)
+    pros, clis = _rank_sides(spark, sf_dir)
     out: dict = {"sf_dir": sf_dir, "n_pros": pros.count(), "n_clis": clis.count()}
 
     t0 = time.time()

@@ -713,3 +713,23 @@ def test_index_time_window_derivation(spark):
     a = {(r[0], r[1]) for r in probe.collect()}
     b = {(r[0], r[1]) for r in batch.collect()}
     assert a == b and len(a) > 0
+
+
+def test_probe_mixed_window_index_raises(spark):
+    """Code-review r11: an index path holding MIXED builds (a rebuild
+    appended over an old artifact) must raise at probe time — an
+    arbitrary row's __w would validate while half the rows follow the
+    other window's position arithmetic (silent wrong neighborhoods)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    pros, clis = _tie_heavy_sides(spark, n=60)
+    mixed = rank_window_index(clis, "src", window=8).unionByName(
+        rank_window_index(clis, "src", window=16)
+    )
+    with pytest.raises(ValueError, match="MIXED"):
+        rank_window_probe(pros, mixed, "tgt", "src")
+    with pytest.raises(ValueError, match="MIXED"):
+        rank_window_probe(pros, mixed, "tgt", "src", window=8)
