@@ -983,6 +983,134 @@ def peer_search_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mod_ladder(start: int = 500) -> list[int]:
+    """The widening ladder ``_derivation_sample`` walks: start, then
+    m = max(1, m // 2) until 1 — replicated here so the oracle replays
+    the exact same rungs."""
+    mods, m = [], start
+    while True:
+        mods.append(m)
+        if m == 1:
+            break
+        m = max(1, m // 2)
+    return mods
+
+
+def _derivation_contract_sql() -> str:
+    """ANSI replay of the ENTIRE window derivation
+    (operators/hybrid.py::derive_rank_window_stats) on top of the
+    rank-window CTE's pins/cpos: (1) the widening ladder — counts for
+    every mod rung in one scan, first (largest) rung holding ≥
+    least(8, |pros|) sampled prospects wins; (2) the sampled exact
+    top-15 (same score expression, same (score DESC, src) tie order,
+    same ≥0 threshold); (3) each true pair's minimum required window
+    across its shared arms — min over co-occurring (lvl, blk) of
+    greatest(ins − cpos + 1, cpos − ins), the strict-less insertion
+    arithmetic pins/cpos already encode; (4) ×2 pad + the power-of-two
+    ladder with floor 64.  Every intermediate (n_sampled, n_pairs,
+    max_needed, window, sample_mod) lands in the output row, so a
+    hash match proves the estimator END TO END, not just its final
+    candidates."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        RANK_WINDOW_LADDER,
+    )
+
+    mods = ", ".join(str(m) for m in _mod_ladder(500))
+    rungs = ", ".join(str(w) for w in RANK_WINDOW_LADDER)
+    return f"""
+    lad AS (SELECT unnest([{mods}]) AS m),
+    pc AS (SELECT count(*) AS nl FROM pros),
+    cnts AS (SELECT m, (SELECT count(*) FROM pros p
+                         WHERE p.c_custkey % m = 0) AS c FROM lad),
+    pick AS (SELECT m, c FROM cnts CROSS JOIN pc
+             WHERE c >= least(8, nl) OR (m = 1 AND c > 0)
+             ORDER BY m DESC LIMIT 1),
+    samp_scored AS (
+        SELECT l.c_custkey AS tgt, r.c_custkey AS src,
+               CAST(0.6 AS DOUBLE) * (l.v0 * r.v0 + l.v1 * r.v1)
+               + CAST(0.399 AS DOUBLE) * ({_HOPS_SQL})
+               + CAST(0.001 AS DOUBLE) * ({_HAVS_SQL}) AS score
+        FROM varr l JOIN varr r
+          ON l.c_custkey % 10 = 0 AND r.c_custkey % 10 <> 0
+        CROSS JOIN pick WHERE l.c_custkey % pick.m = 0),
+    samp_ranked AS (
+        SELECT tgt, src,
+               row_number() OVER (PARTITION BY tgt
+                                  ORDER BY score DESC, src) AS rn
+        FROM samp_scored WHERE score >= 0.0),
+    samp_pairs AS (SELECT tgt, src FROM samp_ranked WHERE rn <= 15),
+    need AS (
+        SELECT sp.tgt, sp.src,
+               min(greatest(p.ins - c.pos + 1, c.pos - p.ins)) AS nd
+        FROM samp_pairs sp
+        JOIN pins p ON p.c_custkey = sp.tgt
+        JOIN cpos c ON c.c_custkey = sp.src
+                   AND c.lvl = p.lvl AND c.blk = p.blk
+        GROUP BY sp.tgt, sp.src),
+    aggd AS (SELECT count(*) AS n_pairs, max(nd) AS mx FROM need),
+    wlad AS (SELECT unnest([{rungs}]) AS w),
+    win AS (SELECT min(w) AS dw FROM wlad CROSS JOIN aggd
+            WHERE w >= greatest(64, 2 * coalesce(mx, 0)))
+    SELECT CAST(pick.c AS BIGINT) AS n_sampled,
+           CAST(aggd.n_pairs AS BIGINT) AS n_pairs,
+           CAST(aggd.mx AS BIGINT) AS max_needed,
+           CAST(win.dw AS BIGINT) AS derived_window,
+           CAST(pick.m AS BIGINT) AS sample_mod
+    FROM pick CROSS JOIN aggd CROSS JOIN win
+    """
+
+
+@register(
+    "rank_window_derivation_contract",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte()},
+    {_derivation_contract_sql()}
+    """,
+)
+def rank_window_derivation_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The window DERIVATION ITSELF under a full value oracle — one
+    level stronger than ``rank_window_derived_parity`` (which proves
+    the derived window's end RESULT): this row pins every intermediate
+    of the estimator — the auto-widened sample size and modulus, the
+    number of calibration pairs, the sampled max-need statistic, and
+    the ladder-rounded window — against an independent DuckDB replay
+    of the whole procedure (widening ladder → sampled exact top-15 →
+    per-pair min-need over shared arms → ×2 pad → power-of-two rung).
+    A hash-green row means the derivation's arithmetic cannot drift
+    silently: any change to the sampling rule, the tie comparator, the
+    pad, or the ladder shows up as a mismatch.
+
+    The row is assembled from ``derive_rank_window_stats``'s returned
+    dict — driver-side by design: the operator's public contract IS a
+    scalar statistic consumed at nightly-build time (the index build
+    derives once and stamps ``__w``), so the contract checks exactly
+    what a deployment would read.  Measured at sf0.01:
+    (n_sampled 50, n_pairs 750, max_needed 15, window 64, mod 15)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        derive_rank_window_stats,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
+    stats = derive_rank_window_stats(
+        prospects, clients, "tgt_custkey", "src_custkey",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+    )
+    return spark.createDataFrame(
+        [(
+            int(stats["n_sampled"]),
+            int(stats["n_pairs"]),
+            None if stats["max_needed"] is None else int(stats["max_needed"]),
+            int(stats["window"]),
+            int(stats["sample_mod"]),
+        )],
+        "n_sampled bigint, n_pairs bigint, max_needed bigint, "
+        "derived_window bigint, sample_mod bigint",
+    )
+
+
 @register(
     "streaming_peer_serving_replay",
     sql=f"""
