@@ -983,6 +983,59 @@ def peer_search_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rank_window_nightly_e2e",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte()}
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM rank_ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def rank_window_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY-BUILD deployment story end to end, under the full
+    value oracle: the index is built with ``window=None`` — the build
+    window is DERIVED from a calibration prospect frame at index time
+    and stamped into the ``__w`` metadata column — and the probe passes
+    no window at all (it reads ``__w`` off the artifact).  This is the
+    one registered query where NO window constant appears anywhere in
+    the Spark path: derivation picks it, the artifact carries it, the
+    probe obeys it.  The oracle CTE replays candidates at the pinned
+    256; both windows exceed the corpus' true need at every measured
+    scale (SCALE.md round-11 appendix), so the top-15 is
+    window-invariant and hash-checkable.
+
+    Composes the pieces each already pinned separately:
+    ``rank_window_derivation_contract`` (the derived statistic),
+    ``peer_search_probe_parity`` (index/probe arithmetic),
+    ``rank_window_derived_parity`` (derived-window recall)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
+    index = rank_window_index(
+        clients, "src_custkey", window=None,
+        calibration=prospects, calibration_id="tgt_custkey",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+    ).localCheckpoint()
+    cand = rank_window_probe(prospects, index, "tgt_custkey", "src_custkey")
+    return (
+        hybrid_topk_pruned(
+            prospects, clients, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=2,
+        )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
 def _mod_ladder(start: int = 500) -> list[int]:
     """The widening ladder ``_derivation_sample`` walks: start, then
     m = max(1, m // 2) until 1 — replicated here so the oracle replays
