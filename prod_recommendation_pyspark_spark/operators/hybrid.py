@@ -180,7 +180,19 @@ def hybrid_topk(
         F.col(lon_col).alias("__rlon"),
         F.col(mod_col).alias("__rmod"),
     )
-    if n_blocks is None or n_left_chunks is None:
+    if n_blocks is None and n_left_chunks is not None:
+        # caller pinned the chunk count (e.g. the window-derivation
+        # calibration, whose sample is one chunk by construction):
+        # only the RIGHT side's geometry is needed — memory floor
+        # b_min plus enough blocks to fill the cluster at the pinned
+        # chunk count, capped at the row count (same utilization rule
+        # as _grid_shape, minus the left probe's two jobs)
+        r_rows, r_bytes = _probe_geometry(rhs, "__rvec", row_overhead=40)
+        par = spark.sparkContext.defaultParallelism
+        b_min = max(1, -(-r_bytes // max_block_bytes))
+        n_blocks = max(b_min, -(-par // max(1, n_left_chunks)))
+        n_blocks = min(n_blocks, max(b_min, r_rows or 1))
+    elif n_blocks is None or n_left_chunks is None:
         # ~40 B/row of aux (naics bytes + 2 doubles + id) rides on
         # each vector; probe jobs are tiny (count + limit-1 dim) and
         # cache nothing — see similarity._probe_geometry
@@ -554,8 +566,15 @@ def _calibration_exact_topk(
     break at real corpus sizes; the blocked kernel bounds worker
     memory and map-side-reduces each block to k candidates per
     prospect before the re-rank shuffle, so the calibration pass stays
-    |sample|·k-shaped on the wire at any |R|."""
-    return hybrid_topk(sample, right, left_id, right_id, **score_kwargs)
+    |sample|·k-shaped on the wire at any |R|.
+
+    ``n_left_chunks=1`` is pinned (not auto-probed): the sample is
+    ≥8-to-~hundreds of rows by construction (``_derivation_sample``),
+    always one chunk — pinning it skips the left-side geometry probe's
+    two jobs on a path whose cost is pure fixed overhead at small SF."""
+    return hybrid_topk(
+        sample, right, left_id, right_id, n_left_chunks=1, **score_kwargs
+    )
 
 
 def _needed_window_stats(
@@ -566,9 +585,18 @@ def _needed_window_stats(
     client co-occur — global, each shared-prefix level, malformed)
     that would make the client a candidate: the pair is fetched iff
     cpos ∈ [ins − w + 1, ins + w] at SOME shared arm, i.e.
-    w ≥ min over arms of max(ins − cpos + 1, cpos − ins)."""
+    w ≥ min over arms of max(ins − cpos + 1, cpos − ins).
+
+    The small side is broadcast at BOTH joins (hints don't propagate
+    through a join, so each gets its own): ``pairs`` is ≤ |sample|·k
+    rows BY CONSTRUCTION (the calibration sample's top-k) and the
+    first join's output ≤ |pairs|·(code_len+2) arm hits — both
+    bounded at any corpus size, while the rank frames are
+    (code_len+2)·(|L|+|R|) rows — without the hints Catalyst sees
+    only an applyInPandas output of unknown size and
+    sort-merge-shuffles the big rank frames instead."""
     need = (
-        pairs.join(pros_ins, "__tid")
+        F.broadcast(F.broadcast(pairs).join(pros_ins, "__tid"))
         .join(clis_pos.drop("__wb"), ["__rid", "__lvl", "__blk"])
         .groupBy("__tid", "__rid")
         .agg(
