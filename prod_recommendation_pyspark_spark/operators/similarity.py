@@ -877,6 +877,92 @@ def ann_ivf_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    centroids: DataFrame,
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """The persistable IVF ARTIFACT: every corpus vector stamped with
+    its single nearest list (``ivf_assign`` n_probe=1), vectors
+    carried along so serving never rejoins the raw corpus.  Write it
+    ``.write.partitionBy(list_col)`` — each inverted list becomes a
+    parquet partition directory, so a probe of n_probe lists is a
+    partition-PRUNED scan (dynamic partition pruning once the probe's
+    list set is broadcast-joined against it), never a full index
+    read.  The ANN twin of ``hybrid.rank_window_index``: nightly
+    build, intraday probes."""
+    assign = ivf_assign(
+        corpus, corpus_id, vec_col, centroids, n_probe=1, list_col=list_col
+    )
+    return corpus.select(
+        corpus_id, F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).join(assign, corpus_id)
+
+
+def ivf_probe(
+    queries: DataFrame,
+    index: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    centroids: DataFrame,
+    vec_col: str = "vec",
+    k: int = 10,
+    n_probe: int = 4,
+    list_col: str = "ivf_list",
+) -> DataFrame:
+    """Serve an ANN batch off a (possibly reloaded) ``ivf_index``
+    artifact: assign each query to its ``n_probe`` nearest lists (one
+    broadcast join against the small centroid table), fetch ONLY those
+    lists from the index — the probe side is broadcast, so on a
+    ``partitionBy(list_col)`` artifact Spark's dynamic partition
+    pruning skips every unprobed list directory — and exact-cosine
+    re-rank the fetched vectors.  Identical math to ``ann_ivf_topk``
+    (same assignment, same score, same (score DESC, id) tie order);
+    the difference is WHERE the corpus side comes from: the stamped
+    artifact instead of an in-session assignment, which is what makes
+    the nightly-build / intraday-serve split deployable.  Probe cost
+    rides the batch size × the probed lists' row count, independent
+    of the corpus outside those lists."""
+    q_assign = ivf_assign(
+        queries, query_id, vec_col, centroids, n_probe=n_probe, list_col=list_col
+    )
+    qv = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    cv = index.select(
+        F.col(list_col),
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).cast("array<double>").alias("__cvec"),
+    )
+    hits = (
+        F.broadcast(q_assign.withColumnRenamed(query_id, "__qid"))
+        .join(cv, list_col)
+        .filter(F.col("__qid") != F.col("__cid"))
+    )
+    qn = F.sqrt(F.aggregate("__qvec", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(
+        F.zip_with("__qvec", "__cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        hits.select("__qid", "__cid", "__cvec")
+        .join(F.broadcast(qv), "__qid")
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            (dot / (qn * cn)).alias("score"),
+        )
+    )
+    return windowed_topk(
+        scored, query_id, [F.col("score").desc(), F.col(corpus_id)], k
+    )
+
+
 def cosine_topk_auto(
     left: DataFrame,
     right: DataFrame,

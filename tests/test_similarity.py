@@ -543,3 +543,48 @@ def test_spread_small_input_leaves_wide_checkpoint_alone(spark):
     out = spread_small_input(wide)
     assert out.rdd.getNumPartitions() == wide.rdd.getNumPartitions()
     assert out.count() == 1000
+
+
+def test_ivf_index_parquet_roundtrip_probe_parity(spark, tmp_path):
+    """The nightly-ANN deployment contract: build the IVF artifact,
+    WRITE it partitioned by list, reload cold, probe — the served
+    top-k must match the in-session ``ann_ivf_topk`` pair for pair,
+    and the reloaded scan must be dynamically partition-pruned (the
+    probe touches list directories, not the corpus)."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    ivf_index(corpus, "nbr_id", "embedding", centroids).write.partitionBy(
+        "ivf_list"
+    ).parquet(path)
+    artifact = spark.read.parquet(path)
+    probed = ivf_probe(
+        qs, artifact, "tgt_id", "nbr_id", centroids,
+        vec_col="embedding", k=5, n_probe=4,
+    )
+    direct = ann_ivf_topk(
+        corpus, qs, "nbr_id", "tgt_id", "embedding",
+        k=5, centroids=centroids, n_probe=4,
+    )
+    assert _pairs(probed) == _pairs(direct)
+    plan = probed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan, (
+        "reloaded artifact scan is not partition-pruned — the probe "
+        "would read every inverted list"
+    )
