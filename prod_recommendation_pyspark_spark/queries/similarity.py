@@ -1347,6 +1347,130 @@ def streaming_peer_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_ann_serving_replay",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+             WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+    c_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent)
+        WHERE rn <= 1),
+    q_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent WHERE e.vec_id % 17 = 3)
+        WHERE rn <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS tgt_id, c.vec_id AS nbr_id
+        FROM q_assign q JOIN c_assign c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT tgt_id, nbr_id, list_cosine_similarity(a.v, b.v) AS score
+        FROM cand JOIN e a ON cand.tgt_id = a.vec_id
+                  JOIN e b ON cand.nbr_id = b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM scored)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= {_IVF_K}
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def streaming_ann_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming ANN serving loop REGISTERED under the full IVF
+    value oracle — the vector twin of ``streaming_peer_serving_replay``:
+    the query batch (vec_id % 17 = 3, same batch as
+    ``ann_ivf_nightly_e2e``) staged as three files in a temp landing
+    dir → ``readStream`` with maxFilesPerTrigger=1 (three real
+    micro-batches) → ``streaming/joins.py::streaming_ann_serving`` —
+    per batch, ``ivf_probe`` the static list-partitioned artifact
+    written and reloaded exactly as the nightly query does — appending
+    each batch's top-k to a parquet sink read back as the result.
+    The probe is per-row independent and each query lands in exactly
+    one micro-batch, so the unioned per-batch top-k IS the one-shot
+    result and the same SQL replays the whole loop: a hash-green row
+    pins the streaming execution (file-source batching, foreachBatch
+    plumbing, sink append) ON TOP of the artifact round-trip.
+
+    Scale: per-batch I/O = broadcast centroid assignment + a
+    DPP-pruned scan of the batch's probed list directories —
+    independent of the corpus outside those lists."""
+    import os
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_index,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_ann_serving,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    base = tempfile.mkdtemp(prefix="ann_serving_replay_")
+    landing, out = f"{base}/landing", f"{base}/out"
+    ivf_index(corpus, "nbr_id", "embedding", centroids).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_list").parquet(f"{base}/ivf_index")
+    artifact = spark.read.parquet(f"{base}/ivf_index")
+    for i in range(3):  # three part files -> three micro-batches
+        qs.filter(F.col("tgt_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(qs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def emit(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    q = streaming_ann_serving(
+        stream, artifact, centroids, "tgt_id", "nbr_id", emit,
+        vec_col="embedding", k=_IVF_K, n_probe=_IVF_NPROBE,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # landing AND the artifact are fully consumed by the (stopped)
+    # stream's eager per-batch probes — only the sink must outlive us
+    # (the returned frame reads it lazily)
+    shutil.rmtree(landing, ignore_errors=True)
+    shutil.rmtree(f"{base}/ivf_index", ignore_errors=True)
+    if not os.path.isdir(out):  # no batch emitted (empty query set)
+        return spark.createDataFrame(
+            [], "tgt_id long, nbr_id long, score double"
+        )
+    return (
+        spark.read.parquet(out)
+        .select(
+            "tgt_id", "nbr_id", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_id", "nbr_id")
+    )
+
+
+@register(
     "sq8_quantized_topk_embeddings",
     sql="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -254,3 +254,61 @@ def streaming_peer_serving(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_ann_serving(
+    queries_stream: DataFrame,
+    artifact: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    emit,
+    vec_col: str = "vec",
+    k: int = 10,
+    n_probe: int = 4,
+    list_col: str = "ivf_list",
+    checkpoint_dir: str | None = None,
+):
+    """Streaming serving loop for the IVF ANN index — the vector twin
+    of ``streaming_peer_serving``: per micro-batch of arriving query
+    vectors, probe the STATIC nightly artifact
+    (``operators/similarity.py::ivf_index``, typically a reloaded
+    ``partitionBy(ivf_list)`` parquet) with
+    ``operators/similarity.py::ivf_probe`` and hand the per-query
+    top-k to ``emit(df, batch_id)`` (idempotent sink contract, same
+    as the CDC maintenance sink).
+
+    foreachBatch, not a stream-static join, for the same reason as
+    the peer loop: the probe ends in a window-function top-k, which
+    append-mode streaming cannot express — per batch the frames are
+    static and the batch operator runs unchanged.  Batching is
+    correctness-free: the probe is per-row independent and each query
+    arrives in exactly one micro-batch, so the union of per-batch
+    top-k IS the one-shot batch result (pytest-pinned).
+
+    Scale: per batch, one broadcast join against the (small) centroid
+    table + a fetch of the batch's probed lists — on a
+    list-partitioned artifact, dynamic partition pruning keeps the
+    scan to those directories, so per-batch I/O rides the batch's
+    list coverage, not the corpus.  State: NONE.  ``checkpoint_dir``
+    makes the loop restartable exactly-once per query, as in the peer
+    loop."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_probe,
+    )
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        topk = ivf_probe(
+            batch_df, artifact, query_id, corpus_id, centroids,
+            vec_col=vec_col, k=k, n_probe=n_probe, list_col=list_col,
+        )
+        emit(topk, batch_id)
+
+    writer = queries_stream.writeStream.foreachBatch(_serve).outputMode(
+        "update"
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -644,3 +644,70 @@ def test_streaming_peer_serving_restart_is_exactly_once(spark):
     assert new_tgts and all(t % 3 == 2 for t in new_tgts)
     # union across the restarts = every prospect served exactly once
     assert len(served) == len({(r["tgt"], r["src"]) for r in served})
+
+
+def test_streaming_ann_serving_matches_batch(spark):
+    """The foreachBatch ANN loop (ivf_probe of the static reloaded
+    list-partitioned artifact per micro-batch of queries) must emit
+    EXACTLY the one-shot probe's per-query top-k — the probe is
+    per-row independent, so micro-batching cannot change any query's
+    result.  Two real micro-batches via maxFilesPerTrigger=1."""
+    import os
+
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_ann_serving,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    base = tempfile.mkdtemp(prefix="ann_serve_")
+    ivf_index(corpus, "nbr_id", "embedding", centroids).write.partitionBy(
+        "ivf_list"
+    ).parquet(f"{base}/idx")
+    artifact = spark.read.parquet(f"{base}/idx")
+
+    flat = f"{base}/landing"
+    os.makedirs(flat)
+    for i in range(2):
+        qs.filter(F.col("tgt_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(flat)
+    stream = (
+        spark.readStream.schema(qs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    got_rows, batch_ids = [], []
+
+    def emit(df, batch_id):
+        batch_ids.append(batch_id)
+        got_rows.extend(df.collect())
+
+    q = streaming_ann_serving(
+        stream, artifact, centroids, "tgt_id", "nbr_id", emit,
+        vec_col="embedding", k=5, n_probe=4,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batch_ids) >= 2  # really ran as multiple micro-batches
+
+    want = ivf_probe(
+        qs, artifact, "tgt_id", "nbr_id", centroids,
+        vec_col="embedding", k=5, n_probe=4,
+    ).collect()
+    shutil.rmtree(base, ignore_errors=True)
+    got = {(r["tgt_id"], r["nbr_id"], round(r["score"], 9)) for r in got_rows}
+    exp = {(r["tgt_id"], r["nbr_id"], round(r["score"], 9)) for r in want}
+    assert got == exp and len(got) > 0
