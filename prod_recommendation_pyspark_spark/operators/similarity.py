@@ -887,12 +887,18 @@ def ivf_index(
     """The persistable IVF ARTIFACT: every corpus vector stamped with
     its single nearest list (``ivf_assign`` n_probe=1), vectors
     carried along so serving never rejoins the raw corpus.  Write it
-    ``.write.partitionBy(list_col)`` — each inverted list becomes a
-    parquet partition directory, so a probe of n_probe lists is a
-    partition-PRUNED scan (dynamic partition pruning once the probe's
-    list set is broadcast-joined against it), never a full index
-    read.  The ANN twin of ``hybrid.rank_window_index``: nightly
-    build, intraday probes."""
+    ``.repartition(list_col).write.partitionBy(list_col)`` — each
+    inverted list becomes ONE parquet file in its own partition
+    directory (unrepartitioned, every upstream task writes a file
+    into every list it touches: up to task×list tiny files), so a
+    probe of n_probe lists is a partition-PRUNED scan (dynamic
+    partition pruning once the probe's list set is broadcast-joined
+    against it), never a full index read.  Centroid count should
+    scale ~sqrt(N) (probe cost ≈ n_probe·N/nlist rows per query vs
+    assignment cost ≈ N·nlist dots at build; the centroid table must
+    stay broadcastable) — measured recall/latency knee in SCALE.md's
+    round-11 ANN appendix.  The ANN twin of
+    ``hybrid.rank_window_index``: nightly build, intraday probes."""
     assign = ivf_assign(
         corpus, corpus_id, vec_col, centroids, n_probe=1, list_col=list_col
     )

@@ -537,9 +537,14 @@ def ann_ivf_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="spark_graft_ivf_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    ivf_index(corpus, "nbr_id", "embedding", centroids).write.mode(
-        "overwrite"
-    ).partitionBy("ivf_list").parquet(f"{base}/ivf_index")
+    # repartition by list before the partitioned write: one file per
+    # inverted list instead of one per (task x list) — at real corpus
+    # sizes the unrepartitioned write explodes into tiny files
+    ivf_index(corpus, "nbr_id", "embedding", centroids).repartition(
+        "ivf_list"
+    ).write.mode("overwrite").partitionBy("ivf_list").parquet(
+        f"{base}/ivf_index"
+    )
     artifact = spark.read.parquet(f"{base}/ivf_index")
     out = ivf_probe(
         qs, artifact, "tgt_id", "nbr_id", centroids,
@@ -1427,9 +1432,11 @@ def streaming_ann_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="ann_serving_replay_")
     landing, out = f"{base}/landing", f"{base}/out"
-    ivf_index(corpus, "nbr_id", "embedding", centroids).write.mode(
-        "overwrite"
-    ).partitionBy("ivf_list").parquet(f"{base}/ivf_index")
+    ivf_index(corpus, "nbr_id", "embedding", centroids).repartition(
+        "ivf_list"
+    ).write.mode("overwrite").partitionBy("ivf_list").parquet(
+        f"{base}/ivf_index"
+    )
     artifact = spark.read.parquet(f"{base}/ivf_index")
     for i in range(3):  # three part files -> three micro-batches
         qs.filter(F.col("tgt_id") % 3 == i).coalesce(1).write.mode(

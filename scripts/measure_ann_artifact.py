@@ -1,0 +1,177 @@
+"""Round-11 sf1 evidence for the ANN NIGHTLY-ARTIFACT story end to
+end (the vector twin of measure_nightly_artifact.py): build the IVF
+index over the sf1 embeddings corpus, WRITE it to parquet partitioned
+by ``ivf_list`` (repartitioned by list first — one file per inverted
+list), reload it cold, serve a query batch off the reloaded artifact
+(``ivf_probe`` — broadcast centroid assignment, dynamic-partition-
+pruned list fetch, exact cosine re-rank), and sweep ``n_probe`` to
+record the recall/latency knob against the brute-force blocked cosine
+kernel on the same batch.  Also serves the batch through the
+STREAMING loop (``streaming_ann_serving``, 4 micro-batches) to time
+the foreachBatch plumbing.
+
+Two centroid densities are measured:
+
+* ``mod 13`` — the registered queries' density (oracle-replayable
+  constant; |corpus|/13 lists).  At sf1 that is ~1.5k lists of ~13
+  rows — the small-file regime the repartitioned write exists for.
+* ``~sqrt(N)`` lists — the classic IVF balance (probe cost
+  n_probe·N/nlist vs assignment cost N·nlist): the density a real
+  deployment would pick, giving bigger lists and a smaller
+  broadcastable centroid table.
+
+The pytest (`test_ivf_index_parquet_roundtrip_probe_parity`) pins the
+contract at fixture scale and `ann_ivf_nightly_e2e` /
+`streaming_ann_serving_replay` pin it under the full value oracle at
+driver scale; this script records the sf1 walls for SCALE.md.
+
+Usage: python scripts/measure_ann_artifact.py [SF_DIR] [OUT_DIR]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from prod_recommendation_pyspark_spark.operators.similarity import (
+    cosine_topk,
+    ivf_index,
+    ivf_probe,
+    l2_normalize,
+)
+from prod_recommendation_pyspark_spark.session import get_spark
+
+K = 5
+
+
+def measure_density(spark, emb, want, out_dir: str, centroid_mod: int,
+                    probes: list[int]) -> dict:
+    res: dict = {"centroid_mod": centroid_mod}
+    centroids = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    res["n_lists"] = centroids.count()
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    ).localCheckpoint()
+
+    # nightly BUILD: one file per inverted list
+    t0 = time.time()
+    ivf_index(corpus, "nbr_id", "embedding", centroids).repartition(
+        "ivf_list"
+    ).write.mode("overwrite").partitionBy("ivf_list").parquet(out_dir)
+    res["build_write_wall_s"] = round(time.time() - t0, 1)
+
+    artifact = spark.read.parquet(out_dir)
+    res["index_rows"] = artifact.count()
+
+    # probe sweep: the recall/latency knob
+    for n_probe in probes:
+        t0 = time.time()
+        served = ivf_probe(
+            qs, artifact, "tgt_id", "nbr_id", centroids,
+            vec_col="embedding", k=K, n_probe=n_probe,
+        )
+        got = {(r[0], r[1]) for r in
+               served.select("tgt_id", "nbr_id").collect()}
+        res[f"probe{n_probe}_wall_s"] = round(time.time() - t0, 1)
+        res[f"probe{n_probe}_recall"] = (
+            round(len(got & want) / len(want), 4) if want else None
+        )
+    return res
+
+
+def run(spark, sf_dir: str, out_dir: str) -> dict:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
+    out: dict = {"sf_dir": sf_dir, "n_corpus": emb.count()}
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    ).localCheckpoint()
+    out["batch_rows"] = qs.count()
+
+    # ground truth: brute-force blocked cosine kernel on the batch
+    norm = l2_normalize(emb, "embedding", "vec")
+    left = norm.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "vec"
+    )
+    right = norm.select(F.col("vec_id").alias("nbr_id"), "vec")
+    t0 = time.time()
+    exact = cosine_topk(
+        left, right, "tgt_id", "nbr_id", "vec", k=K, exclude_self=True
+    )
+    want = {(r[0], r[1]) for r in exact.select("tgt_id", "nbr_id").collect()}
+    out["exact_batch_wall_s"] = round(time.time() - t0, 1)
+
+    # the registered density (mod 13) and the sqrt(N) density
+    n = out["n_corpus"]
+    sqrt_mod = max(1, n // max(1, int(math.sqrt(n))))
+    out["registered"] = measure_density(
+        spark, emb, want, f"{out_dir}/m13", 13, probes=[4, 16]
+    )
+    out["sqrtN"] = measure_density(
+        spark, emb, want, f"{out_dir}/sqrt", sqrt_mod, probes=[4, 16]
+    )
+
+    # streaming loop over the sqrt(N) artifact (4 micro-batches)
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_ann_serving,
+    )
+
+    centroids = emb.filter(F.col("vec_id") % sqrt_mod == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    artifact = spark.read.parquet(f"{out_dir}/sqrt")
+    landing = f"{out_dir}/landing"
+    for i in range(4):
+        qs.filter(F.col("tgt_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(qs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    stream_got: set = set()
+
+    def emit(df, batch_id):
+        stream_got.update(
+            (r[0], r[1]) for r in df.select("tgt_id", "nbr_id").collect()
+        )
+
+    t0 = time.time()
+    q = streaming_ann_serving(
+        stream, artifact, centroids, "tgt_id", "nbr_id", emit,
+        vec_col="embedding", k=K, n_probe=16,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out["stream16_wall_s"] = round(time.time() - t0, 1)
+    batch_got = {(r[0], r[1]) for r in ivf_probe(
+        qs, artifact, "tgt_id", "nbr_id", centroids,
+        vec_col="embedding", k=K, n_probe=16,
+    ).select("tgt_id", "nbr_id").collect()}
+    out["stream_matches_batch"] = stream_got == batch_got
+    return out
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ann_index_artifact"
+    spark = get_spark(app_name="ann_artifact_measure")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        print(json.dumps(run(spark, sf_dir, out_dir)), flush=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
