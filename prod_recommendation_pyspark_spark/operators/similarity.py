@@ -877,6 +877,32 @@ def ann_ivf_topk(
     )
 
 
+def ivf_auto_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """DERIVE the IVF centroid set from the corpus instead of pinning
+    a sampling constant — the ANN analogue of the rank-window
+    derivation (any fixed centroid modulus is eventually wrong: the
+    registered ``% 13`` density is already 1,539 tiny lists at sf1 —
+    SCALE.md round-11 ANN appendix).  nlist ≈ sqrt(N) balances probe
+    cost (n_probe·N/nlist rows per query) against assignment cost
+    (N·nlist dots) and keeps the centroid table broadcastable at any
+    corpus size; the sample is the deterministic
+    ``id % (N // ceil(sqrt(N))) == 0`` slice, so the derived index is
+    a pure function of the corpus — reproducible and
+    oracle-replayable (the modulus is computable in SQL from
+    ``count(*)``).  One count job at build time.
+
+    The modulus uses FLOATING ``ceil(sqrt(n))`` — deliberately the
+    same formulation as the DuckDB oracle's, so both sides compute
+    the identical modulus at any count."""
+    n = corpus.count()
+    mod = max(1, n // max(1, int(math.ceil(math.sqrt(n)))))
+    return corpus.filter(F.col(id_col) % mod == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("vec")
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     corpus_id: str,

@@ -456,6 +456,83 @@ def ann_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_derived_density",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    md AS (SELECT greatest(1, count(*) // greatest(1,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT))) AS m FROM e),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+             WHERE vec_id % (SELECT m FROM md) = 0),
+    c_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent)
+        WHERE rn <= 1),
+    q_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent WHERE e.vec_id % 20 = 0)
+        WHERE rn <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS tgt_id, c.vec_id AS nbr_id
+        FROM q_assign q JOIN c_assign c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT tgt_id, nbr_id, list_cosine_similarity(a.v, b.v) AS score
+        FROM cand JOIN e a ON cand.tgt_id = a.vec_id
+                  JOIN e b ON cand.nbr_id = b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM scored)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= {_IVF_K}
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def ann_ivf_derived_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the centroid density DERIVED from the corpus
+    (``ivf_auto_centroids``: nlist ≈ sqrt(N) via the deterministic
+    ``id % (N // ceil(sqrt(N)))`` sample) instead of the pinned
+    ``% {_IVF_CENTROID_MOD}`` — the ANN analogue of the rank-window
+    derivation replacing the pinned window: any fixed sampling
+    constant is eventually the wrong density (at sf1 the registered
+    constant is already 1,539 thirteen-row lists; sqrt(N) builds 8x
+    faster AND probes at higher recall — SCALE.md round-11 ANN
+    appendix).  Same query batch as ``ann_ivf_topk_embeddings`` so
+    the two hash-green rows differ ONLY in density.  The oracle
+    derives the identical modulus from ``count(*)`` with the same
+    floating ceil(sqrt(N)) formulation, so the whole derived index is
+    independently replayed — a hash match pins the derivation, the
+    assignment, and the probe end to end."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    centroids = ivf_auto_centroids(corpus, "nbr_id", "embedding")
+    qs = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    out = ann_ivf_topk(
+        corpus, qs, "nbr_id", "tgt_id", "embedding",
+        k=_IVF_K, centroids=centroids, n_probe=_IVF_NPROBE,
+    )
+    return out.select(
+        "tgt_id", "nbr_id", F.round("score", 4).alias("score")
+    ).orderBy("tgt_id", "nbr_id")
+
+
+@register(
     "ann_ivf_nightly_e2e",
     sql=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1349,6 +1426,102 @@ def streaming_peer_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("tgt_custkey", "src_custkey")
     )
+
+
+@register(
+    "ann_ivf_incremental_insert",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    nightly AS (SELECT * FROM e WHERE vec_id % 10 <> 7),
+    md AS (SELECT greatest(1, count(*) // greatest(1,
+                   CAST(ceil(sqrt(count(*))) AS BIGINT))) AS m FROM nightly),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM nightly
+             WHERE vec_id % (SELECT m FROM md) = 0),
+    c_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent)
+        WHERE rn <= 1),
+    q_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent WHERE e.vec_id % 17 = 3)
+        WHERE rn <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS tgt_id, c.vec_id AS nbr_id
+        FROM q_assign q JOIN c_assign c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT tgt_id, nbr_id, list_cosine_similarity(a.v, b.v) AS score
+        FROM cand JOIN e a ON cand.tgt_id = a.vec_id
+                  JOIN e b ON cand.nbr_id = b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM scored)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= {_IVF_K}
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def ann_ivf_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRADAY INSERTS between nightly index builds — the missing
+    piece of the ANN deployment loop (nightly build → intraday serve →
+    intraday ARRIVALS): vectors arriving after the nightly build
+    (vec_id % 10 = 7 plays the arrival slice) are assigned to the
+    EXISTING artifact's centroids (``ivf_index`` with the frozen
+    centroid table) and unioned into the index; the probe then serves
+    the standard query batch over nightly ∪ inserted.
+
+    The correctness argument this row pins: with FROZEN centroids the
+    per-vector list assignment is a pure per-row function of the
+    centroid table, so incremental insertion is EXACTLY a full rebuild
+    over the grown corpus — no drift, no approximation (the oracle
+    replays one flat assignment of the whole corpus; a hash match
+    proves union-of-increments ≡ rebuild).  What insertion does NOT
+    update is the centroid set itself: list sizes skew as the corpus
+    drifts from the nightly distribution, which is why the nightly
+    rebuild re-derives centroids (``ivf_auto_centroids`` on the grown
+    corpus) — same rhythm as the rank-window nightly re-deriving its
+    window.  Centroids here are derived from the NIGHTLY slice (the
+    deployment can only sample what existed at build time); the
+    oracle derives the same modulus from the nightly count.
+
+    Scale: the insert path is one broadcast join + append of the
+    arrival slice's list-partitioned files — no touch of the
+    existing artifact's files."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    nightly = corpus.filter(F.col("nbr_id") % 10 != 7)
+    arrivals = corpus.filter(F.col("nbr_id") % 10 == 7)
+    centroids = ivf_auto_centroids(nightly, "nbr_id", "embedding")
+    index = ivf_index(nightly, "nbr_id", "embedding", centroids)
+    inserted = ivf_index(arrivals, "nbr_id", "embedding", centroids)
+    grown = index.unionByName(inserted)
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    out = ivf_probe(
+        qs, grown, "tgt_id", "nbr_id", centroids,
+        vec_col="embedding", k=_IVF_K, n_probe=_IVF_NPROBE,
+    )
+    return out.select(
+        "tgt_id", "nbr_id", F.round("score", 4).alias("score")
+    ).orderBy("tgt_id", "nbr_id")
 
 
 @register(

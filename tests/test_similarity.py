@@ -588,3 +588,41 @@ def test_ivf_index_parquet_roundtrip_probe_parity(spark, tmp_path):
         "reloaded artifact scan is not partition-pruned — the probe "
         "would read every inverted list"
     )
+
+
+def test_ivf_incremental_insert_equals_rebuild(spark):
+    """With FROZEN centroids, list assignment is a pure per-row
+    function of the centroid table — so inserting arrivals into an
+    existing index must equal a full rebuild over the grown corpus
+    ROW FOR ROW, and the served top-k off either index must match."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    nightly = corpus.filter(F.col("nbr_id") % 10 != 7)
+    arrivals = corpus.filter(F.col("nbr_id") % 10 == 7)
+    centroids = ivf_auto_centroids(nightly, "nbr_id", "embedding")
+
+    grown = ivf_index(nightly, "nbr_id", "embedding", centroids).unionByName(
+        ivf_index(arrivals, "nbr_id", "embedding", centroids)
+    )
+    rebuilt = ivf_index(corpus, "nbr_id", "embedding", centroids)
+    key = lambda df: {(r["nbr_id"], r["ivf_list"]) for r in
+                      df.select("nbr_id", "ivf_list").collect()}
+    assert key(grown) == key(rebuilt) and grown.count() == rebuilt.count()
+
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    serve = lambda idx: {
+        (r["tgt_id"], r["nbr_id"], round(r["score"], 9))
+        for r in ivf_probe(
+            qs, idx, "tgt_id", "nbr_id", centroids,
+            vec_col="embedding", k=5, n_probe=4,
+        ).collect()
+    }
+    assert serve(grown) == serve(rebuilt) and len(serve(grown)) > 0
