@@ -160,6 +160,82 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_index_nightly_e2e",
+    sql="""
+    WITH
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_index_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup NIGHTLY-ARTIFACT story end to end — the third leg of
+    the serving-split trilogy (peer search: ``rank_window_nightly_e2e``;
+    ANN: ``ann_ivf_nightly_e2e``): the corpus's MinHash band-key index
+    is WRITTEN as a parquet table bucketed by ``(band, key)``
+    (``sources/writers.py::write_bucketed`` — 16 buckets), RELOADED
+    through the catalog, and today's arrival batch (doc_id % 5 == 4)
+    is probed against the reloaded store —
+    ``incremental_lsh_candidates`` shingles/hashes ONLY the batch; the
+    corpus side joins from its pre-hashed bucket files with NO
+    Exchange and NO recompute (pytest-pinned on the plan), so per-day
+    cost rides |batch|, not the 100 TB corpus.  Candidates are
+    verified with exact trigram Jaccard at 0.8, identical to
+    ``incremental_dedup_documents`` — and the oracle is the same
+    brute-force cross Jaccard, so a hash-green row proves the
+    PERSISTED path end to end: hash determinism across the write, the
+    bucketed layout's join, and the probe arithmetic."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    store = minhash_band_keys(corpus, "doc_id", "text")
+    # nightly write: bucketed by the probe join key, EXTERNAL at a
+    # per-run temp location (a managed table would collide with a
+    # previous run's warehouse leftovers in a fresh session)
+    base = tempfile.mkdtemp(prefix="dedup_idx_nightly_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    write_bucketed(
+        store, "dedup_band_index_nightly", 16, ["band", "key"],
+        path=f"{base}/store",
+    )
+    reloaded = spark.table("dedup_band_index_nightly")
+    cands = incremental_lsh_candidates(
+        reloaded, batch, "doc_id", "text"
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 @register("ngram_jaccard_pairs_brute", sql=_JACCARD_SQL)
 def ngram_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.8, no LSH prefilter — the

@@ -47,6 +47,7 @@ def write_bucketed(
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Hash-bucketed (optionally sorted) parquet table — the shuffle
     amortizer for repeated joins/aggregations on the same key.  Two
@@ -55,10 +56,21 @@ def write_bucketed(
     ``sort_cols`` match); at 100 TB that converts every recurring
     fact-fact join on the bucket key from a full shuffle into a local
     zip of pre-hashed files.  Bucketing requires the table catalog
-    (``saveAsTable``), not a bare path write."""
+    (``saveAsTable``), not a bare path write.
+
+    ``path`` makes the table EXTERNAL at that location — use it when
+    the data's lifetime is managed outside the warehouse (per-run temp
+    artifacts): a managed saveAsTable into a fresh session whose
+    warehouse dir still holds a previous run's files fails with
+    LOCATION_ALREADY_EXISTS.  Any stale catalog entry under the same
+    name is dropped first (the name is only a handle; the location is
+    the data)."""
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

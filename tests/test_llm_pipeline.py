@@ -1024,3 +1024,52 @@ def test_ivfpq_residuals_beat_flat_pq_shortlist(spark):
     r_flat, r_ivf = recall(flat), recall(ivf)
     assert r_ivf >= r_flat
     assert r_ivf >= 0.5
+
+
+def test_dedup_store_probe_reads_buckets_without_shuffle(spark):
+    """The persisted dedup index contract: probing a NEW batch against
+    the band-key store reloaded from its (band, key)-bucketed table
+    must shuffle ONLY the batch side — the corpus's pre-hashed bucket
+    files join with no Exchange (per-day cost rides |batch|) — and
+    must produce the same candidates as the in-session store."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    store = minhash_band_keys(corpus, "doc_id", "text")
+    write_bucketed(store, "bt_dedup_band_index", 16, ["band", "key"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        reloaded = spark.table("bt_dedup_band_index")
+        cands = incremental_lsh_candidates(reloaded, batch, "doc_id", "text")
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        # the store is the SMJ's LEFT branch (':'-prefixed lines in
+        # the plan tree): its bucketed scan must feed the join with
+        # NO Exchange — every shuffle in the plan belongs to the
+        # batch side (minhash aggs + bucket alignment) or the final
+        # distinct, i.e. rides |batch|
+        store_side_exchanges = [
+            ln for ln in plan.splitlines()
+            if "Exchange" in ln and ":" in ln.split("Exchange")[0]
+        ]
+        assert not store_side_exchanges, plan
+        assert "Bucketed: true" in plan, plan
+        got = {(r.id_a, r.id_b) for r in cands.collect()}
+        want = {
+            (r.id_a, r.id_b)
+            for r in incremental_lsh_candidates(
+                store, batch, "doc_id", "text"
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bt_dedup_band_index")
