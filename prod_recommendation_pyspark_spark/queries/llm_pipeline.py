@@ -236,6 +236,103 @@ def dedup_index_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "streaming_dedup_serving_replay",
+    sql="""
+    WITH
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING dedup loop registered under the brute-force
+    cross-Jaccard value oracle — unlike the foreachBatch serving
+    replays (peer, ANN), this one exercises Spark's NATIVE append-mode
+    streaming surface: ``streaming_incremental_dedup`` is a pure
+    projection + stream-static join (no state store, no aggregation),
+    so it runs as a real ``writeStream`` into a parquet FILE SINK with
+    a checkpoint — arrival docs staged as three files →
+    ``maxFilesPerTrigger=1`` (three micro-batches) → per-batch band
+    collisions appended to the sink → sink read back, distinct'd into
+    candidate pairs, and verified with exact trigram Jaccard in the
+    batch layer (the candidates→verify split the operator's docstring
+    prescribes).  A hash-green row pins the native streaming plan
+    (file-source batching, stream-static join, append sink, restart
+    checkpoint) end to end against the same oracle as the batch and
+    bucketed-artifact paths — three execution engines, one answer."""
+    import os
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_incremental_dedup,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
+    # static side of every micro-batch's stream-static join: build
+    # once, truncate lineage so batches re-read blocks, not the plan
+    store = minhash_band_keys(corpus, "doc_id", "text").localCheckpoint()
+    base = tempfile.mkdtemp(prefix="dedup_serving_replay_")
+    landing, out = f"{base}/landing", f"{base}/out"
+    for i in range(3):  # three part files -> three micro-batches
+        batch.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    cand_stream = streaming_incremental_dedup(stream, store, "doc_id", "text")
+    q = (
+        cand_stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(landing, ignore_errors=True)
+    if not os.path.isdir(out):  # no batch emitted
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+    cands = (
+        spark.read.parquet(out)
+        .select(
+            F.col("corpus_id").cast("long").alias("id_a"),
+            F.col("doc_id").cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 @register("ngram_jaccard_pairs_brute", sql=_JACCARD_SQL)
 def ngram_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.8, no LSH prefilter — the
