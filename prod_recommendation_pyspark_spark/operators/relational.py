@@ -180,12 +180,52 @@ def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
     )
 
 
+#: power-of-two salt ladder; the top rung caps replication fan-out
+SALT_LADDER = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+
+def derive_salt_factor(
+    df: DataFrame,
+    keys: list[str],
+    target_rows_per_task: int = 2_000_000,
+) -> int:
+    """DERIVE the salt factor from the measured hot-key count instead
+    of pinning a constant (the same remove-the-constant move as the
+    rank-window and IVF-density derivations: a salt of 16 is wrong in
+    both directions — overhead on a uniform key, a straggler when one
+    key is 30% of 100 TB): one calibration pass counts rows per key,
+    and the factor is the smallest ladder rung ``w`` with
+    ``w · target_rows_per_task ≥ max_count`` — i.e. just enough salts
+    that the hottest key's per-reducer share fits the target.
+
+    The calibration groupBy is itself skew-SAFE: counts combine
+    map-side, so the reduce stage sees one slim row per (partition,
+    key), never the hot key's raw rows.  Integer arithmetic only
+    (``w·target ≥ mx``, no float log2), so a DuckDB oracle replays the
+    rung pick exactly.  The ladder tops out at 256: beyond that the
+    stage-2 merge fan-in and (for joins) right-side replication
+    dominate — the top rung is returned, not an error, because more
+    salt is diminishing, not wrong."""
+    row = (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.max("__c"))
+        .first()
+    )
+    mx = int(row[0] or 0)
+    for w in SALT_LADDER:
+        if w * target_rows_per_task >= mx:
+            return w
+    return SALT_LADDER[-1]
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: list[Column],
     final_aggs: list[Column],
-    n_salts: int = 16,
+    n_salts: int | None = 16,
+    target_rows_per_task: int = 2_000_000,
 ) -> DataFrame:
     """Two-stage aggregation for skewed group keys: stage 1 aggregates
     on (keys + random-ish salt) so a hot key's rows spread over
@@ -203,7 +243,14 @@ def salted_agg(
     (e.g. groupBy on a key where one value is 30% of 100 TB) or the
     agg buffers are wide (collect_list/percentile).  For skewed JOINs
     prefer AQE (``spark.sql.adaptive.skewJoin``); for skewed broadcast
-    candidates prefer broadcasting the small side outright."""
+    candidates prefer broadcasting the small side outright.
+
+    ``n_salts=None`` DERIVES the factor from the measured hot-key
+    count (:func:`derive_salt_factor` — one skew-safe calibration
+    pass; floor 1 on a uniform key, the ladder rung that fits the
+    hottest key to ``target_rows_per_task`` otherwise)."""
+    if n_salts is None:
+        n_salts = derive_salt_factor(df, keys, target_rows_per_task)
     salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*aggs)
     return partial.groupBy(*keys).agg(*final_aggs)

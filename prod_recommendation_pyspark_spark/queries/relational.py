@@ -939,6 +939,64 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "auto_salted_agg_returnflag",
+    sql="""
+    WITH mx AS (SELECT max(c) AS m FROM (
+            SELECT count(*) AS c FROM lineitem GROUP BY l_returnflag)),
+    lad AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS w),
+    pick AS (SELECT coalesce(min(w), 256) AS s FROM lad CROSS JOIN mx
+             WHERE w * 4096 >= m)
+    SELECT l_returnflag,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS sum_qty,
+           count(*)                       AS n_rows,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE)
+               AS sum_price,
+           CAST((SELECT s FROM pick) AS BIGINT) AS n_salts
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def auto_salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted aggregation with its salt factor DERIVED from the
+    measured hot-key count (``salted_agg(n_salts=None)`` →
+    ``derive_salt_factor``) — the third remove-the-pinned-constant
+    derivation this round after the rank window and the IVF centroid
+    density: the smallest power-of-two rung whose per-reducer share of
+    the hottest key fits ``target_rows_per_task`` (4096 here so the
+    derivation actually climbs the ladder at driver scales; production
+    targets are ~2M).  The derived factor rides along as the
+    ``n_salts`` column, so the hash pins the DERIVATION (the oracle
+    replays the rung pick with the same integer ``w·target ≥ max``
+    arithmetic) as well as the salt-invariant aggregate values."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        derive_salt_factor,
+        salted_agg,
+    )
+
+    li = Catalog(spark, sf_dir).table("lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    n = derive_salt_factor(li, ["l_returnflag"], target_rows_per_task=4096)
+    return salted_agg(
+        li,
+        ["l_returnflag"],
+        aggs=[
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("pq"),
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("pp"),
+        ],
+        final_aggs=[
+            F.round(F.sum("pq"), 2).cast("double").alias("sum_qty"),
+            F.sum("pc").alias("n_rows"),
+            F.round(F.sum("pp"), 2).cast("double").alias("sum_price"),
+        ],
+        n_salts=n,
+    ).withColumn("n_salts", F.lit(n).cast("long")).orderBy("l_returnflag")
+
+
+@register(
     "salted_join_supplier_revenue",
     sql="""
     SELECT s_nationkey,

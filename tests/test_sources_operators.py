@@ -660,3 +660,49 @@ def test_sorted_neighborhood_null_keys_rank_first(spark):
     }
     # sort order: '' (null→coalesced), 'aa', 'ab', 'zz' → adjacent pairs
     assert pairs == {(1, 2, 1), (2, 3, 1), (3, 4, 1)}
+
+
+def test_derive_salt_factor_ladder(spark):
+    """The derived salt factor: 1 on a uniform key (no overhead when
+    there is no skew), the smallest rung fitting the hottest key to
+    the target otherwise, capped at the ladder top; and the salted
+    agg under a DERIVED factor still equals the plain GROUP BY."""
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        SALT_LADDER,
+        derive_salt_factor,
+        salted_agg,
+    )
+
+    uniform = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    assert derive_salt_factor(uniform, ["k"], target_rows_per_task=100) == 1
+
+    # one key holds 900 of 1000 rows: target 100 -> needs >= 9 -> rung 16
+    hot = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    assert derive_salt_factor(hot, ["k"], target_rows_per_task=100) == 16
+    # absurd target -> capped at the top rung, never an error
+    assert (
+        derive_salt_factor(hot, ["k"], target_rows_per_task=1)
+        == SALT_LADDER[-1]
+    )
+
+    got = {
+        (r.k, r.s, r.n)
+        for r in salted_agg(
+            hot, ["k"],
+            aggs=[F.sum("v").alias("ps"), F.count(F.lit(1)).alias("pc")],
+            final_aggs=[F.sum("ps").alias("s"), F.sum("pc").alias("n")],
+            n_salts=None, target_rows_per_task=100,
+        ).collect()
+    }
+    want = {
+        (r.k, r.s, r.n)
+        for r in hot.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
