@@ -956,7 +956,13 @@ def ivf_probe(
     artifact instead of an in-session assignment, which is what makes
     the nightly-build / intraday-serve split deployable.  Probe cost
     rides the batch size × the probed lists' row count, independent
-    of the corpus outside those lists."""
+    of the corpus outside those lists.
+
+    CONTRACT: ``queries`` is a serving BATCH — both its list
+    assignment (|batch|·n_probe slim rows) and its vectors are
+    broadcast, which is what lets the artifact side stream under
+    dynamic partition pruning.  For corpus-sized query sets use
+    ``ann_ivf_topk`` (shuffle-join formulation) instead."""
     q_assign = ivf_assign(
         queries, query_id, vec_col, centroids, n_probe=n_probe, list_col=list_col
     )

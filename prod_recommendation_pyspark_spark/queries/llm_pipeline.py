@@ -275,6 +275,7 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
     (file-source batching, stream-static join, append sink, restart
     checkpoint) end to end against the same oracle as the batch and
     bucketed-artifact paths — three execution engines, one answer."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -290,6 +291,7 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
     # once, truncate lineage so batches re-read blocks, not the plan
     store = minhash_band_keys(corpus, "doc_id", "text").localCheckpoint()
     base = tempfile.mkdtemp(prefix="dedup_serving_replay_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     landing, out = f"{base}/landing", f"{base}/out"
     for i in range(3):  # three part files -> three micro-batches
         batch.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(

@@ -1373,6 +1373,7 @@ def streaming_peer_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     size (measured sf1: see SCALE.md round-11 appendix).  Reference
     anchor: the per-batch scoring loop this serves online,
     search_ranking_peers.py:536-559."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -1389,6 +1390,7 @@ def streaming_peer_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         clients, "src_custkey", window=_RANK_WINDOW
     ).localCheckpoint()
     base = tempfile.mkdtemp(prefix="peer_serving_replay_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     landing, out = f"{base}/landing", f"{base}/out"
     for i in range(3):  # three part files -> three micro-batches
         prospects.filter(F.col("tgt_custkey") % 3 == i).coalesce(1).write.mode(
@@ -1584,6 +1586,7 @@ def streaming_ann_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-batch I/O = broadcast centroid assignment + a
     DPP-pruned scan of the batch's probed list directories —
     independent of the corpus outside those lists."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -1604,6 +1607,7 @@ def streaming_ann_serving_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("tgt_id"), "embedding"
     )
     base = tempfile.mkdtemp(prefix="ann_serving_replay_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     landing, out = f"{base}/landing", f"{base}/out"
     ivf_index(corpus, "nbr_id", "embedding", centroids).repartition(
         "ivf_list"

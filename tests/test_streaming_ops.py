@@ -711,3 +711,82 @@ def test_streaming_ann_serving_matches_batch(spark):
     got = {(r["tgt_id"], r["nbr_id"], round(r["score"], 9)) for r in got_rows}
     exp = {(r["tgt_id"], r["nbr_id"], round(r["score"], 9)) for r in want}
     assert got == exp and len(got) > 0
+
+
+def test_streaming_ann_serving_restart_is_exactly_once(spark):
+    """The 24/7-server contract for the ANN loop: a restart on the
+    SAME landing dir + checkpoint reprocesses nothing already served;
+    a file landing after the restart is served exactly once."""
+    import os
+
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_index,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_ann_serving,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    artifact = ivf_index(
+        corpus, "nbr_id", "embedding", centroids
+    ).localCheckpoint()
+
+    base = tempfile.mkdtemp(prefix="ann_serve_restart_")
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    for i in (0, 1):
+        qs.filter(F.col("tgt_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    served: list = []
+
+    def emit(df, batch_id):
+        served.extend(df.collect())
+
+    def start():
+        stream = (
+            spark.readStream.schema(qs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        return streaming_ann_serving(
+            stream, artifact, centroids, "tgt_id", "nbr_id", emit,
+            vec_col="embedding", k=5, n_probe=4, checkpoint_dir=ckpt,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = {(r["tgt_id"], r["nbr_id"]) for r in served}
+    n_first = len(served)
+    assert n_first > 0
+
+    q = start()  # restart on the same checkpoint: nothing reprocessed
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(served) == n_first
+
+    qs.filter(F.col("tgt_id") % 3 == 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    new = {(r["tgt_id"], r["nbr_id"]) for r in served} - first
+    new_tgts = {t for t, _ in new}
+    assert new_tgts and all(t % 3 == 2 for t in new_tgts)
+    assert len(served) == len({(r["tgt_id"], r["nbr_id"]) for r in served})
+    shutil.rmtree(base, ignore_errors=True)
