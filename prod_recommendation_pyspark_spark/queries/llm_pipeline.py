@@ -274,12 +274,28 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
     prescribes).  A hash-green row pins the native streaming plan
     (file-source batching, stream-static join, append sink, restart
     checkpoint) end to end against the same oracle as the batch and
-    bucketed-artifact paths — three execution engines, one answer."""
+    bucketed-artifact paths — three execution engines, one answer.
+
+    The static side is the NIGHTLY BUCKETED ARTIFACT (same
+    ``write_bucketed`` store as ``dedup_index_nightly_e2e``), not an
+    in-session frame — the deployment truth: the 24/7 loop serves off
+    the artifact the nightly job wrote, and when the store outgrows
+    the broadcast threshold the bucketed layout feeds the per-batch
+    join with zero store-side shuffle (at driver scales the store
+    simply broadcasts).  The measured hot spot in this loop was
+    elsewhere: a one-file micro-batch pipelines the 64-hash signature
+    onto a single core, which is why ``streaming_incremental_dedup``
+    spreads the arriving side before hashing (11.5s/batch unspread at
+    sf0.1 — `lastProgress.durationMs.addBatch` — vs sub-second
+    spread)."""
     import atexit
     import os
     import shutil
     import tempfile
 
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        write_bucketed,
+    )
     from prod_recommendation_pyspark_spark.streaming.joins import (
         streaming_incremental_dedup,
     )
@@ -287,11 +303,16 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
     docs = _spread(Catalog(spark, sf_dir).table("documents"))
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
     batch = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
-    # static side of every micro-batch's stream-static join: build
-    # once, truncate lineage so batches re-read blocks, not the plan
-    store = minhash_band_keys(corpus, "doc_id", "text").localCheckpoint()
     base = tempfile.mkdtemp(prefix="dedup_serving_replay_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # static side of every micro-batch's stream-static join: the
+    # nightly bucketed artifact (no static-side shuffle per batch)
+    write_bucketed(
+        minhash_band_keys(corpus, "doc_id", "text"),
+        "dedup_band_index_serving", 16, ["band", "key"],
+        path=f"{base}/store",
+    )
+    store = spark.table("dedup_band_index_serving")
     landing, out = f"{base}/landing", f"{base}/out"
     for i in range(3):  # three part files -> three micro-batches
         batch.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
