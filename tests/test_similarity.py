@@ -626,3 +626,36 @@ def test_ivf_incremental_insert_equals_rebuild(spark):
         ).collect()
     }
     assert serve(grown) == serve(rebuilt) and len(serve(grown)) > 0
+
+
+def test_ivf_empty_inputs_are_well_defined(spark):
+    """Empty corpus / empty batch degrade to empty results, not
+    errors: auto-centroids on an empty corpus derive mod 1 and yield
+    no lists; a probe with an empty query batch returns zero rows
+    with the right schema."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    empty_corpus = corpus.filter(F.lit(False))
+    assert ivf_auto_centroids(empty_corpus, "nbr_id", "embedding").count() == 0
+    assert ivf_index(
+        empty_corpus, "nbr_id", "embedding",
+        ivf_auto_centroids(empty_corpus, "nbr_id", "embedding"),
+    ).count() == 0
+
+    centroids = ivf_auto_centroids(corpus, "nbr_id", "embedding")
+    index = ivf_index(corpus, "nbr_id", "embedding", centroids)
+    empty_batch = emb.filter(F.lit(False)).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    out = ivf_probe(
+        empty_batch, index, "tgt_id", "nbr_id", centroids,
+        vec_col="embedding", k=5, n_probe=4,
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"tgt_id", "nbr_id", "score"}
