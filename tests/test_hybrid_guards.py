@@ -733,3 +733,29 @@ def test_probe_mixed_window_index_raises(spark):
         rank_window_probe(pros, mixed, "tgt", "src")
     with pytest.raises(ValueError, match="MIXED"):
         rank_window_probe(pros, mixed, "tgt", "src", window=8)
+
+
+def test_hybrid_topk_pinned_chunks_equals_auto(spark):
+    """The calibration fast path (n_left_chunks=1 pinned, right-side
+    blocks auto-sized without the left geometry probe) must be
+    pair-for-pair identical to the fully-auto grid — the branch only
+    changes job count, never the result."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import hybrid_topk
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _firmographics,
+    )
+    from tests.conftest import SF_SMOKE
+
+    firmo = _firmographics(spark, SF_SMOKE).localCheckpoint()
+    pros = firmo.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("tgt"), "vec", "naics", "lat", "lon"
+    )
+    clis = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"), "vec", "naics", "lat", "lon"
+    )
+    key = lambda df: {
+        (r["tgt"], r["src"], round(r["score"], 9)) for r in df.collect()
+    }
+    auto = hybrid_topk(pros, clis, "tgt", "src", k=5)
+    pinned = hybrid_topk(pros, clis, "tgt", "src", k=5, n_left_chunks=1)
+    assert key(auto) == key(pinned) and len(key(auto)) > 0
