@@ -773,6 +773,7 @@ def ivf_assign(
     n_probe: int = 1,
     list_col: str = "ivf_list",
     use_kernel: bool = False,
+    blocked: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids by
     cosine (centroids: (centroid_id, vec) — typically a deterministic
@@ -783,7 +784,35 @@ def ivf_assign(
     At 100 TB: corpus rows are written partitioned by their single
     nearest list (``n_probe=1``); only queries fan out to multiple
     lists, turning search into partition-pruned scans of n_probe
-    lists."""
+    lists.
+
+    ``blocked=True`` routes the assignment through the cogrouped
+    BLAS block product (``cosine_topk`` on L2-normalized sides)
+    instead of the crossJoin formulations — THE corpus-scale build
+    path: the crossJoin scores |corpus|·nlist pairs one row at a time
+    (interpreted HOF) or Arrow-ships them all (``use_kernel``),
+    both linear in the PAIR count, while the blocked product is one
+    GEMM per (chunk × block) cell (measured 200k × 448: 61.8s HOF /
+    84.9s kernel / ~8s blocked).  Scores are cosine either way;
+    assignments can differ only on floating near-ties of
+    dot-of-normalized vs dot/(|a||b|) (parity pytest on the fixture).
+    The registered oracle queries keep the crossJoin-HOF formulation
+    the SQL twin replays expression-for-expression."""
+    if blocked:
+        lhs = l2_normalize(
+            df.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+            ),
+            "vec",
+        )
+        rhs = l2_normalize(
+            centroids.select(
+                "centroid_id", F.col("vec").cast("array<double>").alias("vec")
+            ),
+            "vec",
+        )
+        ranked = cosine_topk(lhs, rhs, id_col, "centroid_id", "vec", k=n_probe)
+        return ranked.select(id_col, F.col("centroid_id").alias(list_col))
     c = centroids.select(
         F.col("centroid_id").alias(list_col), F.col("vec").alias("__cvec")
     )
@@ -909,6 +938,8 @@ def ivf_index(
     vec_col: str,
     centroids: DataFrame,
     list_col: str = "ivf_list",
+    use_kernel: bool = False,
+    blocked: bool = False,
 ) -> DataFrame:
     """The persistable IVF ARTIFACT: every corpus vector stamped with
     its single nearest list (``ivf_assign`` n_probe=1), vectors
@@ -926,7 +957,8 @@ def ivf_index(
     round-11 ANN appendix.  The ANN twin of
     ``hybrid.rank_window_index``: nightly build, intraday probes."""
     assign = ivf_assign(
-        corpus, corpus_id, vec_col, centroids, n_probe=1, list_col=list_col
+        corpus, corpus_id, vec_col, centroids, n_probe=1, list_col=list_col,
+        use_kernel=use_kernel, blocked=blocked,
     )
     return corpus.select(
         corpus_id, F.col(vec_col).cast("array<double>").alias(vec_col)
@@ -943,6 +975,7 @@ def ivf_probe(
     k: int = 10,
     n_probe: int = 4,
     list_col: str = "ivf_list",
+    use_kernel: bool = False,
 ) -> DataFrame:
     """Serve an ANN batch off a (possibly reloaded) ``ivf_index``
     artifact: assign each query to its ``n_probe`` nearest lists (one
@@ -962,9 +995,18 @@ def ivf_probe(
     assignment (|batch|·n_probe slim rows) and its vectors are
     broadcast, which is what lets the artifact side stream under
     dynamic partition pruning.  For corpus-sized query sets use
-    ``ann_ivf_topk`` (shuffle-join formulation) instead."""
+    ``ann_ivf_topk`` (shuffle-join formulation) instead.
+
+    ``use_kernel=True`` scores fetched pairs (and assigns queries)
+    with the Arrow-batched kernel instead of the interpreted HOF
+    expression — same regime rule as the other vector operators (see
+    the kernel-threshold note above ``_fold_pair_scores``): the HOF
+    wins below ~10⁶ fetched pairs, the kernel above (measured 200k
+    corpus × 1.2k batch × n_probe=16 ≈ 8M pairs: 44.8s HOF → kernel
+    ~an order less).  Bit-identical scores either way."""
     q_assign = ivf_assign(
-        queries, query_id, vec_col, centroids, n_probe=n_probe, list_col=list_col
+        queries, query_id, vec_col, centroids, n_probe=n_probe,
+        list_col=list_col, use_kernel=use_kernel,
     )
     qv = queries.select(
         F.col(query_id).alias("__qid"),
@@ -980,20 +1022,24 @@ def ivf_probe(
         .join(cv, list_col)
         .filter(F.col("__qid") != F.col("__cid"))
     )
-    qn = F.sqrt(F.aggregate("__qvec", F.lit(0.0), lambda a, x: a + x * x))
-    cn = F.sqrt(F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x * x))
-    dot = F.aggregate(
-        F.zip_with("__qvec", "__cvec", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if use_kernel:
+        score = seq_cosine_kernel("__qvec", "__cvec")
+    else:
+        qn = F.sqrt(F.aggregate("__qvec", F.lit(0.0), lambda a, x: a + x * x))
+        cn = F.sqrt(F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x * x))
+        dot = F.aggregate(
+            F.zip_with("__qvec", "__cvec", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        score = dot / (qn * cn)
     scored = (
         hits.select("__qid", "__cid", "__cvec")
         .join(F.broadcast(qv), "__qid")
         .select(
             F.col("__qid").alias(query_id),
             F.col("__cid").alias(corpus_id),
-            (dot / (qn * cn)).alias("score"),
+            score.alias("score"),
         )
     )
     return windowed_topk(

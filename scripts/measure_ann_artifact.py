@@ -51,23 +51,28 @@ from prod_recommendation_pyspark_spark.operators.similarity import (
 from prod_recommendation_pyspark_spark.session import get_spark
 
 K = 5
+# query batch = vec_id % QMOD == 3; override for bigger corpora so the
+# brute-force ground truth stays tractable (cost = batch x corpus)
+QMOD = int(os.environ.get("SPARK_GRAFT_ANN_QMOD", "17"))
 
 
 def measure_density(spark, emb, want, out_dir: str, centroid_mod: int,
-                    probes: list[int]) -> dict:
-    res: dict = {"centroid_mod": centroid_mod}
+                    probes: list[int], use_kernel: bool = False) -> dict:
+    res: dict = {"centroid_mod": centroid_mod, "use_kernel": use_kernel}
     centroids = emb.filter(F.col("vec_id") % centroid_mod == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
     )
     res["n_lists"] = centroids.count()
     corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
-    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+    qs = emb.filter(F.col("vec_id") % QMOD == 3).select(
         F.col("vec_id").alias("tgt_id"), "embedding"
     ).localCheckpoint()
 
     # nightly BUILD: one file per inverted list
     t0 = time.time()
-    ivf_index(corpus, "nbr_id", "embedding", centroids).repartition(
+    ivf_index(
+        corpus, "nbr_id", "embedding", centroids, blocked=use_kernel
+    ).repartition(
         "ivf_list"
     ).write.mode("overwrite").partitionBy("ivf_list").parquet(out_dir)
     res["build_write_wall_s"] = round(time.time() - t0, 1)
@@ -81,6 +86,7 @@ def measure_density(spark, emb, want, out_dir: str, centroid_mod: int,
         served = ivf_probe(
             qs, artifact, "tgt_id", "nbr_id", centroids,
             vec_col="embedding", k=K, n_probe=n_probe,
+            use_kernel=use_kernel,
         )
         got = {(r[0], r[1]) for r in
                served.select("tgt_id", "nbr_id").collect()}
@@ -94,14 +100,14 @@ def measure_density(spark, emb, want, out_dir: str, centroid_mod: int,
 def run(spark, sf_dir: str, out_dir: str) -> dict:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
     out: dict = {"sf_dir": sf_dir, "n_corpus": emb.count()}
-    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+    qs = emb.filter(F.col("vec_id") % QMOD == 3).select(
         F.col("vec_id").alias("tgt_id"), "embedding"
     ).localCheckpoint()
     out["batch_rows"] = qs.count()
 
     # ground truth: brute-force blocked cosine kernel on the batch
     norm = l2_normalize(emb, "embedding", "vec")
-    left = norm.filter(F.col("vec_id") % 17 == 3).select(
+    left = norm.filter(F.col("vec_id") % QMOD == 3).select(
         F.col("vec_id").alias("tgt_id"), "vec"
     )
     right = norm.select(F.col("vec_id").alias("nbr_id"), "vec")
@@ -115,11 +121,18 @@ def run(spark, sf_dir: str, out_dir: str) -> dict:
     # the registered density (mod 13) and the sqrt(N) density
     n = out["n_corpus"]
     sqrt_mod = max(1, n // max(1, int(math.sqrt(n))))
-    out["registered"] = measure_density(
-        spark, emb, want, f"{out_dir}/m13", 13, probes=[4, 16]
-    )
+    if n <= 50_000:
+        # the pinned-density anti-pattern is measured once at sf1;
+        # at bigger corpora it is only a partition-explosion stress
+        out["registered"] = measure_density(
+            spark, emb, want, f"{out_dir}/m13", 13, probes=[4, 16]
+        )
+    # kernel regime above ~10^6 fetched pairs (the documented
+    # threshold): flip the Arrow kernel on for big corpora
+    kern = n > 50_000
     out["sqrtN"] = measure_density(
-        spark, emb, want, f"{out_dir}/sqrt", sqrt_mod, probes=[4, 16]
+        spark, emb, want, f"{out_dir}/sqrt", sqrt_mod, probes=[4, 16],
+        use_kernel=kern,
     )
 
     # streaming loop over the sqrt(N) artifact (4 micro-batches)

@@ -659,3 +659,32 @@ def test_ivf_empty_inputs_are_well_defined(spark):
     )
     assert out.count() == 0
     assert set(out.columns) == {"tgt_id", "nbr_id", "score"}
+
+
+def test_ivf_assign_blocked_equals_crossjoin(spark):
+    """The corpus-scale blocked (BLAS block-product) assignment must
+    pick the same lists as the crossJoin-HOF formulation the oracle
+    replays — per (id, rank) pair, at n_probe 1 and 4."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    for n_probe in (1, 4):
+        a = {
+            (r.vec_id, r.ivf_list)
+            for r in ivf_assign(
+                emb, "vec_id", "embedding", centroids, n_probe=n_probe
+            ).collect()
+        }
+        b = {
+            (r.vec_id, r.ivf_list)
+            for r in ivf_assign(
+                emb, "vec_id", "embedding", centroids, n_probe=n_probe,
+                blocked=True,
+            ).collect()
+        }
+        assert a == b and len(a) > 0
