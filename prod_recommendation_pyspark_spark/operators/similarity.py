@@ -797,7 +797,24 @@ def ivf_assign(
     assignments can differ only on floating near-ties of
     dot-of-normalized vs dot/(|a||b|) (parity pytest on the fixture).
     The registered oracle queries keep the crossJoin-HOF formulation
-    the SQL twin replays expression-for-expression."""
+    the SQL twin replays expression-for-expression.
+
+    Zero-norm vectors carry no direction, so cosine against them is
+    undefined (NaN): they are EXCLUDED from assignment — and hence
+    from the index — deterministically in BOTH paths (round-11
+    advice: the blocked path already dropped them via the NaN keep
+    mask while the crossJoin path ranked their NaN scores FIRST under
+    descending NaN ordering, assigning them to an arbitrary list).
+    The filter is a norm comparison the oracle data never triggers
+    (no zero embeddings in the fixtures), so registered hashes are
+    unchanged."""
+    nonzero = lambda vc: (  # noqa: E731
+        F.aggregate(vc, F.lit(0.0), lambda a, x: a + x * x) > 0
+    )
+    df = df.filter(nonzero(F.col(vec_col).cast("array<double>")))
+    centroids = centroids.filter(
+        nonzero(F.col("vec").cast("array<double>"))
+    )
     if blocked:
         lhs = l2_normalize(
             df.select(

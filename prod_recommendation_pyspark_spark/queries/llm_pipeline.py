@@ -289,7 +289,6 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
     sf0.1 — `lastProgress.durationMs.addBatch` — vs sub-second
     spread)."""
     import atexit
-    import os
     import shutil
     import tempfile
 
@@ -324,6 +323,7 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
         .parquet(landing)
     )
     cand_stream = streaming_incremental_dedup(stream, store, "doc_id", "text")
+    cand_schema = cand_stream.schema
     q = (
         cand_stream.writeStream.format("parquet")
         .option("path", out)
@@ -336,12 +336,15 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         q.stop()
     shutil.rmtree(landing, ignore_errors=True)
-    if not os.path.isdir(out):  # no batch emitted
-        return spark.createDataFrame(
-            [], "id_a long, id_b long, jaccard double"
-        )
+    # zero-candidate replays still create the sink dir (with
+    # _spark_metadata) the moment the query starts, so a bare
+    # isdir check can't detect emptiness and schema inference would
+    # fail on a data-less dir (round-11 advice) — read with the
+    # stream's own schema instead: committed-file listing comes from
+    # the sink's metadata log and an empty log yields the empty
+    # typed frame.
     cands = (
-        spark.read.parquet(out)
+        spark.read.schema(cand_schema).parquet(out)
         .select(
             F.col("corpus_id").cast("long").alias("id_a"),
             F.col("doc_id").cast("long").alias("id_b"),

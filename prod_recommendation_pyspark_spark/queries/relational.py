@@ -944,8 +944,12 @@ def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH mx AS (SELECT max(c) AS m FROM (
             SELECT count(*) AS c FROM lineitem GROUP BY l_returnflag)),
     lad AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS w),
+    -- coalesce(m, 0): an EMPTY input must pick rung 1 on both sides
+    -- (Python's derive_salt_factor treats a NULL max count as 0; a
+    -- bare NULL comparison here would filter every rung and fall to
+    -- the 256 default instead — round-11 advice)
     pick AS (SELECT coalesce(min(w), 256) AS s FROM lad CROSS JOIN mx
-             WHERE w * 4096 >= m)
+             WHERE w * 4096 >= coalesce(m, 0))
     SELECT l_returnflag,
            CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE)
                AS sum_qty,

@@ -62,10 +62,13 @@ def write_bucketed(
     the data's lifetime is managed outside the warehouse (per-run temp
     artifacts): a managed saveAsTable into a fresh session whose
     warehouse dir still holds a previous run's files fails with
-    LOCATION_ALREADY_EXISTS.  Any stale catalog entry under the same
-    name is dropped first (the name is only a handle; the location is
-    the data)."""
-    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
+    LOCATION_ALREADY_EXISTS.  On ``mode='overwrite'`` any stale
+    catalog entry under the same name is dropped first (the name is
+    only a handle; the location is the data); ``mode='append'`` keeps
+    the existing table — dropping there would silently destroy the
+    prior data the append exists to extend (round-11 advice)."""
+    if mode == "overwrite":
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

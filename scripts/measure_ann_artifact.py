@@ -118,9 +118,12 @@ def run(spark, sf_dir: str, out_dir: str) -> dict:
     want = {(r[0], r[1]) for r in exact.select("tgt_id", "nbr_id").collect()}
     out["exact_batch_wall_s"] = round(time.time() - t0, 1)
 
-    # the registered density (mod 13) and the sqrt(N) density
+    # the registered density (mod 13) and the sqrt(N) density —
+    # ceil(sqrt(n)) exactly as ivf_auto_centroids derives it, so the
+    # measured density IS the shipped one (round-11 advice: the old
+    # floor here measured a slightly different modulus)
     n = out["n_corpus"]
-    sqrt_mod = max(1, n // max(1, int(math.sqrt(n))))
+    sqrt_mod = max(1, n // max(1, int(math.ceil(math.sqrt(n)))))
     if n <= 50_000:
         # the pinned-density anti-pattern is measured once at sf1;
         # at bigger corpora it is only a partition-explosion stress
