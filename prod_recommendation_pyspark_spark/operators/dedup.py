@@ -252,6 +252,7 @@ def incremental_lsh_candidates(
     n_hashes: int = 64,
     bands: int = 16,
     max_bucket: int | None = 10_000,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs between a NEW document batch and an EXISTING
     corpus whose LSH index is already built — the daily incremental
@@ -268,13 +269,47 @@ def incremental_lsh_candidates(
 
     Returns distinct ``(id_a = corpus id, id_b = batch id)`` pairs.
     Within-batch duplicates are NOT covered — run
-    ``lsh_candidate_pairs`` over the (small) batch for those."""
+    ``lsh_candidate_pairs`` over the (small) batch for those.
+
+    ``tombstones`` (a small frame carrying deleted ids in an
+    ``id_col`` column) removes documents from matching BETWEEN
+    nightly store rebuilds — the takedown half of the artifact
+    lifecycle: the store side is anti-joined against the broadcast
+    tombstone set before banding, so a deleted document can never
+    pair with an arriving batch.  Band keys are per-document, so the
+    tombstone probe is EXACTLY the probe of the compacted store
+    (``dedup_store_compact``) and of a store rebuilt without the
+    deleted docs (rebuild-equivalence pytest-pinned;
+    ``dedup_index_delete_e2e`` pins it against the
+    rebuild-minus-deleted SQL replay)."""
+    if tombstones is not None:
+        corpus_keys = corpus_keys.join(
+            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+        )
     new_keys = minhash_band_keys(
         batch, id_col, text_col, shingle_words, n_hashes, bands, max_bucket
     )
     a = corpus_keys.select(F.col(id_col).alias("id_a"), "band", "key")
     b = new_keys.select(F.col(id_col).alias("id_b"), "band", "key")
     return a.join(b, on=["band", "key"]).select("id_a", "id_b").distinct()
+
+
+def dedup_store_compact(
+    corpus_keys: DataFrame, tombstones: DataFrame, id_col: str
+) -> DataFrame:
+    """COMPACT a persisted band-key store by dropping tombstoned
+    documents' rows — rewrite the result with the same ``(band, key)``
+    bucketing (``write_bucketed``) and the probe-time anti-join
+    becomes unnecessary.  Band keys are a pure per-document function
+    of the text, so the compacted store is EXACTLY
+    ``minhash_band_keys(corpus minus deleted)`` — the anti-join IS the
+    rebuild, no re-hashing needed (rebuild-equivalence
+    pytest-pinned).  One scan of the store against a broadcast
+    tombstone set; at 100 TB that is the cheap path vs re-shingling
+    and re-hashing the surviving corpus."""
+    return corpus_keys.join(
+        F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+    )
 
 
 def ngram_jaccard_pairs(

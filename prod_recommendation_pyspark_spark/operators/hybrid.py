@@ -1197,6 +1197,7 @@ def rank_window_probe(
     naics_col: str = "naics",
     window: int | None = None,
     code_len: int = CODE_LEN,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a :func:`rank_window_index` with a prospect batch and
     return the SAME candidate pairs as the batch
@@ -1223,7 +1224,22 @@ def rank_window_probe(
     ``window=None`` (the default) reads the window off the index's
     ``__w`` metadata column; an explicit ``window`` is VALIDATED
     against it — a mismatch raises instead of silently fetching wrong
-    neighborhoods (round-10 advice)."""
+    neighborhoods (round-10 advice).
+
+    ``tombstones`` (a small frame carrying deleted client ids in a
+    ``right_id`` column) removes clients from serving BETWEEN nightly
+    rebuilds: fetched candidate pairs are anti-joined against the
+    broadcast tombstone set, so a deleted client can never surface as
+    a peer.  UNLIKE the IVF/dedup artifacts, positions here are
+    corpus-relative: the tombstone probe equals the un-tombstoned
+    probe minus deleted pairs (pytest-pinned) but NOT a rebuild — a
+    deleted client still occupies its rank, so each window
+    effectively covers up to |deleted ∩ window| fewer live clients
+    until :func:`rank_window_compact` re-densifies (fine while
+    |deleted| ≪ window slack; the derivation's ×2 pad is exactly that
+    slack).  Run compaction once tombstones accumulate; the
+    compacted probe IS the rebuild, value-oracled end to end
+    (``rank_window_delete_e2e``)."""
     _require_dim2(left, vec_col, "rank_window_probe(left)")
     window = _resolve_probe_window(index, window)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
@@ -1289,7 +1305,64 @@ def rank_window_probe(
         )
     )
     clis_pos = index.select("__rid", "__lvl", "__blk", "__cpos", "__wb")
-    return _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
+    fetched = _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
+    if tombstones is not None:
+        # re-select: a named-column join hoists the key to column 0,
+        # which would silently swap (left_id, right_id) positionally
+        fetched = fetched.join(
+            F.broadcast(tombstones.select(right_id)), right_id, "left_anti"
+        ).select(left_id, right_id)
+    return fetched
+
+
+def rank_window_compact(
+    index: DataFrame, tombstones: DataFrame
+) -> DataFrame:
+    """COMPACT a :func:`rank_window_index` artifact after deletions —
+    the job that turns probe-time tombstone anti-joins back into a
+    dense artifact.  Positions are corpus-relative (a client's
+    ``__cpos`` counts every client ranked before it, deleted or not),
+    so unlike the IVF/dedup compactions a bare filter is NOT enough:
+    surviving rows are RE-RANKED per (lvl, blk) over their stored
+    ``__v1n`` keys — the same distributed dense_ids construction the
+    build uses, no corpus rescan, no re-normalization (``__v1n`` is
+    bit-exact from the build) — and ``__cpos``/``__wb`` recomputed at
+    the index's own ``__w``.  The result is EXACTLY
+    ``rank_window_index(corpus minus deleted, window=__w)``
+    (rebuild-equivalence pytest-pinned; ``rank_window_delete_e2e``
+    pins the compacted probe against the rebuild-minus-deleted SQL
+    replay).  Cost: one index scan + the offsets pass — ≪ the nightly
+    build, which also re-arms and re-normalizes the corpus.
+
+    The build window is kept, not re-derived: tie density can only
+    DROP when clients are removed, so the build's ``__w`` stays
+    sufficient; the nightly rebuild re-derives as usual.
+
+    ``tombstones``: the deleted client ids in its FIRST column (any
+    name — the index stores ids as ``__rid``, so there is no caller
+    column name to match against)."""
+    w = _resolve_probe_window(index, None)
+    kept = index.join(
+        F.broadcast(tombstones.selectExpr(
+            f"{tombstones.columns[0]} AS __rid"
+        )),
+        "__rid",
+        "left_anti",
+    )
+    u = kept.select(
+        F.col("__rid").alias("__id"), "__v1n", "__lvl", "__blk",
+        F.lit(1).alias("__isc"),
+    )
+    ranked = _distributed_rank(u, index.sparkSession)
+    return ranked.select(
+        F.col("__id").alias("__rid"),
+        "__v1n",
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__cpos"),
+        F.floor((F.col("__pos") - 1) / w).alias("__wb"),
+        F.lit(int(w)).alias("__w"),
+    )
 
 
 def hybrid_topk_pruned(

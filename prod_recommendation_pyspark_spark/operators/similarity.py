@@ -993,6 +993,7 @@ def ivf_probe(
     n_probe: int = 4,
     list_col: str = "ivf_list",
     use_kernel: bool = False,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Serve an ANN batch off a (possibly reloaded) ``ivf_index``
     artifact: assign each query to its ``n_probe`` nearest lists (one
@@ -1020,7 +1021,24 @@ def ivf_probe(
     the kernel-threshold note above ``_fold_pair_scores``): the HOF
     wins below ~10⁶ fetched pairs, the kernel above (measured 200k
     corpus × 1.2k batch × n_probe=16 ≈ 8M pairs: 44.8s HOF → kernel
-    ~an order less).  Bit-identical scores either way."""
+    ~an order less).  Bit-identical scores either way.
+
+    ``tombstones`` (a small frame carrying deleted ids in a
+    ``corpus_id`` column) DELETES documents from serving BETWEEN
+    nightly rebuilds — the takedown/GDPR half of the artifact
+    lifecycle: the index side is anti-joined against the broadcast
+    tombstone set before scoring, so a deleted vector can never
+    surface as a neighbor.  Because assignment is per-row under
+    frozen centroids, the tombstone probe is EXACTLY the probe of the
+    compacted artifact (``ivf_compact``) and of a frozen-centroid
+    rebuild without the deleted rows (equality pytest-pinned;
+    ``ann_ivf_delete_e2e`` pins it against the rebuild-minus-deleted
+    SQL replay).  Cost: one broadcast anti-join on the fetched lists
+    — tombstone sets are takedown-sized, not corpus-sized."""
+    if tombstones is not None:
+        index = index.join(
+            F.broadcast(tombstones.select(corpus_id)), corpus_id, "left_anti"
+        )
     q_assign = ivf_assign(
         queries, query_id, vec_col, centroids, n_probe=n_probe,
         list_col=list_col, use_kernel=use_kernel,
@@ -1061,6 +1079,29 @@ def ivf_probe(
     )
     return windowed_topk(
         scored, query_id, [F.col("score").desc(), F.col(corpus_id)], k
+    )
+
+
+def ivf_compact(
+    index: DataFrame, tombstones: DataFrame, corpus_id: str
+) -> DataFrame:
+    """COMPACT an ``ivf_index`` artifact by dropping tombstoned rows —
+    the periodic job that turns accumulated probe-time anti-joins back
+    into a clean artifact (rewrite the result with the same
+    ``partitionBy(list_col)`` layout).  Under frozen centroids the
+    list assignment is a pure per-row function of the vector, so the
+    compacted index is EXACTLY ``ivf_index(corpus minus deleted,
+    same centroids)`` — no re-assignment pass needed, just the
+    anti-join (rebuild-equivalence pytest-pinned).  Corpus cost: one
+    scan of the index against a broadcast tombstone set; only
+    partitions holding deleted rows change content, so a
+    layout-preserving rewrite touches those lists alone.  Compare
+    ``ivf_index`` (full nightly rebuild — also re-derives centroids
+    via ``ivf_auto_centroids`` as the corpus drifts): compaction
+    serves the intraday takedown; the nightly rebuild remains the
+    steady state."""
+    return index.join(
+        F.broadcast(tombstones.select(corpus_id)), corpus_id, "left_anti"
     )
 
 

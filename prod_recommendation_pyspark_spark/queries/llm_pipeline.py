@@ -237,6 +237,78 @@ def dedup_index_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_delete_e2e",
+    sql="""
+    WITH
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.doc_id % 5 <> 4 AND a.doc_id % 7 <> 2
+                 AND b.doc_id % 5 = 4
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_index_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the dedup artifact lifecycle (round-11
+    verdict #1): the band-key store is written over the FULL corpus, a
+    takedown set (corpus docs with doc_id % 7 == 2) lands as a
+    TOMBSTONE table, and the arrival-batch probe anti-joins the store
+    against it — a deleted document can never pair with new arrivals
+    between rebuilds.  The ORACLE knows nothing about tombstones: it
+    replays brute-force cross Jaccard against the SURVIVING corpus
+    (rebuild-minus-deleted), and band keys are per-document, so
+    tombstone-probe ≡ compacted-store probe ≡ rebuild exactly
+    (``dedup_store_compact``'s rebuild equivalence is additionally
+    pytest-pinned, tests/test_artifact_lifecycle.py).  Delete cost:
+    one broadcast anti-join on the store scan — never re-shingling
+    the surviving corpus."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    tombs = corpus.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    store = minhash_band_keys(corpus, "doc_id", "text")
+    base = tempfile.mkdtemp(prefix="dedup_idx_delete_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    write_bucketed(
+        store, "dedup_band_index_delete", 16, ["band", "key"],
+        path=f"{base}/store",
+    )
+    reloaded = spark.table("dedup_band_index_delete")
+    cands = incremental_lsh_candidates(
+        reloaded, batch, "doc_id", "text", tombstones=tombs
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "streaming_dedup_serving_replay",
     sql="""
     WITH

@@ -632,6 +632,114 @@ def ann_ivf_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("tgt_id", "nbr_id")
 
 
+_IVF_DEL_MOD, _IVF_DEL_REM = 23, 5
+
+
+@register(
+    "ann_ivf_delete_e2e",
+    sql=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+             WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+    c_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id % {_IVF_DEL_MOD} <> {_IVF_DEL_REM})
+        WHERE rn <= 1),
+    q_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.v, cent.cv) DESC,
+                                cent.centroid_id) AS rn
+            FROM e CROSS JOIN cent
+            WHERE e.vec_id % 17 = 3
+              AND e.vec_id % {_IVF_DEL_MOD} <> {_IVF_DEL_REM})
+        WHERE rn <= {_IVF_NPROBE}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS tgt_id, c.vec_id AS nbr_id
+        FROM q_assign q JOIN c_assign c ON q.centroid_id = c.centroid_id
+        WHERE q.vec_id <> c.vec_id),
+    scored AS (
+        SELECT tgt_id, nbr_id, list_cosine_similarity(a.v, b.v) AS score
+        FROM cand JOIN e a ON cand.tgt_id = a.vec_id
+                  JOIN e b ON cand.nbr_id = b.vec_id),
+    ranked AS (
+        SELECT tgt_id, nbr_id, score,
+               row_number() OVER (PARTITION BY tgt_id ORDER BY score DESC, nbr_id) AS rn
+        FROM scored)
+    SELECT tgt_id, nbr_id, round(score, 4) AS score
+    FROM ranked WHERE rn <= {_IVF_K}
+    ORDER BY tgt_id, nbr_id
+    """,
+)
+def ann_ivf_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the ANN artifact lifecycle (round-11 verdict
+    #1): the nightly artifact is built and written over the FULL
+    corpus, a takedown set (vec_id % 23 == 5) lands as a
+    TOMBSTONE table, and the serving probe anti-joins it — a deleted
+    vector can never surface as a neighbor between rebuilds.  The
+    ORACLE knows nothing about tombstones: it replays a
+    frozen-centroid REBUILD on the surviving corpus (the centroid set
+    stays the full-corpus derivation — deleting a centroid's source
+    vector removes its index ROW, not the list it anchors), so a
+    hash-green row proves tombstone-probe ≡ rebuild-minus-deleted
+    exactly — the property that makes the intraday delete semantically
+    honest rather than best-effort.  ``ivf_compact`` (the anti-join as
+    a rewrite job) is pinned equal to both by pytest
+    (tests/test_artifact_lifecycle.py).
+
+    Scale: the tombstone set is takedown-sized and broadcast; the
+    probe's partition-pruned list fetch is unchanged — delete cost is
+    one anti-join on the fetched lists, never a corpus pass.  The
+    query batch excludes tombstoned ids (a deleted document does not
+    issue queries); centroids are the standard frozen ``% 13``
+    derivation shared with ``ann_ivf_nightly_e2e``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+    )
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    tombs = corpus.filter(
+        F.col("nbr_id") % _IVF_DEL_MOD == _IVF_DEL_REM
+    ).select("nbr_id")
+    qs = emb.filter(
+        (F.col("vec_id") % 17 == 3)
+        & (F.col("vec_id") % _IVF_DEL_MOD != _IVF_DEL_REM)
+    ).select(F.col("vec_id").alias("tgt_id"), "embedding")
+    base = tempfile.mkdtemp(prefix="spark_graft_ivf_del_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    ivf_index(corpus, "nbr_id", "embedding", centroids).repartition(
+        "ivf_list"
+    ).write.mode("overwrite").partitionBy("ivf_list").parquet(
+        f"{base}/ivf_index"
+    )
+    artifact = spark.read.parquet(f"{base}/ivf_index")
+    out = ivf_probe(
+        qs, artifact, "tgt_id", "nbr_id", centroids,
+        vec_col="embedding", k=_IVF_K, n_probe=_IVF_NPROBE,
+        tombstones=tombs,
+    )
+    return out.select(
+        "tgt_id", "nbr_id", F.round("score", 4).alias("score")
+    ).orderBy("tgt_id", "nbr_id")
+
+
 # ---------------------------------------------------------------------------
 # Candidate-pruned peer search (VERDICT r2 #1): NAICS blocking ∪ equi-depth
 # quantile blocking on the angle proxy (round-7 replacement for the sign-LSH
@@ -919,7 +1027,7 @@ def _rank_spark(
     )
 
 
-def _rank_cte() -> str:
+def _rank_cte(cli_filter: str = "") -> str:
     """ANSI replay of ``rank_window_candidates`` + exact scoring:
     per level (0 = global, p = p-char prefix block), clients are
     ranked by the (angle, id) total order; each prospect's insertion
@@ -936,14 +1044,20 @@ def _rank_cte() -> str:
     NULL or non-6-char codes, extend ``lvls``/``blk`` with the −1
     sentinel arm (see ``_arm_clients``) BEFORE chasing a confusing
     hash mismatch; the Spark side already handles malformed codes
-    (pytest ``test_rank_window_covers_malformed_codes``)."""
+    (pytest ``test_rank_window_covers_malformed_codes``).
+
+    ``cli_filter`` (an extra ``AND ...`` predicate on the clis CTE)
+    replays a DELETED client corpus — ``rank_window_delete_e2e``'s
+    rebuild-minus-deleted oracle: ranks, insertion points, and
+    windows are all recomputed over the surviving clients, exactly
+    what ``rank_window_compact`` produces on the Spark side."""
     w = _RANK_WINDOW
     return f"""
     varr AS (SELECT c_custkey, c_name, naics, lat, lon, v0, v1,
                     v1 / sqrt(v0 * v0 + v1 * v1) AS v1n
              FROM normed),
     pros AS (SELECT * FROM varr WHERE c_custkey % 10 = 0),
-    clis AS (SELECT * FROM varr WHERE c_custkey % 10 <> 0),
+    clis AS (SELECT * FROM varr WHERE c_custkey % 10 <> 0{cli_filter}),
     lvls AS (SELECT unnest(range(0, 7)) AS lvl),
     cpos AS (SELECT l.lvl,
                     CASE WHEN l.lvl = 0 THEN ''
@@ -1202,6 +1316,69 @@ def rank_window_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hybrid_topk_pruned(
             prospects, clients, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=2,
+        )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "rank_window_delete_e2e",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte(" AND c_custkey % 9 <> 4")}
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM rank_ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def rank_window_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the peer-search artifact lifecycle (round-11
+    verdict #1): a takedown set of clients (src_custkey % 9 == 4)
+    lands as a TOMBSTONE table against the nightly index, the index is
+    COMPACTED (``rank_window_compact`` — surviving rows re-ranked over
+    their stored ``__v1n`` keys, positions re-densified, no corpus
+    rescan), and the window-less probe serves off the compacted
+    artifact.  The ORACLE knows nothing about compaction: it replays
+    the full rank-window candidate generation + exact scoring on the
+    SURVIVING client corpus (``_rank_cte`` with the deleted clients
+    filtered out of ``clis``, so ranks, insertion points, and windows
+    are all rebuilt-minus-deleted), so a hash-green row proves
+    compaction ≡ rebuild end to end under the full value oracle — the
+    claim that makes the intraday delete deployable.
+
+    The pre-compaction serving mode (probe-time tombstone anti-join —
+    candidates minus deleted pairs, positions unchanged) is
+    pytest-pinned separately (tests/test_artifact_lifecycle.py): it
+    is the BETWEEN-compactions semantics and deliberately not a
+    rebuild, so it pins against the un-tombstoned probe, not this
+    oracle."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_compact,
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
+    index = rank_window_index(clients, "src_custkey", window=_RANK_WINDOW)
+    tombs = clients.filter(F.col("src_custkey") % 9 == 4).select(
+        "src_custkey"
+    )
+    # compacted artifact stand-in (localCheckpoint ~ the rewritten
+    # parquet): three probe references + the __w resolve read it
+    compacted = rank_window_compact(index, tombs).localCheckpoint()
+    cand = rank_window_probe(
+        prospects, compacted, "tgt_custkey", "src_custkey"
+    )
+    kept = clients.join(F.broadcast(tombs), "src_custkey", "left_anti")
+    return (
+        hybrid_topk_pruned(
+            prospects, kept, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
             candidates=cand, dim=2,

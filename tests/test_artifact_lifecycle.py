@@ -1,0 +1,214 @@
+"""Artifact DELETE lifecycle (round-11 verdict #1): tombstone
+anti-joins at probe time + compaction-equals-rebuild for the three
+nightly serving artifacts (IVF index, dedup band-key store,
+rank-window index).
+
+The reference only ever rebuilds wholesale via
+``write.mode('overwrite')`` (search_ranking_peers.py:174-176); the
+incremental serving split is our extension, so the delete half is
+what makes it honest — a takedown between rebuilds must remove the
+document from SERVING (tombstone probe) and a compaction job must
+restore the artifact to exactly what a rebuild-without-the-deleted
+would produce.  The value-oracle halves live in the registered
+``*_delete_e2e`` queries; these tests pin the operator-level
+equalities the oracles compose."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r[0], r[1]) for r in df.collect()}
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+
+def _ivf_parts(spark):
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+        ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    centroids = ivf_auto_centroids(corpus, "nbr_id", "embedding")
+    index = ivf_index(corpus, "nbr_id", "embedding", centroids)
+    tombs = corpus.filter(F.col("nbr_id") % 9 == 4).select("nbr_id")
+    qs = emb.filter(
+        (F.col("vec_id") % 17 == 3) & (F.col("vec_id") % 9 != 4)
+    ).select(F.col("vec_id").alias("tgt_id"), "embedding")
+    return corpus, centroids, index, tombs, qs
+
+
+def test_ivf_compact_equals_frozen_rebuild(spark):
+    """``ivf_compact`` (the tombstone anti-join as a rewrite job) must
+    equal ``ivf_index`` over the surviving corpus with the SAME
+    centroids, row for row — assignment is per-row under frozen
+    centroids, so no re-assignment pass is ever needed."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_compact,
+        ivf_index,
+    )
+
+    corpus, centroids, index, tombs, _ = _ivf_parts(spark)
+    compacted = ivf_compact(index, tombs, "nbr_id")
+    kept = corpus.join(F.broadcast(tombs), "nbr_id", "left_anti")
+    rebuilt = ivf_index(kept, "nbr_id", "embedding", centroids)
+    key = lambda df: {  # noqa: E731
+        (r["nbr_id"], r["ivf_list"])
+        for r in df.select("nbr_id", "ivf_list").collect()
+    }
+    assert key(compacted) == key(rebuilt)
+    assert compacted.count() == rebuilt.count() > 0
+    assert tombs.count() > 0  # the delete actually deleted something
+
+
+def test_ivf_tombstone_probe_equals_compacted_probe(spark):
+    """Serving BETWEEN compactions (probe with ``tombstones=``) must
+    return exactly what serving off the compacted artifact returns —
+    same lists, same scores, same tie order — and no deleted id may
+    surface."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_compact,
+        ivf_probe,
+    )
+
+    _, centroids, index, tombs, qs = _ivf_parts(spark)
+    serve = lambda idx, tb: {  # noqa: E731
+        (r["tgt_id"], r["nbr_id"], round(r["score"], 9))
+        for r in ivf_probe(
+            qs, idx, "tgt_id", "nbr_id", centroids,
+            vec_col="embedding", k=5, n_probe=4, tombstones=tb,
+        ).collect()
+    }
+    tomb_served = serve(index, tombs)
+    compact_served = serve(ivf_compact(index, tombs, "nbr_id"), None)
+    assert tomb_served == compact_served and len(tomb_served) > 0
+    deleted = {r["nbr_id"] for r in tombs.collect()}
+    assert not {t[1] for t in tomb_served} & deleted
+
+
+# ---------------------------------------------------------------------------
+# Dedup band-key store
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_store_compact_equals_rebuild_and_probe_parity(spark):
+    """``dedup_store_compact`` must equal ``minhash_band_keys`` over
+    the surviving corpus (band keys are per-document), and the
+    tombstone probe must equal the probe of the compacted store —
+    with no deleted id among the candidates."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        dedup_store_compact,
+        incremental_lsh_candidates,
+        minhash_band_keys,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
+    tombs = corpus.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+
+    store = minhash_band_keys(corpus, "doc_id", "text")
+    compacted = dedup_store_compact(store, tombs, "doc_id")
+    kept = corpus.join(F.broadcast(tombs), "doc_id", "left_anti")
+    rebuilt = minhash_band_keys(kept, "doc_id", "text")
+    key = lambda df: {  # noqa: E731
+        (r["doc_id"], r["band"], r["key"])
+        for r in df.select("doc_id", "band", "key").collect()
+    }
+    assert key(compacted) == key(rebuilt)
+    assert compacted.count() == rebuilt.count() > 0
+
+    tomb_probe = incremental_lsh_candidates(
+        store, batch, "doc_id", "text", tombstones=tombs
+    )
+    compact_probe = incremental_lsh_candidates(
+        compacted, batch, "doc_id", "text"
+    )
+    assert _pairs(tomb_probe) == _pairs(compact_probe)
+    deleted = {r["doc_id"] for r in tombs.collect()}
+    assert not {p[0] for p in _pairs(tomb_probe)} & deleted
+
+
+# ---------------------------------------------------------------------------
+# Rank-window index
+# ---------------------------------------------------------------------------
+
+
+def _rw_fixture(spark):
+    def naics(i):
+        if i % 11 == 0:
+            return None  # malformed arm must survive the lifecycle too
+        return f"52{i % 3}1{i % 4}0"
+
+    rows = [
+        (
+            i,
+            naics(i),
+            [math.cos(0.1 + 1.3 * i / 90), math.sin(0.1 + 1.3 * i / 90)],
+            float(i % 50),
+            float(i % 80),
+        )
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, naics string, vec array<double>, lat double, lon double"
+    )
+    pros = df.filter(F.col("id") % 4 == 0).withColumnRenamed("id", "tgt")
+    clis = df.filter(F.col("id") % 4 != 0).withColumnRenamed("id", "src")
+    tombs = clis.filter(F.col("src") % 5 == 1).select("src")
+    return pros, clis, tombs
+
+
+def test_rank_window_compact_equals_rebuild(spark):
+    """``rank_window_compact`` re-ranks surviving rows over their
+    stored ``__v1n`` keys — the result must equal
+    ``rank_window_index`` rebuilt on the surviving clients at the
+    same window, row for row (positions re-densified, ``__w``
+    preserved), across well-formed AND malformed arms."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_compact,
+        rank_window_index,
+    )
+
+    _, clis, tombs = _rw_fixture(spark)
+    index = rank_window_index(clis, "src", window=8)
+    compacted = rank_window_compact(index, tombs)
+    kept = clis.join(F.broadcast(tombs), "src", "left_anti")
+    rebuilt = rank_window_index(kept, "src", window=8)
+    cols = ["__rid", "__lvl", "__blk", "__cpos", "__wb", "__w"]
+    key = lambda df: {tuple(r) for r in df.select(*cols).collect()}  # noqa: E731
+    assert key(compacted) == key(rebuilt)
+    assert compacted.count() == rebuilt.count() > 0
+    assert tombs.count() > 0
+
+
+def test_rank_window_tombstone_probe_is_probe_minus_deleted(spark):
+    """The BETWEEN-compactions serving mode: probe with
+    ``tombstones=`` equals the un-tombstoned probe minus pairs whose
+    client is deleted (positions unchanged — deliberately NOT a
+    rebuild; that is compaction's job, value-oracled by
+    ``rank_window_delete_e2e``)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_probe,
+    )
+
+    pros, clis, tombs = _rw_fixture(spark)
+    index = rank_window_index(clis, "src", window=8)
+    full = _pairs(rank_window_probe(pros, index, "tgt", "src"))
+    tombed = _pairs(
+        rank_window_probe(pros, index, "tgt", "src", tombstones=tombs)
+    )
+    deleted = {r["src"] for r in tombs.collect()}
+    assert tombed == {p for p in full if p[1] not in deleted}
+    assert len(tombed) > 0 and len(tombed) < len(full)
