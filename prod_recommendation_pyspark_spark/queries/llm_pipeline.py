@@ -431,6 +431,110 @@ def streaming_dedup_serving_replay(spark: SparkSession, sf_dir: str) -> DataFram
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "streaming_dedup_within_batch",
+    sql="""
+    WITH
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE (a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+                  OR (a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+                      AND a.doc_id % 3 = b.doc_id % 3
+                      AND a.doc_id < b.doc_id)
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def streaming_dedup_within_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming dedup loop WITH within-micro-batch self-pairing
+    (round-11 verdict #5): ``streaming_dedup_serving_replay`` pins the
+    stream × store half, but two near-dup docs arriving in the SAME
+    micro-batch never meet the store — this query proves the composed
+    loop (``streaming/joins.py::streaming_dedup_serving_full``) flags
+    them: per foreachBatch micro-batch, the arriving frame is banded
+    against the store AND self-paired with the batch-layer
+    ``lsh_candidate_pairs`` on the micro-batch alone.
+
+    Corpus = even doc_ids (the nightly store), arrivals = odd,
+    staged as three micro-batches by doc_id % 3 — at sf0.01 one
+    near-dup arrival pair lands inside a single micro-batch, so the
+    within-batch path provably contributes rows the stream-static
+    join alone would miss.  The ORACLE replays exactly the serving
+    contract: brute-force Jaccard over (store × arrival) pairs PLUS
+    (arrival × arrival) pairs sharing a micro-batch.  Near-dup
+    arrivals in DIFFERENT micro-batches are absent from BOTH sides —
+    the documented deferral to the next nightly rebuild, now pinned
+    as semantics instead of left implicit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_dedup_serving_full,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    arrivals = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    store = minhash_band_keys(corpus, "doc_id", "text")
+    base = tempfile.mkdtemp(prefix="dedup_within_batch_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    landing, out = f"{base}/landing", f"{base}/out"
+    for i in range(3):  # three part files -> three micro-batches
+        arrivals.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def emit(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    q = streaming_dedup_serving_full(
+        stream, store, emit, "doc_id", "text",
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(landing, ignore_errors=True)
+    if not os.path.isdir(out):  # no batch emitted (empty arrivals)
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double"
+        )
+    cands = (
+        spark.read.parquet(out)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
 @register("ngram_jaccard_pairs_brute", sql=_JACCARD_SQL)
 def ngram_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ 0.8, no LSH prefilter — the

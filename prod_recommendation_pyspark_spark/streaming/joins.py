@@ -171,6 +171,67 @@ def streaming_incremental_dedup(
     )
 
 
+def streaming_dedup_serving_full(
+    docs_stream: DataFrame,
+    corpus_keys: DataFrame,
+    emit,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    checkpoint_dir: str | None = None,
+):
+    """The COMPLETE streaming dedup loop: per micro-batch, flag
+    arrivals against the static corpus store (``stream × store``, the
+    :func:`streaming_incremental_dedup` join) AND against EACH OTHER
+    (within-batch self-pairs) — closing the case the stream-static
+    operator's docstring defers: two near-dup docs arriving in the
+    SAME micro-batch never meet the store, so only a batch-layer
+    self-join inside the micro-batch can pair them.  foreachBatch is
+    what makes that legal: the self-join would be a stream-stream
+    join (watermark state) on a streaming frame, but each micro-batch
+    is a plain batch frame where ``lsh_candidate_pairs`` runs as-is.
+
+    Emits one ``(id_a, id_b)`` frame per batch to ``emit(df,
+    batch_id)`` — cross pairs oriented (corpus id, arriving id),
+    within-batch pairs (smaller id, larger id); exact-Jaccard
+    verification stays downstream in the batch layer, same split as
+    everywhere else.  Near-dup arrivals in DIFFERENT micro-batches
+    are still out of scope by design — neither side is in the store,
+    so they pair at the next nightly rebuild; a serving loop that
+    also ingested arrivals into the store would catch them at the
+    cost of store mutation (registered evidence:
+    ``streaming_dedup_within_batch``).
+
+    Scale per batch: |batch| hashing + one bucket-join against the
+    bucketed store + one |batch|²-bounded self-join that in practice
+    rides the band-key collision count, never materializing
+    batch × batch."""
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    def per_batch(batch: DataFrame, batch_id: int) -> None:
+        cross = streaming_incremental_dedup(
+            batch, corpus_keys, id_col, text_col,
+            shingle_words, n_hashes, bands,
+        ).select(
+            F.col("corpus_id").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        within = lsh_candidate_pairs(
+            batch, id_col, text_col, shingle_words, n_hashes, bands,
+        )
+        emit(cross.unionByName(within).distinct(), batch_id)
+
+    writer = docs_stream.writeStream.foreachBatch(per_batch).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_peer_serving(
     prospects_stream: DataFrame,
     index: DataFrame,
