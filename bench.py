@@ -49,6 +49,121 @@ HEADLINE = [
 ]
 
 
+def _serving_benches(spark, sf_dir: str):
+    """Serving-path rows (round-11 verdict #3): the engine's headline
+    story is the nightly-build / intraday-probe split, but every
+    HEADLINE row above is batch-shaped — a probe-path regression would
+    only surface in ad-hoc SCALE.md runs.  Each entry builds its
+    artifact UNTIMED (that is the nightly job) and returns a thunk
+    whose wall is the intraday probe alone; the thunk is run once as
+    warmup (codegen/broadcast init) and once timed.
+
+    Yields (name, probe_thunk) pairs; artifacts live in a temp dir
+    cleaned at process exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+    )
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        rank_window_index,
+        rank_window_probe,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        THRESHOLD,
+        TOPK_PEERS,
+        W_HAVS,
+        W_HOPS,
+        _rank_sides,
+    )
+    from prod_recommendation_pyspark_spark.sources.catalog import Catalog
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_serving_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+
+    # rank-window: nightly index (window 256, localCheckpoint = the
+    # persisted artifact; survives clearCache), ~1k-prospect batch,
+    # probe + exact scoring + top-15 = the full serving answer
+    prospects, clients = _rank_sides(spark, sf_dir)
+    rw_index = rank_window_index(
+        clients, "src_custkey", window=256
+    ).localCheckpoint()
+    rw_batch = prospects.filter(
+        F.col("tgt_custkey") % 3 != 0
+    ).localCheckpoint()
+
+    def rank_window_serving():
+        cand = rank_window_probe(
+            rw_batch, rw_index, "tgt_custkey", "src_custkey"
+        )
+        return hybrid_topk_pruned(
+            rw_batch, clients, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD,
+            w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=2,
+        ).count()
+
+    yield "serving:rank_window_probe", rank_window_serving
+
+    # IVF: nightly list-partitioned artifact reloaded cold, probe the
+    # standard query batch (assign -> DPP list fetch -> exact re-rank)
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    centroids = emb.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    ivf_index(corpus, "nbr_id", "embedding", centroids).repartition(
+        "ivf_list"
+    ).write.mode("overwrite").partitionBy("ivf_list").parquet(f"{base}/ivf")
+    artifact = spark.read.parquet(f"{base}/ivf")
+    ivf_batch = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    ).localCheckpoint()
+
+    def ivf_serving():
+        return ivf_probe(
+            ivf_batch, artifact, "tgt_id", "nbr_id", centroids,
+            vec_col="embedding", k=5, n_probe=4,
+        ).count()
+
+    yield "serving:ivf_probe", ivf_serving
+
+    # dedup: bucketed band-key store reloaded through the catalog,
+    # probe = band the arriving batch and bucket-join the store
+    docs = Catalog(spark, sf_dir).table("documents")
+    store_src = docs.filter(F.col("doc_id") % 5 != 4)
+    dd_batch = docs.filter(F.col("doc_id") % 5 == 4).select(
+        "doc_id", "text"
+    ).localCheckpoint()
+    write_bucketed(
+        minhash_band_keys(store_src, "doc_id", "text"),
+        "bench_dedup_band_store", 16, ["band", "key"],
+        path=f"{base}/dedup_store",
+    )
+    dd_store = spark.table("bench_dedup_band_store")
+
+    def dedup_serving():
+        return incremental_lsh_candidates(
+            dd_store, dd_batch, "doc_id", "text"
+        ).count()
+
+    yield "serving:dedup_store_probe", dedup_serving
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup_dir = "/root/testdata/sf0.001"
@@ -85,7 +200,30 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {ex}", file=sys.stderr)
         _ = n
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # serving-path rows: artifact builds are UNTIMED (the nightly
+    # job); each probe runs once as warmup, once timed — the number
+    # is the intraday probe wall alone.  NOT in the headline total:
+    # the total stays r1-comparable.
+    try:
+        for sname, probe in _serving_benches(spark, sf_dir):
+            try:
+                probe()  # warmup (codegen + broadcast init)
+                t0 = time.monotonic()
+                probe()
+                timings[sname] = round(time.monotonic() - t0, 3)
+            except Exception as ex:
+                timings[sname] = -1.0
+                print(f"# bench error {sname}: {ex}", file=sys.stderr)
+    except Exception as ex:  # a broken artifact build must not kill bench
+        print(f"# bench serving setup error: {ex}", file=sys.stderr)
+    total = round(
+        sum(
+            t
+            for n, t in timings.items()
+            if t >= 0 and not n.startswith("serving:")
+        ),
+        3,
+    )
     print(
         json.dumps(
             {

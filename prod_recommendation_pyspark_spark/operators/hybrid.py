@@ -631,6 +631,8 @@ def rank_window_candidates(
     w_havs: float = DEFAULT_W_HAVS,
     sample_mod: int = 500,
     min_window: int = 64,
+    window_cache: dict | None = None,
+    cache_key=None,
 ) -> DataFrame:
     """LINEAR-candidate generation for the hybrid peer score — the
     asymptotic replacement for :func:`hybrid_candidates`, whose two
@@ -722,10 +724,30 @@ def rank_window_candidates(
     worst case (every client tied at one angle) degenerates to
     corpus-sized windows, which ``_ladder_window`` turns into a loud
     error instead of a silent quadratic plan (tie-heavy fixture +
-    overflow pytests in test_hybrid_guards.py)."""
+    overflow pytests in test_hybrid_guards.py).
+
+    ``window_cache``/``cache_key`` AMORTIZE the derivation across
+    invocations against the same corpus snapshot (round-11 verdict
+    #2: the production query re-ran the calibration on every call):
+    pass a caller-owned mutable dict and a key that identifies the
+    SNAPSHOT + scoring params — on a hit the cached window is used
+    and the calibration jobs never run (the candidate build still
+    shares its single rank pass either way); on a miss the derived
+    window is stored after derivation.  The derived window is a pure
+    function of (corpus, params), so a hit changes no results —
+    staleness is the caller's contract: key by snapshot identity
+    (path + version/date), never by table NAME across reloads, and
+    drop the entry when the corpus is rebuilt (the nightly rhythm
+    re-derives at index build instead — :func:`rank_window_index`)."""
     spark = left.sparkSession
     _require_dim2(right, vec_col, "rank_window_candidates(right)")
     _require_dim2(left, vec_col, "rank_window_candidates(left)")
+    if (
+        window is None
+        and window_cache is not None
+        and cache_key in window_cache
+    ):
+        window = int(window_cache[cache_key])
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli.unionByName(pro), spark)
@@ -757,6 +779,8 @@ def rank_window_candidates(
         else:
             mx = None  # empty left: any window yields the empty result
         window = _ladder_window(max(min_window, 2 * (mx or 0)))
+        if window_cache is not None:
+            window_cache[cache_key] = int(window)
     clis_pos = clis_base.withColumn(
         "__wb", F.floor((F.col("__cpos") - 1) / window)
     )

@@ -983,12 +983,26 @@ def _rank_sides(
     return prospects, clients
 
 
+#: Derived rank windows memoized per (corpus snapshot, floor) for the
+#: SESSION — the batch-query half of the nightly amortization
+#: (round-11 verdict #2): the first invocation against a snapshot
+#: runs the calibration (calibrate-and-run); every later invocation
+#: reuses the derived window, mirroring how the serving path derives
+#: once at index build and stamps ``__w``.  sf_dir IS the snapshot
+#: identity here (driver fixtures are immutable per path); a live
+#: deployment would key by snapshot version/date.  The derived window
+#: is a pure function of (corpus, params), so hits cannot change any
+#: result — re-verified by the unchanged value oracles.
+_DERIVED_WINDOW_CACHE: dict[tuple, int] = {}
+
+
 def _rank_spark(
     spark: SparkSession, sf_dir: str, window: int | None = None,
     min_window: int = 64,
 ) -> DataFrame:
     """Shared body of the rank-window queries.  ``window=None`` runs
-    the data-driven derivation (floor ``min_window``); the production
+    the data-driven derivation (floor ``min_window``) MEMOIZED per
+    corpus snapshot via ``_DERIVED_WINDOW_CACHE``; the production
     query passes ``min_window=_RANK_WINDOW`` — derive-then-floor, so
     the derivation can only RAISE the window above the measured-exact
     256, never lower it (round-10 verdict #2)."""
@@ -1008,6 +1022,8 @@ def _rank_spark(
         threshold=THRESHOLD,
         w_hops=W_HOPS,
         w_havs=W_HAVS,
+        window_cache=_DERIVED_WINDOW_CACHE,
+        cache_key=(sf_dir, min_window),
     )
     return hybrid_topk_pruned(
         prospects,
@@ -1143,6 +1159,16 @@ def peer_search_rank_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true need at every measured scale (SCALE.md round-11
     appendix), so the top-15 is window-invariant and the hash still
     pins full value equality.
+
+    Round 12: the derivation is MEMOIZED per corpus snapshot
+    (``_DERIVED_WINDOW_CACHE``) — the first invocation against a
+    snapshot is the calibrate-and-run form (the calibration's eager
+    jobs execute once), every later invocation reuses the derived
+    window and pays only the candidate build, mirroring the nightly
+    path's derive-once-at-index-build (round-11 verdict #2).  The
+    bench times the COLD form: one-shot batch cost includes the
+    calibration by design; the amortized serving wall is the
+    ``serving:rank_window_probe`` bench row.
 
     Reference anchor: the MIN_BATCH loop this replaces
     (search_ranking_peers.py:489-494,606-613)."""

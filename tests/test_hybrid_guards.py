@@ -759,3 +759,35 @@ def test_hybrid_topk_pinned_chunks_equals_auto(spark):
     auto = hybrid_topk(pros, clis, "tgt", "src", k=5)
     pinned = hybrid_topk(pros, clis, "tgt", "src", k=5, n_left_chunks=1)
     assert key(auto) == key(pinned) and len(key(auto)) > 0
+
+
+def test_rank_window_cache_hit_and_miss(spark, sf_dir):
+    """The per-snapshot derivation memo (round-12): a MISS derives and
+    stores the window; a HIT is used verbatim — the candidate set must
+    equal the explicit-window call, proving the calibration was
+    skipped rather than re-run (a re-derivation would ignore the
+    seeded value)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_candidates,
+    )
+
+    pros, clis = _sf_sides(spark, sf_dir)
+    cache = {}
+    derived = rank_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey",
+        window=None, window_cache=cache, cache_key="snapA",
+    )
+    assert derived.count() > 0
+    assert isinstance(cache.get("snapA"), int) and cache["snapA"] >= 64
+
+    pairs = lambda df: {(r[0], r[1]) for r in df.collect()}
+    seeded = {"snapB": 16}  # deliberately NOT the derived value
+    hit = rank_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey",
+        window=None, window_cache=seeded, cache_key="snapB",
+    )
+    explicit = rank_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", window=16
+    )
+    assert pairs(hit) == pairs(explicit)
+    assert seeded == {"snapB": 16}  # hit neither re-derives nor mutates
