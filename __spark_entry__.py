@@ -146,6 +146,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if latest_round == 10
         else []
     )
+    # 4. round 12: queries whose Spark path or oracle SQL changed —
+    #    the zero-norm filter entered every ivf_assign plan, the
+    #    salt-rung oracle gained the empty-input coalesce, the
+    #    rank-window production/parity queries now run through the
+    #    per-snapshot window memo, and the streaming dedup replay
+    #    reads its sink with an explicit schema.
+    changed_r12 = (
+        [
+            "auto_salted_agg_returnflag",
+            "peer_search_rank_window_topk",
+            "rank_window_derived_parity",
+            "streaming_dedup_serving_replay",
+            "ann_ivf_topk_embeddings",
+            "ann_ivf_derived_density",
+            "ann_ivf_nightly_e2e",
+            "ann_ivf_incremental_insert",
+            "streaming_ann_serving_replay",
+        ]
+        if latest_round == 11
+        else []
+    )
     stale_companions = [
         n
         for n in ROWS_ONLY_COMPANIONS.values()
@@ -153,7 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     pinned = [
         n
-        for n in stale_companions + changed_r9 + changed_r11
+        for n in stale_companions + changed_r9 + changed_r11 + changed_r12
         if n in QUERIES and n not in fresh
     ]
     pool = [
