@@ -4,9 +4,12 @@ second-decade input for the vector-artifact measurements
 
 Construction (same shape as round 11's ad-hoc corpus, now committed):
 200,000 × 64-d vectors in 10 Gaussian clusters — unit-norm cluster
-centers drawn from a seed-pinned N(0,1), points = center + N(0, 0.35)
+centers drawn from a seed-pinned N(0,1), points = center + N(0, 0.08)
 noise, which reproduces the cluster-overlap regime where recall at
-fixed n_probe measurably drops (0.9655 at sf1 → ~0.88 here) and the
+fixed n_probe measurably drops below sf1's 0.9655 (per-dim sigma
+0.08 over 64 dims puts the noise norm at ~0.64 of the unit center
+- overlapped but structured; sigma 0.35 was measured to destroy the
+cluster geometry entirely, recall 0.45) and the
 probe's fetched-pair volume crosses the HOF→kernel threshold.  Pure
 numpy/DuckDB — no JVM, safe beside a Spark session.
 
@@ -30,7 +33,7 @@ def main() -> None:
     centers = rng.standard_normal((k, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, k, size=n)
-    vecs = centers[labels] + 0.35 * rng.standard_normal((n, dim))
+    vecs = centers[labels] + 0.08 * rng.standard_normal((n, dim))
     con = duckdb.connect()
     con.register(
         "v",
