@@ -101,6 +101,7 @@ def streaming_incremental_dedup(
     shingle_words: int = 3,
     n_hashes: int = 64,
     bands: int = 16,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-static LSH dedup: flag arriving documents that near-
     duplicate the EXISTING corpus, inside the micro-batch.
@@ -130,12 +131,25 @@ def streaming_incremental_dedup(
     ``bands × max_bucket`` rows — linear in the batch, never
     batch × batch (there is no self-join here).  Degenerate
     boilerplate floods should be capped upstream (store build) or in
-    the batch layer's within-batch dedup."""
+    the batch layer's within-batch dedup.
+
+    ``tombstones`` (round 12, the delete lifecycle's 24/7 half):
+    deleted corpus docs are anti-joined out of the static store side
+    before banding, identically to the batch operator
+    (``incremental_lsh_candidates(tombstones=...)``) — a takedown
+    stops matching new arrivals from the batch after it lands,
+    without restarting the loop or rewriting the store (that is
+    ``dedup_store_compact``'s nightly job)."""
     from prod_recommendation_pyspark_spark.operators.dedup import (
         band_key_structs,
         minhash_signature,
         word_shingles,
     )
+
+    if tombstones is not None:
+        corpus_keys = corpus_keys.join(
+            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+        )
 
     # Spread the arriving side BEFORE hashing: a micro-batch from a
     # file source is typically ONE split, and the 64-hash signature is
@@ -181,6 +195,7 @@ def streaming_dedup_serving_full(
     n_hashes: int = 64,
     bands: int = 16,
     checkpoint_dir: str | None = None,
+    tombstones: DataFrame | None = None,
 ):
     """The COMPLETE streaming dedup loop: per micro-batch, flag
     arrivals against the static corpus store (``stream × store``, the
@@ -213,9 +228,12 @@ def streaming_dedup_serving_full(
     )
 
     def per_batch(batch: DataFrame, batch_id: int) -> None:
+        # tombstones thread to the store half only: within-batch
+        # self-pairs are between ARRIVING docs, which a corpus
+        # takedown cannot name
         cross = streaming_incremental_dedup(
             batch, corpus_keys, id_col, text_col,
-            shingle_words, n_hashes, bands,
+            shingle_words, n_hashes, bands, tombstones=tombstones,
         ).select(
             F.col("corpus_id").alias("id_a"), F.col(id_col).alias("id_b")
         )
@@ -249,6 +267,7 @@ def streaming_peer_serving(
     w_hops: float = DEFAULT_W_HOPS,
     w_havs: float = DEFAULT_W_HAVS,
     checkpoint_dir: str | None = None,
+    tombstones: DataFrame | None = None,
 ):
     """Streaming serving loop for the rank-window peer search: per
     micro-batch of arriving prospects, probe the STATIC persisted
@@ -291,7 +310,17 @@ def streaming_peer_serving(
     idempotent ``emit`` that is exactly-once per prospect across
     restarts (pytest-pinned).  Without it Spark uses a temp checkpoint
     and a restart re-serves from scratch (fine for replay jobs, wrong
-    for a 24/7 server)."""
+    for a 24/7 server).
+
+    ``tombstones`` (round 12, the delete lifecycle's 24/7 half):
+    deleted clients are anti-joined out of each batch's probed
+    candidates — pre-compaction serving semantics (positions
+    unchanged; run ``rank_window_compact`` + a rebuild-published
+    artifact on the nightly rhythm).  The frame is re-read per
+    micro-batch like every static side, so appending a takedown to
+    the tombstone table takes effect from the next batch on,
+    without restarting the loop (streamed ≡ batch-with-tombstones,
+    pytest-pinned)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         _resolve_probe_window,
         hybrid_topk_pruned,
@@ -311,6 +340,7 @@ def streaming_peer_serving(
         cand = rank_window_probe(
             batch_df, probe_index, left_id, right_id,
             vec_col=vec_col, naics_col=naics_col, window=window,
+            tombstones=tombstones,
         )
         topk = hybrid_topk_pruned(
             batch_df, clients, left_id, right_id,
@@ -341,6 +371,7 @@ def streaming_ann_serving(
     n_probe: int = 4,
     list_col: str = "ivf_list",
     checkpoint_dir: str | None = None,
+    tombstones: DataFrame | None = None,
 ):
     """Streaming serving loop for the IVF ANN index — the vector twin
     of ``streaming_peer_serving``: per micro-batch of arriving query
@@ -365,7 +396,15 @@ def streaming_ann_serving(
     scan to those directories, so per-batch I/O rides the batch's
     list coverage, not the corpus.  State: NONE.  ``checkpoint_dir``
     makes the loop restartable exactly-once per query, as in the peer
-    loop."""
+    loop.
+
+    ``tombstones`` (round 12, the delete lifecycle's 24/7 half):
+    takedowns landing BETWEEN nightly rebuilds are honored without
+    restarting the loop — each batch's probe anti-joins the tombstone
+    frame, which is re-read per micro-batch like every static side,
+    so appending ids to the tombstone table takes effect from the
+    next batch on.  Streamed-with-tombstones ≡
+    batch-probe-with-tombstones (pytest-pinned)."""
     from prod_recommendation_pyspark_spark.operators.similarity import (
         ivf_probe,
     )
@@ -376,6 +415,7 @@ def streaming_ann_serving(
         topk = ivf_probe(
             batch_df, artifact, query_id, corpus_id, centroids,
             vec_col=vec_col, k=k, n_probe=n_probe, list_col=list_col,
+            tombstones=tombstones,
         )
         emit(topk, batch_id)
 

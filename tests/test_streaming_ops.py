@@ -790,3 +790,129 @@ def test_streaming_ann_serving_restart_is_exactly_once(spark):
     assert new_tgts and all(t % 3 == 2 for t in new_tgts)
     assert len(served) == len({(r["tgt_id"], r["nbr_id"]) for r in served})
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_serving_honors_tombstones(spark):
+    """Round-12 delete lifecycle, 24/7 half: all three serving loops
+    accept a tombstone frame and must (a) equal their batch twin run
+    with the same tombstones and (b) never serve a deleted id —
+    takedowns landing between nightly rebuilds take effect without a
+    loop restart."""
+    import os
+
+    from prod_recommendation_pyspark_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        minhash_band_keys,
+    )
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        rank_window_index,
+        rank_window_probe,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+        ivf_index,
+        ivf_probe,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _firmographics,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_ann_serving,
+        streaming_incremental_dedup,
+        streaming_peer_serving,
+    )
+
+    def two_file_stream(df, prefix):
+        d = tempfile.mkdtemp(prefix=prefix)
+        key = df.columns[0]
+        df.filter(F.col(key) % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        df.filter(F.col(key) % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+
+    def drain(q):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # --- peer loop ---
+    firmo = _firmographics(spark, SF_SMOKE).localCheckpoint()
+    pros = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt"), "vec", "naics", "lat", "lon"
+    )
+    clis = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"), "vec", "naics", "lat", "lon"
+    )
+    tombs = clis.filter(F.col("src") % 7 == 3).select("src")
+    index = rank_window_index(clis, "src", window=32).localCheckpoint()
+    got = []
+    q = streaming_peer_serving(
+        two_file_stream(pros, "tomb_peer_"), index, clis, "tgt", "src",
+        lambda df, _bid: got.extend(df.collect()), k=5, tombstones=tombs,
+    )
+    drain(q)
+    cand = rank_window_probe(pros, index, "tgt", "src", tombstones=tombs)
+    want = hybrid_topk_pruned(
+        pros, clis, "tgt", "src", candidates=cand, dim=2, k=5
+    ).collect()
+    key3 = lambda rows: {
+        (r["tgt"], r["src"], round(r["score"], 9)) for r in rows
+    }
+    assert key3(got) == key3(want) and len(got) > 0
+    deleted = {r["src"] for r in tombs.collect()}
+    assert not {r["src"] for r in got} & deleted
+
+    # --- ANN loop ---
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    cents = ivf_auto_centroids(corpus, "nbr_id", "embedding")
+    art = ivf_index(corpus, "nbr_id", "embedding", cents).localCheckpoint()
+    qs = emb.filter(F.col("vec_id") % 17 == 3).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    vtombs = corpus.filter(F.col("nbr_id") % 9 == 4).select("nbr_id")
+    got_v = []
+    q = streaming_ann_serving(
+        two_file_stream(qs, "tomb_ann_"), art, cents, "tgt_id", "nbr_id",
+        lambda df, _bid: got_v.extend(df.collect()),
+        vec_col="embedding", k=5, n_probe=4, tombstones=vtombs,
+    )
+    drain(q)
+    want_v = ivf_probe(
+        qs, art, "tgt_id", "nbr_id", cents,
+        vec_col="embedding", k=5, n_probe=4, tombstones=vtombs,
+    ).collect()
+    keyv = lambda rows: {
+        (r["tgt_id"], r["nbr_id"], round(r["score"], 9)) for r in rows
+    }
+    assert keyv(got_v) == keyv(want_v) and len(got_v) > 0
+    assert not {r["nbr_id"] for r in got_v} & {
+        r["nbr_id"] for r in vtombs.collect()
+    }
+
+    # --- dedup loop (batch-parity mode: the operator runs unchanged
+    #     on a batch frame) ---
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus_d = docs.filter(F.col("doc_id") % 5 != 4)
+    batch_d = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
+    dtombs = corpus_d.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+    store = minhash_band_keys(corpus_d, "doc_id", "text")
+    streamed = streaming_incremental_dedup(
+        batch_d, store, "doc_id", "text", tombstones=dtombs
+    ).select("corpus_id", "doc_id").distinct()
+    want_d = incremental_lsh_candidates(
+        store, batch_d, "doc_id", "text", max_bucket=None, tombstones=dtombs
+    )
+    a = {(r[0], r[1]) for r in streamed.collect()}
+    b = {(r["id_a"], r["id_b"]) for r in want_d.collect()}
+    assert a == b and len(a) > 0
+    assert not {p[0] for p in a} & {r["doc_id"] for r in dtombs.collect()}
