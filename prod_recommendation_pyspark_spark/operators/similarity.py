@@ -1105,6 +1105,81 @@ def ivf_compact(
     )
 
 
+def ivf_compact_rewrite(
+    spark,
+    path: str,
+    tombstones: DataFrame,
+    corpus_id: str,
+    list_col: str = "ivf_list",
+) -> int:
+    """PARTIAL compaction of a written ``ivf_index`` artifact: rewrite
+    ONLY the list partitions that contain tombstoned rows, leaving
+    every other list's files untouched on disk (pytest-pinned via
+    file mtimes).  At 100 TB this is the difference between a
+    compaction that costs |affected lists| and one that rewrites the
+    whole corpus: a takedown-sized tombstone set touches a
+    takedown-sized number of lists.
+
+    Mechanics: one semi-join finds the affected list ids (broadcast
+    tombstones against the artifact — partition-pruned to nothing on
+    the unaffected side by the later filter), the surviving rows of
+    those lists are rewritten under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (only
+    partitions present in the written data are replaced), and lists
+    whose EVERY row was deleted — which dynamic overwrite cannot
+    touch, since no rows are written for them — are removed through
+    the Hadoop FileSystem API (portable across file://, hdfs://,
+    s3a://).  Returns the number of affected lists.
+
+    The result equals a full ``ivf_compact`` rewrite, which equals a
+    frozen-centroid rebuild without the deleted rows (both
+    pytest-pinned; ``ann_ivf_compact_rewrite_e2e`` pins the reloaded
+    artifact under the rebuild-minus-deleted value oracle)."""
+    artifact = spark.read.parquet(path)
+    tomb = F.broadcast(tombstones.select(corpus_id))
+    affected = [
+        r[0]
+        for r in artifact.join(tomb, corpus_id, "left_semi")
+        .select(list_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    # localCheckpoint BEFORE the write: the overwrite target is also
+    # the read source, which Spark (rightly) refuses on a live plan —
+    # materializing the surviving rows of the affected lists first
+    # severs the lineage, and the materialized size is bounded by the
+    # affected lists, not the artifact.
+    kept = (
+        artifact.filter(F.col(list_col).isin(affected))
+        .join(tomb, corpus_id, "left_anti")
+        .localCheckpoint()
+    )
+    survivors = {
+        r[0]
+        for r in kept.select(list_col).distinct().collect()
+    }
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        kept.repartition(list_col).write.mode("overwrite").partitionBy(
+            list_col
+        ).parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    # lists emptied entirely: no rows written -> dynamic overwrite
+    # left their directories in place; drop them explicitly
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for v in set(affected) - survivors:
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{list_col}={v}")
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+    return len(affected)
+
+
 def cosine_topk_auto(
     left: DataFrame,
     right: DataFrame,

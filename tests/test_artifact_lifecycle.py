@@ -212,3 +212,76 @@ def test_rank_window_tombstone_probe_is_probe_minus_deleted(spark):
     deleted = {r["src"] for r in tombs.collect()}
     assert tombed == {p for p in full if p[1] not in deleted}
     assert len(tombed) > 0 and len(tombed) < len(full)
+
+
+def test_ivf_compact_rewrite_is_partial_and_exact(spark, tmp_path):
+    """``ivf_compact_rewrite`` must (a) produce an artifact equal to
+    the frozen-centroid rebuild without the deleted rows, (b) leave
+    every unaffected list's files untouched on disk (mtime-pinned),
+    and (c) REMOVE the directory of a list whose every row was
+    deleted — the case dynamic partition overwrite alone cannot
+    express."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+        ivf_compact_rewrite,
+        ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus = emb.select(F.col("vec_id").alias("nbr_id"), "embedding")
+    centroids = ivf_auto_centroids(corpus, "nbr_id", "embedding")
+    path = str(tmp_path / "ivf_artifact")
+    full = ivf_index(corpus, "nbr_id", "embedding", centroids)
+    full.repartition("ivf_list").write.partitionBy("ivf_list").parquet(path)
+
+    # tombstones: one ENTIRE list + a sprinkle of other ids
+    lists = [r[0] for r in full.select("ivf_list").distinct().collect()]
+    kill_list = sorted(lists)[0]
+    whole = full.filter(F.col("ivf_list") == kill_list).select("nbr_id")
+    sprinkle = corpus.filter(F.col("nbr_id") % 11 == 6).select("nbr_id")
+    tombs = whole.unionByName(sprinkle).distinct().localCheckpoint()
+
+    def mtimes():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("ivf_list="):
+                full_d = os.path.join(path, d)
+                out[d] = max(
+                    (os.path.getmtime(os.path.join(full_d, f))
+                     for f in os.listdir(full_d)),
+                    default=0,
+                )
+        return out
+
+    before = mtimes()
+    _time.sleep(1.1)  # mtime resolution guard
+    n_affected = ivf_compact_rewrite(spark, path, tombs, "nbr_id")
+    after = mtimes()
+
+    affected_dirs = {
+        f"ivf_list={r[0]}"
+        for r in full.join(
+            F.broadcast(tombs), "nbr_id", "left_semi"
+        ).select("ivf_list").distinct().collect()
+    }
+    assert n_affected == len(affected_dirs) > 1
+    # (c) the fully-deleted list's dir is GONE
+    assert f"ivf_list={kill_list}" not in after
+    # (b) untouched lists: same files, same mtimes
+    for d, t in before.items():
+        if d not in affected_dirs:
+            assert after[d] == t, f"untouched list {d} was rewritten"
+    # (a) reloaded artifact == frozen-centroid rebuild minus deleted
+    kept_corpus = corpus.join(F.broadcast(tombs), "nbr_id", "left_anti")
+    rebuilt = ivf_index(kept_corpus, "nbr_id", "embedding", centroids)
+    key = lambda df: {
+        (r["nbr_id"], int(r["ivf_list"]))
+        for r in df.select("nbr_id", "ivf_list").collect()
+    }
+    reloaded = spark.read.parquet(path)
+    assert key(reloaded) == key(rebuilt) and reloaded.count() > 0
