@@ -309,6 +309,86 @@ def dedup_index_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_index_append_e2e",
+    sql="""
+    WITH
+    toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                         i -> array_to_string(w[i:i+2], ' '))) AS s
+           FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.doc_id % 5 <> 4 AND b.doc_id % 5 = 4
+               GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_index_append_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INSERT half of the dedup artifact lifecycle: yesterday's
+    arrivals are APPENDED to the persisted band-key store instead of
+    rebuilding it — ``write_bucketed(mode='append')``, the path the
+    round-12 review fix made safe (the old unconditional DROP would
+    have silently destroyed the store this append extends).  Band
+    keys are per-document, so store(corpus) + append(batch₁) ≡
+    store(corpus ∪ batch₁) exactly, and Spark's bucketed append keeps
+    the bucket spec — the grown store still feeds the probe join from
+    bucket files.
+
+    Flow: the nightly store is built on doc_id % 5 ∈ {0,1,2};
+    yesterday's arrivals (% 5 == 3) are hashed and APPENDED; today's
+    batch (% 5 == 4) probes the grown store.  The oracle replays
+    brute-force cross Jaccard of the FULL grown corpus (% 5 <> 4)
+    against today's batch — identical to ``dedup_index_nightly_e2e``'s
+    oracle, which is the point: growing the store by append must be
+    indistinguishable from the nightly rebuild."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    docs = _spread(Catalog(spark, sf_dir).table("documents"))
+    nightly = docs.filter(F.col("doc_id") % 5 <= 2)
+    arrivals = docs.filter(F.col("doc_id") % 5 == 3)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    base = tempfile.mkdtemp(prefix="dedup_idx_append_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    write_bucketed(
+        minhash_band_keys(nightly, "doc_id", "text"),
+        "dedup_band_index_append", 16, ["band", "key"],
+        path=f"{base}/store",
+    )
+    write_bucketed(
+        minhash_band_keys(arrivals, "doc_id", "text"),
+        "dedup_band_index_append", 16, ["band", "key"],
+        mode="append", path=f"{base}/store",
+    )
+    grown = spark.table("dedup_band_index_append")
+    cands = incremental_lsh_candidates(
+        grown, batch, "doc_id", "text"
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    verified = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_words=3, threshold=0.8, candidates=cands
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "streaming_dedup_serving_replay",
     sql="""
     WITH
