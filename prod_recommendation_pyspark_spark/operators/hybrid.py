@@ -1389,6 +1389,57 @@ def rank_window_compact(
     )
 
 
+def rank_window_insert(
+    index: DataFrame,
+    arrivals: DataFrame,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    code_len: int = CODE_LEN,
+) -> DataFrame:
+    """INSERT intraday client arrivals into a :func:`rank_window_index`
+    artifact without re-touching the existing corpus — the last CRUD
+    cell for this artifact (delete/compact: round 12 above; the IVF
+    twin is ``ann_ivf_incremental_insert``).  Positions are
+    corpus-relative, so unlike the IVF insert a bare union is wrong:
+    an arriving client shifts every position after its angle rank.
+    But the index already stores each row's full sort key
+    (``__v1n``, arm) — so the merge is: arm + angle-normalize ONLY
+    the arrivals, union with the stored slim rows, and re-run the
+    distributed dense rank.  The result equals
+    ``rank_window_index(old corpus ∪ arrivals, window=__w)`` EXACTLY
+    (rebuild-equivalence pytest; ``rank_window_insert_e2e`` pins the
+    probed serving under the full value oracle), at the cost of one
+    index scan + |arrivals| arming — never a corpus rescan.
+
+    The build window ``__w`` is KEPT: unlike deletion, inserts can
+    RAISE the corpus' tie density, so a sustained-growth deployment
+    re-derives at the next nightly build (the derivation measured the
+    need trajectory 15 → 16 → 78 → 364 across four decades — density
+    grows with scale); intraday arrival volumes ride the ×2
+    derivation pad.  Mixed-window unions still raise at probe time
+    (``_resolve_probe_window``)."""
+    w = _resolve_probe_window(index, None)
+    _require_dim2(arrivals, vec_col, "rank_window_insert(arrivals)")
+    new = _arm_clients(arrivals, right_id, vec_col, naics_col, code_len)
+    old = index.select(
+        F.col("__rid").alias("__id"), "__v1n", "__lvl", "__blk",
+        F.lit(1).alias("__isc"),
+    )
+    ranked = _distributed_rank(
+        old.unionByName(new), index.sparkSession
+    )
+    return ranked.select(
+        F.col("__id").alias("__rid"),
+        "__v1n",
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__cpos"),
+        F.floor((F.col("__pos") - 1) / w).alias("__wb"),
+        F.lit(int(w)).alias("__w"),
+    )
+
+
 def hybrid_topk_pruned(
     left: DataFrame,
     right: DataFrame,

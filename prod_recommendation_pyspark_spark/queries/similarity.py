@@ -1633,6 +1633,59 @@ def rank_window_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rank_window_insert_e2e",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte()}
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM rank_ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def rank_window_insert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT on the peer-search artifact — completing its CRUD matrix
+    (delete/compact: ``rank_window_delete_e2e``): the nightly index is
+    built on a PARTIAL client corpus (src_custkey % 6 != 5), the
+    remaining clients arrive intraday and are merged by
+    ``rank_window_insert`` — armed + angle-normalized arrivals
+    re-ranked against the STORED slim rows, no rescan of the existing
+    corpus — and the window-less probe serves off the grown artifact.
+    The ORACLE is the full-corpus rank-window replay (identical to
+    the nightly query's): a hash-green row proves
+    insert ≡ rebuild-over-the-grown-corpus end to end, the
+    corpus-relative-positions analogue of the IVF insert's
+    frozen-centroid equivalence (``ann_ivf_incremental_insert``).
+
+    The build window (256) is kept across the insert — tie density
+    can rise with growth, so sustained growth re-derives at the next
+    nightly build; the ×2 derivation pad covers intraday volumes."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_insert,
+        rank_window_probe,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
+    old = clients.filter(F.col("src_custkey") % 6 != 5)
+    arrivals = clients.filter(F.col("src_custkey") % 6 == 5)
+    index = rank_window_index(old, "src_custkey", window=_RANK_WINDOW)
+    grown = rank_window_insert(index, arrivals, "src_custkey").localCheckpoint()
+    cand = rank_window_probe(prospects, grown, "tgt_custkey", "src_custkey")
+    return (
+        hybrid_topk_pruned(
+            prospects, clients, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=2,
+        )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
 def _mod_ladder(start: int = 500) -> list[int]:
     """The widening ladder ``_derivation_sample`` walks: start, then
     m = max(1, m // 2) until 1 — replicated here so the oracle replays

@@ -285,3 +285,26 @@ def test_ivf_compact_rewrite_is_partial_and_exact(spark, tmp_path):
     }
     reloaded = spark.read.parquet(path)
     assert key(reloaded) == key(rebuilt) and reloaded.count() > 0
+
+
+def test_rank_window_insert_equals_rebuild(spark):
+    """``rank_window_insert`` merges armed arrivals into the stored
+    slim rows and re-ranks — the result must equal
+    ``rank_window_index`` rebuilt over the grown corpus at the same
+    window, row for row, including malformed-code arrivals."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_insert,
+    )
+
+    _, clis, _ = _rw_fixture(spark)
+    old = clis.filter(F.col("src") % 6 != 5)
+    arrivals = clis.filter(F.col("src") % 6 == 5)
+    index = rank_window_index(old, "src", window=8)
+    grown = rank_window_insert(index, arrivals, "src")
+    rebuilt = rank_window_index(clis, "src", window=8)
+    cols = ["__rid", "__lvl", "__blk", "__cpos", "__wb", "__w"]
+    key = lambda df: {tuple(r) for r in df.select(*cols).collect()}  # noqa: E731
+    assert key(grown) == key(rebuilt)
+    assert grown.count() == rebuilt.count() > 0
+    assert arrivals.count() > 0
