@@ -1686,6 +1686,82 @@ def rank_window_insert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rank_window_versioned_publish_e2e",
+    sql=f"""
+    WITH {_FIRMO_SQL},
+    {_rank_cte()}
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM rank_ranked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def rank_window_versioned_publish_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ATOMIC rebuild publishing for the nightly artifact
+    (``sources/writers.py::publish_versioned`` /
+    ``readers.py::read_published``): version 1 is an index over a
+    STALE partial corpus (yesterday's build, src_custkey % 6 != 5),
+    version 2 is tonight's full rebuild; the serving reader resolves
+    the newest COMMITTED version — Spark's ``_SUCCESS`` marker lands
+    at job commit, so an in-flight or crashed rebuild is invisible
+    and probes keep serving N−1 until the commit (pytest-pinned with
+    a simulated crash in tests/test_artifact_lifecycle.py).  The
+    probe runs off the resolved artifact; the oracle is the
+    FULL-corpus rank-window replay, so a hash-green row proves the
+    reader resolved v2, the publish round-tripped the index
+    losslessly, and the window-less probe (``__w`` off the artifact)
+    serves the rebuild exactly.
+
+    This is the glue between the nightly rebuild and the intraday
+    CRUD paths: rebuilds land as new versions, tombstones/inserts
+    ride within a version, retention is a directory delete."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_probe,
+    )
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        read_published,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        publish_versioned,
+    )
+
+    prospects, clients = _rank_sides(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rank_window_versions_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    stale = clients.filter(F.col("src_custkey") % 6 != 5)
+    publish_versioned(
+        rank_window_index(stale, "src_custkey", window=_RANK_WINDOW),
+        f"{base}/index", partition_by=["__lvl"],
+    )
+    publish_versioned(
+        rank_window_index(clients, "src_custkey", window=_RANK_WINDOW),
+        f"{base}/index", partition_by=["__lvl"],
+    )
+    artifact = read_published(spark, f"{base}/index").localCheckpoint()
+    cand = rank_window_probe(
+        prospects, artifact, "tgt_custkey", "src_custkey"
+    )
+    return (
+        hybrid_topk_pruned(
+            prospects, clients, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=2,
+        )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
 def _mod_ladder(start: int = 500) -> list[int]:
     """The widening ladder ``_derivation_sample`` walks: start, then
     m = max(1, m // 2) until 1 — replicated here so the oracle replays

@@ -105,6 +105,60 @@ def latest_snapshot(
     )
 
 
+def latest_published_version(spark: SparkSession, base: str) -> int:
+    """Newest COMMITTED version under a ``publish_versioned`` base:
+    the max N among ``base/__v=N`` directories holding a ``_SUCCESS``
+    marker (Spark writes it at job commit, so a half-written or
+    crashed rebuild is never resolved).  0 when none exist.  One
+    driver-side FileSystem listing of the version dirs — there is one
+    per publish (nightly-sized, not data-sized) — through the Hadoop
+    API, so it works on file://, hdfs://, and s3a:// alike."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return 0
+    best = 0
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("__v=")):
+            continue
+        try:
+            n = int(name[4:])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(
+            status.getPath(), "_SUCCESS"
+        )
+        if n > best and fs.exists(marker):
+            best = n
+    return best
+
+
+def read_published(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed version of a ``publish_versioned`` artifact
+    (default: the latest).  The read targets the single version
+    directory, so no partition discovery ever lists an in-flight
+    rebuild's files; pin ``version=`` for reproducible replays
+    against a historical artifact."""
+    n = (
+        latest_published_version(spark, base)
+        if version is None
+        else int(version)
+    )
+    if n <= 0:
+        raise FileNotFoundError(
+            f"read_published: no committed version under {base} — "
+            "publish_versioned writes _SUCCESS at job commit; either "
+            "nothing was published yet or the only write crashed "
+            "before committing."
+        )
+    return spark.read.parquet(f"{base}/__v={n}")
+
+
 def literal_rows(
     spark: SparkSession, rows: Iterable[tuple], columns: list[str]
 ) -> DataFrame:

@@ -77,6 +77,52 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def publish_versioned(
+    df: DataFrame,
+    base: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """ATOMIC-PUBLISH a nightly artifact rebuild: write the frame
+    under ``base/__v=N`` (N = latest committed version + 1) and let
+    readers resolve versions through
+    ``sources/readers.py::read_published``, which only ever sees
+    versions whose ``_SUCCESS`` marker exists.  Because Spark writes
+    ``_SUCCESS`` at job COMMIT (after every task file is in place),
+    the publish is atomic from the reader's side: a rebuild in
+    progress — or one that died halfway — is invisible, and serving
+    keeps reading version N−1 until the commit lands.  This is the
+    missing glue between the nightly rebuild and the intraday CRUD
+    paths: rebuilds land as a new version, tombstones/inserts ride
+    within a version, nothing ever serves a half-written artifact.
+
+    Returns the version number written.  Version directories are
+    plain partition-style paths (``__v=3``), so retention is a
+    directory delete and a version's files are never rewritten.  A
+    CRASHED previous attempt at the same version (directory present,
+    no ``_SUCCESS``) is removed and rewritten — safe because no
+    reader can resolve an uncommitted version; a COMMITTED version is
+    never overwritten (``errorifexists``)."""
+    spark = df.sparkSession
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        latest_published_version,
+    )
+
+    n = latest_published_version(spark, base) + 1
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    target = jvm.org.apache.hadoop.fs.Path(f"{base}/__v={n}")
+    fs = target.getFileSystem(hconf)
+    if fs.exists(target) and not fs.exists(
+        jvm.org.apache.hadoop.fs.Path(target, "_SUCCESS")
+    ):
+        fs.delete(target, True)  # crashed write: invisible to readers
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{base}/__v={n}")
+    return n
+
+
 def write_compacted(
     df: DataFrame,
     path: str,

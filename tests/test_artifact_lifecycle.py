@@ -308,3 +308,46 @@ def test_rank_window_insert_equals_rebuild(spark):
     assert key(grown) == key(rebuilt)
     assert grown.count() == rebuilt.count() > 0
     assert arrivals.count() > 0
+
+
+def test_versioned_publish_resolves_only_committed(spark, tmp_path):
+    """``publish_versioned`` / ``read_published``: the reader resolves
+    the newest version WITH a _SUCCESS commit marker — an in-flight or
+    crashed rebuild (no marker) is invisible, and pinning ``version=``
+    replays a historical artifact byte-for-byte."""
+    import os
+
+    import pytest
+
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        latest_published_version,
+        read_published,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        publish_versioned,
+    )
+
+    base = str(tmp_path / "artifact")
+    with pytest.raises(FileNotFoundError):
+        read_published(spark, base)
+
+    v1_df = spark.range(10).withColumn("tag", F.lit("v1"))
+    assert publish_versioned(v1_df, base) == 1
+    v2_df = spark.range(20).withColumn("tag", F.lit("v2"))
+    assert publish_versioned(v2_df, base) == 2
+    assert latest_published_version(spark, base) == 2
+    assert read_published(spark, base).count() == 20
+    assert read_published(spark, base, version=1).count() == 10
+
+    # crashed rebuild: v3 files exist but the commit marker does not
+    v3_df = spark.range(30).withColumn("tag", F.lit("v3"))
+    assert publish_versioned(v3_df, base) == 3
+    os.remove(os.path.join(base, "__v=3", "_SUCCESS"))
+    assert latest_published_version(spark, base) == 2
+    assert read_published(spark, base).count() == 20
+    # re-publishing self-heals: the crashed (reader-invisible) v3 dir
+    # is removed and version 3 is written cleanly
+    v3b = spark.range(31).withColumn("tag", F.lit("v3b"))
+    assert publish_versioned(v3b, base) == 3
+    assert latest_published_version(spark, base) == 3
+    assert read_published(spark, base).count() == 31
