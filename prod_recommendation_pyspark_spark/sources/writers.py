@@ -123,6 +123,47 @@ def publish_versioned(
     return n
 
 
+def prune_published_versions(spark, base: str, keep: int = 3) -> list[int]:
+    """RETENTION for a ``publish_versioned`` base: drop all but the
+    newest ``keep`` committed versions, plus any uncommitted (crashed)
+    version directories older than the newest committed one.  Returns
+    the version numbers removed.  A version is a directory delete —
+    files within a version are immutable by construction — so
+    retention cost is one FileSystem listing + one delete per expired
+    version, never a data rewrite.  ``keep`` must be ≥ 1: the newest
+    committed version is always retained (serving reads it)."""
+    if keep < 1:
+        raise ValueError("prune_published_versions: keep must be >= 1")
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        latest_published_version,
+    )
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return []
+    latest = latest_published_version(spark, base)
+    committed: list[int] = []
+    uncommitted: list[int] = []
+    for status in fs.listStatus(p):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith("__v=")):
+            continue
+        try:
+            n = int(name[4:])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        (committed if fs.exists(marker) else uncommitted).append(n)
+    expire = sorted(committed)[:-keep] if len(committed) > keep else []
+    expire += [n for n in uncommitted if n < latest]
+    for n in sorted(expire):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/__v={n}"), True)
+    return sorted(expire)
+
+
 def write_compacted(
     df: DataFrame,
     path: str,

@@ -351,3 +351,40 @@ def test_versioned_publish_resolves_only_committed(spark, tmp_path):
     assert publish_versioned(v3b, base) == 3
     assert latest_published_version(spark, base) == 3
     assert read_published(spark, base).count() == 31
+
+
+def test_prune_published_versions(spark, tmp_path):
+    """Retention: all but the newest ``keep`` committed versions are
+    dropped, crashed (uncommitted) dirs older than the newest
+    committed version are swept too, and the resolved latest version
+    survives untouched."""
+    import os
+
+    import pytest
+
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        latest_published_version,
+        read_published,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        prune_published_versions,
+        publish_versioned,
+    )
+
+    base = str(tmp_path / "artifact")
+    for i in range(1, 5):  # v1..v4 committed
+        publish_versioned(spark.range(10 * i), base)
+    # a crashed v2.5-style wreck: fake an old uncommitted dir gets
+    # simulated by stripping v1's marker AFTER publishing a newer one
+    os.remove(os.path.join(base, "__v=1", "_SUCCESS"))
+
+    removed = prune_published_versions(spark, base, keep=2)
+    # committed survivors: v3, v4; v2 expired; v1 (now uncommitted,
+    # older than latest) swept
+    assert removed == [1, 2]
+    assert latest_published_version(spark, base) == 4
+    assert read_published(spark, base).count() == 40
+    assert read_published(spark, base, version=3).count() == 30
+    assert sorted(os.listdir(base)) == ["__v=3", "__v=4"]
+    with pytest.raises(ValueError):
+        prune_published_versions(spark, base, keep=0)
