@@ -388,3 +388,62 @@ def test_prune_published_versions(spark, tmp_path):
     assert sorted(os.listdir(base)) == ["__v=3", "__v=4"]
     with pytest.raises(ValueError):
         prune_published_versions(spark, base, keep=0)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: lifecycle equalities under RANDOM tombstone sets
+# (each example is a real Spark job — max_examples stays small)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    mod=st.integers(min_value=2, max_value=9),
+    rem=st.integers(min_value=0, max_value=8),
+)
+def test_rank_window_compact_equals_rebuild_property(spark, mod, rem):
+    """compaction ≡ rebuild must hold for ANY deletion set, not just
+    the pinned example — including sets that empty whole arms or
+    delete nothing (rem ≥ mod → empty tombstones: compact must be the
+    identity re-rank)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_compact,
+        rank_window_index,
+    )
+
+    _, clis, _ = _rw_fixture(spark)
+    tombs = clis.filter(F.col("src") % mod == rem).select("src")
+    index = rank_window_index(clis, "src", window=8)
+    compacted = rank_window_compact(index, tombs)
+    kept = clis.join(F.broadcast(tombs), "src", "left_anti")
+    rebuilt = rank_window_index(kept, "src", window=8)
+    cols = ["__rid", "__lvl", "__blk", "__cpos", "__wb", "__w"]
+    key = lambda df: {tuple(r) for r in df.select(*cols).collect()}  # noqa: E731
+    assert key(compacted) == key(rebuilt)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    mod=st.integers(min_value=2, max_value=9),
+    rem=st.integers(min_value=0, max_value=8),
+)
+def test_ivf_compact_equals_rebuild_property(spark, mod, rem):
+    """The IVF anti-join-is-the-rebuild equality under any modulus
+    deletion set (frozen centroids), empty sets included."""
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_compact,
+        ivf_index,
+    )
+
+    corpus, centroids, index, _, _ = _ivf_parts(spark)
+    tombs = corpus.filter(F.col("nbr_id") % mod == rem).select("nbr_id")
+    compacted = ivf_compact(index, tombs, "nbr_id")
+    kept = corpus.join(F.broadcast(tombs), "nbr_id", "left_anti")
+    rebuilt = ivf_index(kept, "nbr_id", "embedding", centroids)
+    key = lambda df: {  # noqa: E731
+        (r["nbr_id"], r["ivf_list"])
+        for r in df.select("nbr_id", "ivf_list").collect()
+    }
+    assert key(compacted) == key(rebuilt)
