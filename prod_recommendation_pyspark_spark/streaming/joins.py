@@ -359,6 +359,85 @@ def streaming_peer_serving(
     return writer.start()
 
 
+def streaming_peer_serving_published(
+    prospects_stream: DataFrame,
+    base: str,
+    clients: DataFrame,
+    left_id: str,
+    right_id: str,
+    emit,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    checkpoint_dir: str | None = None,
+    tombstones: DataFrame | None = None,
+):
+    """HOT-SWAP serving: :func:`streaming_peer_serving` against a
+    ``publish_versioned`` artifact BASE instead of a fixed index
+    frame — each micro-batch re-resolves the newest COMMITTED version
+    (one driver-side FileSystem listing of the version dirs, ~free),
+    so tonight's rebuild takes effect from the next micro-batch after
+    its ``_SUCCESS`` commit lands, with no loop restart and no
+    half-written artifact ever served.  The resolved index (and its
+    ``__w`` window, validated once per version) is cached until the
+    version changes; tombstones compose as in the fixed-index loop —
+    the full intraday story: publish nightly, tombstone takedowns
+    between publishes, hot-swap on commit.
+
+    Batch-split invariance still holds WITHIN a version; across a
+    swap, batches before the commit serve version N−1 and batches
+    after serve N — exactly the semantics a 24/7 server wants
+    (pytest-pinned: a publish landing between two micro-batches
+    flips the serving version at the boundary)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        _resolve_probe_window,
+        hybrid_topk_pruned,
+        rank_window_probe,
+    )
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        latest_published_version,
+        read_published,
+    )
+
+    state: dict = {"version": None, "index": None, "window": None}
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        v = latest_published_version(spark, base)
+        if v != state["version"]:
+            idx = read_published(spark, base, version=v)
+            state["window"] = _resolve_probe_window(idx, None)
+            state["index"] = idx.drop("__w")
+            state["version"] = v
+        cand = rank_window_probe(
+            batch_df, state["index"], left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col, window=state["window"],
+            tombstones=tombstones,
+        )
+        topk = hybrid_topk_pruned(
+            batch_df, clients, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            candidates=cand, dim=2,
+        )
+        emit(topk, batch_id)
+
+    writer = prospects_stream.writeStream.foreachBatch(_serve).outputMode(
+        "update"
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_ann_serving(
     queries_stream: DataFrame,
     artifact: DataFrame,

@@ -916,3 +916,91 @@ def test_streaming_serving_honors_tombstones(spark):
     b = {(r["id_a"], r["id_b"]) for r in want_d.collect()}
     assert a == b and len(a) > 0
     assert not {p[0] for p in a} & {r["doc_id"] for r in dtombs.collect()}
+
+
+def test_streaming_peer_serving_hot_swaps_published_version(spark):
+    """A nightly publish landing BETWEEN micro-batches must flip the
+    serving version at the batch boundary — no restart: batch 0 is
+    served from v1 (stale corpus), v2 commits during batch 0's emit,
+    batch 1 must be served from v2 (full corpus)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        rank_window_index,
+        rank_window_probe,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _firmographics,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        publish_versioned,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_peer_serving_published,
+    )
+
+    firmo = _firmographics(spark, SF_SMOKE).localCheckpoint()
+    pros = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt"), "vec", "naics", "lat", "lon"
+    )
+    clis = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src"), "vec", "naics", "lat", "lon"
+    )
+    stale = clis.filter(F.col("src") % 3 != 1)  # v1 misses a third
+    base = tempfile.mkdtemp(prefix="hot_swap_") + "/index"
+    publish_versioned(
+        rank_window_index(stale, "src", window=32), base,
+        partition_by=["__lvl"],
+    )
+
+    # two staged files -> two micro-batches (stable order via one
+    # coalesced file per half)
+    d = tempfile.mkdtemp(prefix="hot_swap_stream_")
+    b0 = pros.filter(F.col("tgt") % 20 == 0)
+    b1 = pros.filter(F.col("tgt") % 20 != 0)
+    b0.coalesce(1).write.mode("append").parquet(d)
+    import time as _t
+
+    _t.sleep(1.1)  # file-source orders by mod time: keep b0 first
+    b1.coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(pros.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+    per_batch: dict[int, list] = {}
+
+    def emit(df, batch_id):
+        per_batch[batch_id] = df.collect()
+        if batch_id == 0:
+            # tonight's rebuild commits while the stream is live
+            publish_versioned(
+                rank_window_index(clis, "src", window=32), base,
+                partition_by=["__lvl"],
+            )
+
+    q = streaming_peer_serving_published(
+        stream, base, clis, "tgt", "src", emit, k=5
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(per_batch) == [0, 1]
+
+    def want(batch_pros, index_clis):
+        idx = rank_window_index(index_clis, "src", window=32)
+        cand = rank_window_probe(batch_pros, idx, "tgt", "src")
+        return {
+            (r["tgt"], r["src"], round(r["score"], 9))
+            for r in hybrid_topk_pruned(
+                batch_pros, clis, "tgt", "src", candidates=cand, dim=2, k=5
+            ).collect()
+        }
+
+    got0 = {(r["tgt"], r["src"], round(r["score"], 9)) for r in per_batch[0]}
+    got1 = {(r["tgt"], r["src"], round(r["score"], 9)) for r in per_batch[1]}
+    assert got0 == want(b0, stale) and len(got0) > 0   # served from v1
+    assert got1 == want(b1, clis) and len(got1) > 0    # served from v2
+    # and the swap mattered: v1 would have answered batch 1 differently
+    assert got1 != want(b1, stale)
