@@ -1418,9 +1418,25 @@ def rank_window_insert(
     need trajectory 15 → 16 → 78 → 364 across four decades — density
     grows with scale); intraday arrival volumes ride the ×2
     derivation pad.  Mixed-window unions still raise at probe time
-    (``_resolve_probe_window``)."""
+    (``_resolve_probe_window``).
+
+    PRECONDITION — new ids only (round-13 advice): an arrival whose
+    id already exists in the index would union a SECOND ``__rid`` row
+    per arm and silently shift every later position, breaking the
+    insert≡rebuild equivalence.  UPDATES must ride the same path as
+    the IVF twin: tombstone the old row, compact, insert the new one.
+    Arrivals already present are therefore dropped here (one anti-join
+    of the small arrival frame against the index's distinct id set —
+    an index scan that the re-rank below performs anyway), keeping the
+    rebuild equivalence exact for the surviving (genuinely new)
+    arrivals."""
     w = _resolve_probe_window(index, None)
     _require_dim2(arrivals, vec_col, "rank_window_insert(arrivals)")
+    arrivals = arrivals.join(
+        index.select(F.col("__rid").alias(right_id)).distinct(),
+        right_id,
+        "left_anti",
+    )
     new = _arm_clients(arrivals, right_id, vec_col, naics_col, code_len)
     old = index.select(
         F.col("__rid").alias("__id"), "__v1n", "__lvl", "__blk",

@@ -1134,7 +1134,23 @@ def ivf_compact_rewrite(
     The result equals a full ``ivf_compact`` rewrite, which equals a
     frozen-centroid rebuild without the deleted rows (both
     pytest-pinned; ``ann_ivf_compact_rewrite_e2e`` pins the reloaded
-    artifact under the rebuild-minus-deleted value oracle)."""
+    artifact under the rebuild-minus-deleted value oracle).
+
+    CRASH WINDOW (round-13 advice): this rewrite edits the artifact
+    IN PLACE — a failure between the dynamic partition overwrite and
+    the emptied-list directory deletes (or mid-overwrite) leaves a
+    partially compacted artifact, and a probe run WITHOUT the
+    tombstones against it would re-serve some deleted rows.  The
+    operational contract is therefore: KEEP THE TOMBSTONE SET APPLIED
+    to every probe until this job has completed and been verified
+    (probes over tombstones are correct against any intermediate
+    state — the anti-join re-drops whatever the crash left behind),
+    and only then retire the tombstones.  Deployments that want
+    crash-atomicity instead of a contract should publish the
+    compacted frame through ``sources/writers.py::publish_versioned``
+    (serving then flips versions atomically and a half-finished
+    rewrite is never resolvable) at the cost of rewriting every list,
+    not just the affected ones."""
     artifact = spark.read.parquet(path)
     tomb = F.broadcast(tombstones.select(corpus_id))
     affected = [

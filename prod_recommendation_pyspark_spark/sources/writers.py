@@ -10,6 +10,8 @@ default is a parallel partitioned write.  Fixes defect B6
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 
 
@@ -97,33 +99,66 @@ def publish_versioned(
 
     Returns the version number written.  Version directories are
     plain partition-style paths (``__v=3``), so retention is a
-    directory delete and a version's files are never rewritten.  A
-    CRASHED previous attempt at the same version (directory present,
-    no ``_SUCCESS``) is removed and rewritten — safe because no
-    reader can resolve an uncommitted version; a COMMITTED version is
-    never overwritten (``errorifexists``)."""
+    directory delete and a version's files are never rewritten.
+
+    CONCURRENCY (round-13 advice): each publish writes into a private
+    dot-prefixed staging directory (invisible to readers and to
+    ``latest_published_version``'s ``__v=`` listing) and CLAIMS its
+    version number with one atomic ``FileSystem.rename`` onto
+    ``__v=N`` — rename-if-absent is the filesystem's test-and-set, so
+    two concurrent publishers can never interleave into one directory
+    and nothing ever deletes another writer's in-flight files.  The
+    loser of a rename race re-reads the latest version and retries at
+    N+1 (its data, a later rebuild, lands as the newer version).  A
+    marker-less ``__v=N`` directory can only be a crashed legacy
+    (pre-rename) writer — renames are all-or-nothing and happen after
+    job commit — so it is safe to clear when it blocks a claim.  A
+    publisher that dies mid-write leaves only its own staging dir;
+    ``prune_published_versions(sweep_staging=True)`` clears those
+    during maintenance windows."""
     spark = df.sparkSession
     from prod_recommendation_pyspark_spark.sources.readers import (
         latest_published_version,
     )
 
-    n = latest_published_version(spark, base) + 1
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    target = jvm.org.apache.hadoop.fs.Path(f"{base}/__v={n}")
-    fs = target.getFileSystem(hconf)
-    if fs.exists(target) and not fs.exists(
-        jvm.org.apache.hadoop.fs.Path(target, "_SUCCESS")
-    ):
-        fs.delete(target, True)  # crashed write: invisible to readers
+    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    staging_name = f".__staging_{uuid.uuid4().hex}"
+    staging = jvm.org.apache.hadoop.fs.Path(f"{base}/{staging_name}")
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(f"{base}/__v={n}")
-    return n
+    writer.parquet(f"{base}/{staging_name}")
+    try:
+        for _ in range(64):  # bounded: one loser retry per contender
+            n = latest_published_version(spark, base) + 1
+            target = jvm.org.apache.hadoop.fs.Path(f"{base}/__v={n}")
+            if fs.exists(target):
+                if fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(target, "_SUCCESS")
+                ):
+                    continue  # raced a committed publish: next number
+                # marker-less target: crashed legacy writer (a rename
+                # publisher exposes __v=N only fully committed)
+                fs.delete(target, True)
+            if fs.rename(staging, target):
+                return n
+        raise RuntimeError(
+            f"publish_versioned: could not claim a version under "
+            f"{base} after 64 attempts — pathological publisher "
+            "contention or a filesystem whose rename cannot "
+            "test-and-set (rename onto an existing path must fail, "
+            "not merge)."
+        )
+    finally:
+        if fs.exists(staging):
+            fs.delete(staging, True)
 
 
-def prune_published_versions(spark, base: str, keep: int = 3) -> list[int]:
+def prune_published_versions(
+    spark, base: str, keep: int = 3, sweep_staging: bool = False
+) -> list[int]:
     """RETENTION for a ``publish_versioned`` base: drop all but the
     newest ``keep`` committed versions, plus any uncommitted (crashed)
     version directories older than the newest committed one.  Returns
@@ -131,7 +166,21 @@ def prune_published_versions(spark, base: str, keep: int = 3) -> list[int]:
     files within a version are immutable by construction — so
     retention cost is one FileSystem listing + one delete per expired
     version, never a data rewrite.  ``keep`` must be ≥ 1: the newest
-    committed version is always retained (serving reads it)."""
+    committed version is always retained (serving reads it).
+
+    Under HOT-SWAP serving (``streaming_peer_serving_published``) use
+    ``keep >= 2`` (round-13 advice): a slow micro-batch that resolved
+    version N may still be lazily reading N's files when N+1 commits —
+    ``keep=1`` would delete N out from under that batch's scan.  One
+    retained predecessor covers any single in-flight batch; the swap
+    itself happens at the next batch boundary.
+
+    ``sweep_staging=True`` also removes ``.__staging_*`` directories
+    left by publishers that DIED mid-write.  Only enable it when no
+    publisher is running against this base — a live publisher's
+    staging dir looks identical to a dead one's, and deleting it
+    re-creates exactly the concurrent-destruction race the staging
+    design removed."""
     if keep < 1:
         raise ValueError("prune_published_versions: keep must be >= 1")
     from prod_recommendation_pyspark_spark.sources.readers import (
@@ -161,6 +210,11 @@ def prune_published_versions(spark, base: str, keep: int = 3) -> list[int]:
     expire += [n for n in uncommitted if n < latest]
     for n in sorted(expire):
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/__v={n}"), True)
+    if sweep_staging:
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith(".__staging_"):
+                fs.delete(status.getPath(), True)
     return sorted(expire)
 
 

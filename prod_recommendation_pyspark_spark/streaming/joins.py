@@ -393,7 +393,19 @@ def streaming_peer_serving_published(
     swap, batches before the commit serve version N−1 and batches
     after serve N — exactly the semantics a 24/7 server wants
     (pytest-pinned: a publish landing between two micro-batches
-    flips the serving version at the boundary)."""
+    flips the serving version at the boundary).
+
+    STARTUP ORDER (round-13 advice): a non-empty batch arriving
+    BEFORE any committed version is SKIPPED with a driver-side
+    warning instead of raising inside foreachBatch — a raise would
+    kill the 24/7 query on a mere deployment-ordering hiccup, which
+    is strictly worse than dropping the pre-launch prospects (they
+    can be re-enqueued; the loop cannot un-crash).  Operationally:
+    publish the first artifact, then start the server.  Retention:
+    run ``prune_published_versions`` with ``keep >= 2`` on a base
+    under hot-swap serving — a slow in-flight batch may still be
+    reading version N's files after N+1 commits (see the prune
+    docstring)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         _resolve_probe_window,
         hybrid_topk_pruned,
@@ -411,6 +423,17 @@ def streaming_peer_serving_published(
             return
         spark = batch_df.sparkSession
         v = latest_published_version(spark, base)
+        if v <= 0:
+            import warnings
+
+            warnings.warn(
+                f"streaming_peer_serving_published: batch {batch_id} "
+                f"arrived before any committed version under {base} — "
+                "skipping it (publish the first artifact before "
+                "starting the server).",
+                stacklevel=2,
+            )
+            return
         if v != state["version"]:
             idx = read_published(spark, base, version=v)
             state["window"] = _resolve_probe_window(idx, None)

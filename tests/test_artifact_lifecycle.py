@@ -353,6 +353,62 @@ def test_versioned_publish_resolves_only_committed(spark, tmp_path):
     assert read_published(spark, base).count() == 31
 
 
+def test_publish_staging_rename_and_duplicate_insert_guard(
+    spark, tmp_path
+):
+    """Round-13 advice pins: (a) a publish never leaves its staging
+    directory behind and never interleaves with a marker-less legacy
+    wreck at the claimed version; (b) ``prune_published_versions``
+    sweeps orphaned staging dirs only when asked; (c)
+    ``rank_window_insert`` DROPS arrivals whose id already exists in
+    the index (new-ids-only precondition) instead of silently
+    double-ranking them."""
+    import os
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        rank_window_index,
+        rank_window_insert,
+    )
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        read_published,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        prune_published_versions,
+        publish_versioned,
+    )
+
+    base = str(tmp_path / "artifact")
+    publish_versioned(spark.range(5), base)
+    # legacy wreck: a marker-less __v=2 dir blocking the next claim
+    os.makedirs(os.path.join(base, "__v=2"))
+    assert publish_versioned(spark.range(7), base) == 2
+    assert read_published(spark, base).count() == 7
+    # no staging residue after successful publishes
+    assert not [d for d in os.listdir(base) if d.startswith(".__staging_")]
+    # a dead publisher's staging dir: invisible to readers, swept only
+    # under sweep_staging=True
+    os.makedirs(os.path.join(base, ".__staging_deadbeef"))
+    assert read_published(spark, base).count() == 7
+    prune_published_versions(spark, base, keep=2)
+    assert os.path.isdir(os.path.join(base, ".__staging_deadbeef"))
+    prune_published_versions(spark, base, keep=2, sweep_staging=True)
+    assert not os.path.isdir(os.path.join(base, ".__staging_deadbeef"))
+
+    # (c) duplicate-id arrivals are dropped: inserting (dups ∪ new)
+    # must equal inserting new alone, and equal the rebuild
+    _, clis, _ = _rw_fixture(spark)
+    old = clis.filter(F.col("src") % 6 != 5)
+    new = clis.filter(F.col("src") % 6 == 5)
+    dups = old.limit(3)
+    index = rank_window_index(old, "src", window=8)
+    grown = rank_window_insert(index, new.unionByName(dups), "src")
+    rebuilt = rank_window_index(clis, "src", window=8)
+    cols = ["__rid", "__lvl", "__blk", "__cpos", "__wb", "__w"]
+    key = lambda df: {tuple(r) for r in df.select(*cols).collect()}  # noqa: E731
+    assert key(grown) == key(rebuilt)
+    assert dups.count() == 3
+
+
 def test_prune_published_versions(spark, tmp_path):
     """Retention: all but the newest ``keep`` committed versions are
     dropped, crashed (uncommitted) dirs older than the newest
