@@ -167,6 +167,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if latest_round == 11
         else []
     )
+    # 5. round 13: the versioned publish moved to staging-dir +
+    #    atomic-rename claiming, and rank_window_insert gained the
+    #    duplicate-arrival anti-join — the e2e queries riding those
+    #    paths get driver re-verification the round the change lands.
+    changed_r13 = (
+        [
+            "rank_window_versioned_publish_e2e",
+            "rank_window_insert_e2e",
+            "streaming_peer_serving_replay",
+        ]
+        if latest_round == 12
+        else []
+    )
     stale_companions = [
         n
         for n in ROWS_ONLY_COMPANIONS.values()
@@ -174,7 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ]
     pinned = [
         n
-        for n in stale_companions + changed_r9 + changed_r11 + changed_r12
+        for n in stale_companions
+        + changed_r9
+        + changed_r11
+        + changed_r12
+        + changed_r13
         if n in QUERIES and n not in fresh
     ]
     pool = [
@@ -192,6 +209,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg_order = {n: i for i, n in enumerate(QUERIES)}
     pool.sort(key=lambda n: (last_pass.get(n, 0), reg_order[n]))
     ordered = fresh + pinned + pool
+    # COMPANION PAIRING (round-12 verdict #7): whenever a rows-only
+    # query lands in the driver's sample prefix, its hash-verified
+    # companion contract must land in the SAME CORRECTNESS file —
+    # otherwise the `err: "no_oracle"` row reads as a failure to
+    # anyone not cross-referencing ROWS_ONLY_COMPANIONS.  Placing the
+    # companion immediately BEFORE its twin guarantees it for any
+    # prefix window size: a window containing the twin at position i
+    # contains the companion at i-1.
+    for twin, comp in ROWS_ONLY_COMPANIONS.items():
+        if twin in ordered and comp in ordered:
+            ordered.remove(comp)
+            ordered.insert(ordered.index(twin), comp)
     return {n: QUERIES[n] for n in ordered}
 
 

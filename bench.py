@@ -164,6 +164,53 @@ def _serving_benches(spark, sf_dir: str):
     yield "serving:dedup_store_probe", dedup_serving
 
 
+#: Drift anchors (round-12 verdict #6): three headline queries whose
+#: code has been frozen for many rounds — their wall ratio vs the
+#: previous round's recording measures MACHINE drift, not code change
+#: (the sandbox's absolute speed swings ~10-15% between sessions; see
+#: BENCH.md).  drift_factor = median(current/previous) over these;
+#: read cross-round per-query deltas AGAINST it.  If an anchor's code
+#: ever changes, swap the anchor the same round.
+DRIFT_ANCHORS = [
+    "q1_pricing_summary",
+    "cosine_topk_embeddings",
+    "session_windows_events",
+]
+
+
+def _drift_factor(timings: dict[str, float]) -> tuple[float | None, dict]:
+    """Median wall ratio of the DRIFT_ANCHORS vs the newest committed
+    BENCH_r{N}.json — the mechanical haircut for cross-round
+    comparisons.  None when no prior recording exists."""
+    import glob
+    import re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, prev = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            q = rec.get("parsed", rec).get("queries", {})
+        except (OSError, ValueError, AttributeError):
+            continue
+        best_n, prev = int(m.group(1)), q
+    if not prev:
+        return None, {}
+    ratios = {
+        a: round(timings[a] / prev[a], 3)
+        for a in DRIFT_ANCHORS
+        if timings.get(a, -1) > 0 and prev.get(a, -1) > 0
+    }
+    if not ratios:
+        return None, {}
+    return round(statistics.median(ratios.values()), 3), ratios
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warmup_dir = "/root/testdata/sf0.001"
@@ -224,6 +271,7 @@ def main() -> None:
         ),
         3,
     )
+    drift, drift_anchors = _drift_factor(timings)
     print(
         json.dumps(
             {
@@ -232,6 +280,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # machine-drift haircut vs the previous round's
+                # recording (median over DRIFT_ANCHORS): divide
+                # cross-round per-query deltas by this before calling
+                # anything a regression
+                "drift_factor": drift,
+                "drift_anchors": drift_anchors,
             }
         )
     )

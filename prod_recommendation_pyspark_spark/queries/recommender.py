@@ -507,6 +507,109 @@ def als_saveload_recommend_contract(
     )
 
 
+@register(
+    "als_hitrate_contract",
+    sql="""
+    WITH u AS (SELECT CAST(c_custkey AS INT) AS userId,
+                      CAST(floor(c_custkey / 10) AS BIGINT) % 8 AS cl
+               FROM customer WHERE c_custkey <= 600),
+    i AS (SELECT CAST(p_partkey AS INT) AS itemId,
+                 CAST(floor(p_partkey / 10) AS BIGINT) % 8 AS cl
+          FROM part WHERE p_partkey <= 800),
+    inter AS (SELECT userId, itemId FROM u JOIN i USING (cl)),
+    hold AS (SELECT userId, itemId FROM (
+                 SELECT userId, itemId,
+                        row_number() OVER (PARTITION BY userId
+                            ORDER BY (itemId * userId + itemId * 131
+                                      + userId * 97) % 10007, itemId) AS rn
+                 FROM inter) WHERE rn = 1),
+    train AS (SELECT inter.userId, inter.itemId FROM inter
+              LEFT JOIN hold ON inter.userId = hold.userId
+                            AND inter.itemId = hold.itemId
+              WHERE hold.userId IS NULL)
+    SELECT (SELECT count(*) FROM hold) AS n_users,
+           (SELECT count(*) FROM hold
+             WHERE itemId IN (SELECT DISTINCT itemId FROM train))
+               AS n_scorable,
+           TRUE AS hitrate_ok
+    """,
+)
+def als_hitrate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out HIT-RATE@10 floor for the ALS model itself (round-12
+    verdict #5): ``als_recommend_topn_contract`` pins the recommend
+    plumbing's SHAPE; this pins RANKING QUALITY.  TPC-H usage is
+    collaboratively random (leave-one-out hit-rate on it is
+    indistinguishable from chance — measured 0-2%), so the eval
+    PLANTS recoverable structure: a block interaction matrix over a
+    bounded panel (users ≤ 600 × items ≤ 800, 8 user/item clusters by
+    id decade; a user interacts with every item of their cluster),
+    one hash-varied held-out item per user (the cross-term hash
+    varies the pick WITHIN a cluster, so held-out items keep training
+    signal from other users), implicit ALS on the rest, and
+    ``hitrate_at_n`` top-10 over unseen items.  A factorization that
+    recovers the planted blocks ranks the held-out item above every
+    out-cluster item; measured hit-rate 0.87 at sf0.001 (tiny panel:
+    some items are held out by every holder) and 1.00 at
+    sf0.01/sf0.1 — the contract floor is ≥ 0.6.
+
+    Hash-green columns: ``n_users`` and ``n_scorable`` (holdouts
+    whose item retains train signal) are pure set logic DuckDB
+    replays; ``hitrate_ok`` pins the model-dependent metric as a
+    boolean floor (same protocol as ``als_grid_search_rmse``).
+
+    Scale: the panel is id-bounded, so the contract costs the same at
+    every sf; the eval operator's |users|·|items| scoring is the
+    documented eval-panel contract, not a serving path."""
+    from prod_recommendation_pyspark_spark.recommender.als import hitrate_at_n
+
+    cat = Catalog(spark, sf_dir)
+    n_clusters = 8
+    users = (
+        cat.table("customer")
+        .filter(F.col("c_custkey") <= 600)
+        .select(
+            F.col("c_custkey").cast("int").alias("userId"),
+            (F.floor(F.col("c_custkey") / 10) % n_clusters).alias("cl"),
+        )
+    )
+    items = (
+        cat.table("part")
+        .filter(F.col("p_partkey") <= 800)
+        .select(
+            F.col("p_partkey").cast("int").alias("itemId"),
+            (F.floor(F.col("p_partkey") / 10) % n_clusters).alias("cl"),
+        )
+    )
+    inter = users.join(items, "cl").select("userId", "itemId")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("userId").orderBy(
+        (
+            F.col("itemId") * F.col("userId")
+            + F.col("itemId") * 131
+            + F.col("userId") * 97
+        )
+        % 10007,
+        F.col("itemId"),
+    )
+    holdout = (
+        inter.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("userId", "itemId")
+    )
+    train = inter.join(holdout, ["userId", "itemId"], "left_anti").persist()
+    model = train_als(train.withColumn("rating", F.lit(1.0)), ALSConfig())
+    hits, n_users = hitrate_at_n(model, train, holdout, n=10)
+    n_scorable = holdout.join(
+        train.select("itemId").distinct(), "itemId", "left_semi"
+    ).count()
+    train.unpersist()
+    return spark.createDataFrame(
+        [(n_users, n_scorable, bool(hits / max(n_users, 1) >= 0.6))],
+        "n_users long, n_scorable long, hitrate_ok boolean",
+    )
+
+
 # --- Deterministic negative sampling -------------------------------------------
 @register(
     "negative_sampling_ratings",

@@ -10,6 +10,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: Documented NEGATIVE RESULTS (round-12 verdict #3): queries kept
+#: runnable + value-oracled for replay, but EXCLUDED from the driver
+#: registry and the per-round sweeps — each is a measured dead end
+#: whose lesson is recorded (docstring + SCALE.md), not a production
+#: path, and re-verifying it every round buys nothing at real sweep
+#: cost.  Replay manually:
+#:   from prod_recommendation_pyspark_spark.queries.registry import (
+#:       NEGATIVE_RESULTS, NEGATIVE_ORACLES)
+NEGATIVE_RESULTS: dict[str, QueryFn] = {}
+NEGATIVE_ORACLES: dict[str, str] = {}
+
 
 def release_session_caches(spark: SparkSession) -> None:
     """Drop every DataFrame cache this session holds.
@@ -30,10 +41,12 @@ def release_session_caches(spark: SparkSession) -> None:
     spark.catalog.clearCache()
 
 
-def register(name: str, sql: str | None = None):
+def register(name: str, sql: str | None = None, negative_result: bool = False):
     """Register a query; ``sql`` is the DuckDB oracle (omit for
     non-SQL-expressible operators — the driver then records a weaker
-    rows-only check).
+    rows-only check).  ``negative_result=True`` files the query under
+    ``NEGATIVE_RESULTS`` instead of the driver registry — see that
+    dict's docstring.
 
     The registered callable is wrapped to call
     ``release_session_caches`` on entry — see that function's
@@ -48,9 +61,14 @@ def register(name: str, sql: str | None = None):
             release_session_caches(spark)
             return fn(spark, sf_dir)
 
-        QUERIES[name] = wrapped
+        q, o = (
+            (NEGATIVE_RESULTS, NEGATIVE_ORACLES)
+            if negative_result
+            else (QUERIES, ORACLES)
+        )
+        q[name] = wrapped
         if sql is not None:
-            ORACLES[name] = sql
+            o[name] = sql
         # return the UNwrapped fn: direct imports (tests, composition)
         # keep plain semantics; only registry-dispatched runs clear
         return fn

@@ -1060,6 +1060,7 @@ def _pruned_spark(spark: SparkSession, sf_dir: str):
     FROM pruned_ranked WHERE rn <= 15
     ORDER BY tgt_custkey, src_custkey
     """,
+    negative_result=True,
 )
 def peer_search_hybrid_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-1 peer search via the round-7 block/bucket prune:
@@ -1070,16 +1071,20 @@ def peer_search_hybrid_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     at sf0.1: 2.87M candidates of 20.25M possible (7× prune) at
     recall 1.0000.
 
-    KEPT AS A DOCUMENTED NEGATIVE RESULT for scale (round 9): both
-    arms are constant-factor prunes (the full 4-digit block product
-    is pairs/10 on this data; fixed 64 buckets are 3·pairs/64), so
+    A DOCUMENTED NEGATIVE RESULT for scale (round 9), DEREGISTERED
+    from the driver registry in round 13 (verdict #3): both arms are
+    constant-factor prunes (the full 4-digit block product is
+    pairs/10 on this data; fixed 64 buckets are 3·pairs/64), so
     candidate volume stays QUADRATIC — measured at sf1 it ran 672s
-    vs the exact kernel's ~170-205s.  The production path is
+    vs the exact kernel's ~170-205s, and re-sweeping it every round
+    cost 6.6s for a lesson already on file.  The production path is
     ``peer_search_rank_window_topk`` (linear candidates; 22.7s at sf1
-    at recall 1.0000 — SCALE.md round-9 appendix).  Value-oracled
-    end-to-end (the SQL replicates splits, bucketing, and scoring
-    bit-for-bit); ``peer_search_pruned_recall`` quantifies recall vs
-    the exact kernel."""
+    at recall 1.0000 — SCALE.md round-9 appendix).  Still
+    value-oracled end-to-end for manual replay via
+    ``registry.NEGATIVE_RESULTS`` (the SQL replicates splits,
+    bucketing, and scoring bit-for-bit, driver-green r10-r12);
+    ``peer_search_pruned_recall`` remains registered and quantifies
+    the prune's recall vs the exact kernel every sweep."""
     return (
         _pruned_spark(spark, sf_dir)
         .select("tgt_custkey", "src_custkey", F.round("score", 4).alias("score"))

@@ -164,6 +164,61 @@ def load_model(path: str) -> ALSModel:
     return ALSModel.load(path)
 
 
+def hitrate_at_n(
+    model: ALSModel,
+    train: DataFrame,
+    holdout: DataFrame,
+    n: int = 10,
+) -> tuple[int, int]:
+    """Held-out HIT-RATE@N of a trained factorization — the ranking
+    eval a recommender ships with beside RMSE (``evaluate_rmse``
+    scores predicted VALUES; this scores whether the held-out item
+    surfaces in the top-N the user would actually see).  ``train`` /
+    ``holdout``: (userId, itemId) int frames; returns
+    ``(hits, n_users)``.
+
+    Seen items are EXCLUDED from each user's candidate ranking (the
+    standard leave-one-out protocol): candidates are scored as the
+    factor dot product over (model users × model items) minus the
+    train pairs, top-N per user by (score desc, itemId).
+    ``recommendForAllUsers`` cannot express the exclusion, so this
+    scores the factor frames directly — one broadcast of the item
+    factors (rank·|items| floats) against the user-factor frame, the
+    same join geometry as the serving path.
+
+    Scale: |users|·|items| dot products — an EVAL operator for a
+    bounded holdout panel (cap users/items upstream), not a serving
+    path; the registered contract bounds both sides by key."""
+    uf = model.userFactors.select(
+        F.col("id").alias("userId"), F.col("features").alias("__uf")
+    )
+    itf = model.itemFactors.select(
+        F.col("id").alias("itemId"), F.col("features").alias("__if")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "__uf", "__if", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        uf.crossJoin(F.broadcast(itf))
+        .join(train, ["userId", "itemId"], "left_anti")
+        .select("userId", "itemId", dot.alias("__s"))
+    )
+    from prod_recommendation_pyspark_spark.operators.relational import (
+        windowed_topk,
+    )
+
+    top = windowed_topk(
+        scored, "userId", [F.col("__s").desc(), F.col("itemId")], n
+    )
+    hits = top.join(holdout, ["userId", "itemId"], "inner").count()
+    n_users = holdout.count()
+    return hits, n_users
+
+
 def recommend_topn(
     model: ALSModel,
     n: int,
