@@ -51,6 +51,7 @@ from prod_recommendation_pyspark_spark.operators.similarity import (
     _probe_geometry,
     _replicate_grid,
     hyperplane_signature,
+    ivf_assign,
     probe_dim,
     random_hyperplane_tables,
 )
@@ -843,16 +844,21 @@ def _arm_clients(
     vec_col: str,
     naics_col: str,
     code_len: int,
+    key_expr=None,
 ) -> DataFrame:
     """Clients exploded to their arms: malformed codes go ONLY to the
     lvl −1 sentinel arm; well-formed codes to lvl 0 (global) + every
-    p-prefix arm."""
+    p-prefix arm.  ``key_expr`` (a Column aliased ``__v1n``) overrides
+    the 2-D angle proxy as the within-arm sort key — the
+    projection-window generalization (round 13)."""
     wf_lvls = F.array(*[F.lit(i) for i in range(code_len + 1)])
     mal_lvls = F.array(F.lit(-1))
     malformed = _malformed_expr(naics_col, code_len)
     return (
         right.select(
-            F.col(right_id).alias("__id"), _v1n_expr(vec_col), F.col(naics_col)
+            F.col(right_id).alias("__id"),
+            key_expr if key_expr is not None else _v1n_expr(vec_col),
+            F.col(naics_col),
         )
         .select(
             "__id",
@@ -878,6 +884,7 @@ def _arm_prospects(
     vec_col: str,
     naics_col: str,
     code_len: int,
+    key_expr=None,
 ) -> DataFrame:
     """Prospects probe EVERY arm (a malformed prospect's lvl>=1 probes
     carry junk/NULL prefixes — NULL keys drop from the equi-join, junk
@@ -886,7 +893,9 @@ def _arm_prospects(
     all_lvls = F.array(*[F.lit(i) for i in range(-1, code_len + 1)])
     return (
         left.select(
-            F.col(left_id).alias("__id"), _v1n_expr(vec_col), F.col(naics_col)
+            F.col(left_id).alias("__id"),
+            key_expr if key_expr is not None else _v1n_expr(vec_col),
+            F.col(naics_col),
         )
         .select(
             "__id", "__v1n", naics_col, F.explode(all_lvls).alias("__lvl")
@@ -1453,6 +1462,187 @@ def rank_window_insert(
         F.col("__pos").alias("__cpos"),
         F.floor((F.col("__pos") - 1) / w).alias("__wb"),
         F.lit(int(w)).alias("__w"),
+    )
+
+
+def projection_window_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    direction: list[float],
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    window: int = 256,
+    code_len: int = CODE_LEN,
+) -> DataFrame:
+    """The rank-window candidate generator at ANY dimension: sort
+    each NAICS-level arm by the vectors' PROJECTION onto a fixed
+    ``direction`` instead of the 2-D angle proxy, and fetch each
+    prospect's ±window sorted neighborhood — same distributed-rank /
+    window-fetch machinery (``_distributed_rank``, ``_window_fetch``),
+    same linear O(|L|·levels·2·window) candidate volume.
+
+    In 2-D non-negative space the angle order makes this EXACT; at
+    higher dims a single projection is lossy (two vectors can share a
+    projection while differing in the complement), so this arm is an
+    APPROXIMATE candidate source whose recall is measured, and the
+    production full-dim query UNIONS it with ``ivf_block_candidates``
+    — complementary failure modes: the projection window owns the
+    along-manifold neighbors that sampled-centroid IVF mis-buckets on
+    concentrated all-positive geometries (measured round 13: IVF
+    alone plateaued at ~0.998 recall at sf0.1 — boundary clients'
+    lists rank ~29/33 in the prospect's centroid order — while the
+    union reaches 1.0), and IVF owns pairs split across the
+    projection's level sets.
+
+    ``direction`` must be FIXED LITERALS (e.g. the reference's
+    feature-weight profile, search_ranking_peers.py:442,608-611) so
+    the projection is per-row deterministic and the SQL oracle
+    replays it bit-for-bit — a data-derived direction (corpus mean /
+    top principal axis) would ride a nondeterministically-ordered
+    aggregation and flip ULP ties across engines."""
+    proj = F.element_at(F.col(vec_col), 1).cast("double") * float(direction[0])
+    for i, w in enumerate(direction[1:], start=2):
+        proj = proj + F.element_at(F.col(vec_col), i).cast("double") * float(w)
+    key = proj.alias("__v1n")
+    cli = _arm_clients(right, right_id, vec_col, naics_col, code_len, key_expr=key)
+    pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len, key_expr=key)
+    ranked = _distributed_rank(cli.unionByName(pro), left.sparkSession)
+    clis_pos = ranked.filter(F.col("__isc") == 1).select(
+        F.col("__id").alias("__rid"),
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__cpos"),
+        F.floor((F.col("__pos") - 1) / window).alias("__wb"),
+    )
+    pros_ins = ranked.filter(F.col("__isc") == 0).select(
+        F.col("__id").alias("__tid"),
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__ins"),
+    )
+    return _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
+
+
+def ivf_block_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    centroids: DataFrame,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    n_probe: int = 8,
+    assign_probe: int = 1,
+    code_len: int = CODE_LEN,
+) -> DataFrame:
+    """BLOCK-AWARE multi-probe IVF candidates for the hybrid peer
+    search at ANY vector dimension — the round-13 generalization of
+    the 2-D ``rank_window_candidates`` (which is exact but relies on
+    the angle order that only exists in 2-D; hybrid.py raises on
+    dim≠2 there).  Returns candidate ``(left_id, right_id)`` pairs
+    for ``hybrid_topk_pruned(candidates=...)`` exact re-ranking.
+
+    Why per-LEVEL probing: the hybrid score
+    ``w_cos·cos + w_hops·hops + w_havs·havs``
+    (search_ranking_peers.py:310-312) is cosine-monotone WITHIN a
+    NAICS prefix level (hops constant there, w_havs ≈ 0), so the true
+    top-k decomposes into per-level cosine top-k's — the same
+    decomposition the rank-window index uses.  A purely global probe
+    would miss high-hops pairs whose cosine rank is deep; per level,
+    each prospect probes its ``n_probe`` nearest lists AMONG THE
+    LISTS ITS BLOCK OCCUPIES, so small deep blocks are probed as
+    densely as the global arm.
+
+    Plan shape (fully declarative, SQL-replayable):
+    1. clients → single nearest list (``ivf_assign`` n_probe=1 — the
+       nightly IVF artifact's assignment) and 7 slim arm rows
+       (level, prefix, list, id);
+    2. prospects → cosine vs the BROADCAST centroid table (|L|·nlist
+       slim rows — the assignment pass every IVF build already pays);
+    3. per (prospect, level): rank the block-occupied lists by the
+       prospect's centroid cosine, keep ``n_probe``;
+    4. equi-join arms on (level, prefix, list) → distinct pairs.
+
+    Scale: candidates ≈ |L|·levels·n_probe·(N/nlist) ≈
+    |L|·levels·n_probe·√N at the ``ivf_auto_centroids`` density —
+    SUB-quadratic (the exact kernel is |L|·N) with n_probe the
+    recall knob; every join is a bounded-key equi-join, the only
+    broadcast is the √N-row centroid table, and the arm/score frames
+    are slim (no vectors travel past step 2).  Recall is measured by
+    ``peer_search_fulldim_recall`` (1.0 at every tested sf — see
+    SCALE.md round-13)."""
+    arms = lambda df, id_col: df.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lv).alias("__lvl"),
+                        (
+                            F.lit("")
+                            if lv == 0
+                            else F.substring(F.col(naics_col), 1, lv)
+                        ).alias("__blk"),
+                    )
+                    for lv in range(0, code_len + 1)
+                ]
+            )
+        ).alias("__a"),
+    ).select(
+        id_col,
+        F.col("__a.__lvl").alias("__lvl"),
+        F.col("__a.__blk").alias("__blk"),
+    )
+    # ``assign_probe`` > 1 = client MULTI-ASSIGNMENT (each client rides
+    # its k nearest lists): the standard boundary-recall fix — a client
+    # sitting on a Voronoi edge is reachable from either side's probes
+    # — at < assign_probe× candidate volume (only boundary fetches
+    # duplicate, and the pair set dedups)
+    r_assign = ivf_assign(
+        right.select(F.col(right_id), F.col(vec_col).alias("__v")),
+        right_id,
+        "__v",
+        centroids,
+        n_probe=assign_probe,
+        list_col="__list",
+    )
+    carm = arms(right, right_id).join(r_assign, right_id)
+    block_lists = carm.select("__lvl", "__blk", "__list").distinct()
+    # prospect × centroid cosine — same formulation as ivf_assign's
+    # HOF path (dot / (|q|·|c|)), so the oracle replays it term for
+    # term with the identical left-assoc folds
+    q = left.select(
+        F.col(left_id), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    c = centroids.select(
+        F.col("centroid_id").alias("__list"),
+        F.col("vec").cast("array<double>").alias("__cv"),
+    )
+    qn = F.sqrt(F.aggregate("__qv", F.lit(0.0), lambda a, x: a + x * x))
+    cn = F.sqrt(F.aggregate("__cv", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scores = q.crossJoin(F.broadcast(c)).select(
+        left_id, "__list", (dot / (qn * cn)).alias("__csim")
+    )
+    probe_pool = arms(left, left_id).join(block_lists, ["__lvl", "__blk"]).join(
+        scores, [left_id, "__list"]
+    )
+    probed = windowed_topk(
+        probe_pool,
+        [left_id, "__lvl"],
+        [F.col("__csim").desc(), F.col("__list")],
+        n_probe,
+    ).select(left_id, "__lvl", "__blk", "__list")
+    return (
+        probed.join(carm, ["__lvl", "__blk", "__list"])
+        .select(left_id, right_id)
+        .distinct()
     )
 
 

@@ -2989,3 +2989,524 @@ def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL-DIMENSION peer search (round 13, verdict #1): the reference's real
+# feature recipe (search_ranking_peers.py:442,450-455,608-611 — w_rev-weighted
+# log revenue + 3 numerics + OHE divisions = 9 dims) through a LINEAR/
+# sub-quadratic candidate generator (block-aware multi-probe IVF) and the
+# exact hybrid re-rank.  This retires the one scale constraint the 2-D
+# rank-window path carried (exact only for dim=2).
+# ---------------------------------------------------------------------------
+
+_FD_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_FD_DIM = 4 + len(_FD_SEGS)  # 9 — w_rev + 3 numerics + OHE(mktsegment)
+#: probes per (prospect, level) for the IVF arm.  Measured recall vs
+#: the exact kernel (SCALE.md round-13): n_probe 8 → 0.9387, 12 →
+#: 0.9991, 16 → 1.0000 at sf0.01; at sf0.1 the IVF arm PLATEAUS
+#: (16 → 0.9977, 32 → 0.9989, 16 w/ assign_probe=2 → 0.9977) — the
+#: concentrated all-positive geometry mis-buckets boundary clients —
+#: which is why the PRODUCTION full-dim query rides the projection
+#: window (recall 1.0000 at 13× prune); the IVF query ships as the
+#: approximate-serving variant, like the ANN ivf queries.
+_FD_NPROBE = 16
+_FD_W_REV = 0.80  # search_ranking_peers.py:608-611
+_FD_W_JPMC = 0.05
+_FD_W_NUM = (1.0 - _FD_W_REV - _FD_W_JPMC) / 3.0  # :442
+
+
+def _firmographics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference feature recipe on the customer stand-in
+    (FIXTURES.md B1): log10-floored revenue, three numerics, and the
+    division OHE — min-max scaled, reference-weighted (w_rev=0.80,
+    w_num=(1-w_rev-w_jpmc)/3, w_jpmc=0.05), assembled to a 9-dim
+    vector and L2-normalized, with the same naics/lat/lon derivation
+    as ``_firmographics``.  Built from the operator library (M5-M8)
+    so the registered full-dim queries exercise the same code path a
+    reference user would compose."""
+    from prod_recommendation_pyspark_spark.features.encode import one_hot
+    from prod_recommendation_pyspark_spark.features.scaling import (
+        log10_floor,
+        min_max_scale,
+    )
+
+    cust = Catalog(spark, sf_dir).table("customer")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").cast("double").alias("annual_revenue"),
+        (F.col("c_custkey") % 53).cast("double").alias("company_age"),
+        ((F.col("c_custkey") * 7) % 211).cast("double").alias("employees"),
+        (F.col("c_custkey") % 2).cast("double").alias("public_flag"),
+        F.concat(
+            F.lit("52"),
+            F.lpad((F.col("c_custkey") % 1000).cast("string"), 4, "0"),
+        ).alias("naics"),
+        ((F.col("c_custkey") % 120) - 60 + 0.25).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 300) - 150 + 0.25).cast("double").alias("lon"),
+    )
+    base = log10_floor(base, "annual_revenue", "rev_log")
+    base = min_max_scale(
+        base, ["rev_log", "company_age", "employees", "public_flag"],
+        suffix="_s",
+    )
+    base = one_hot(base, "c_mktsegment", _FD_SEGS, prefix="jd", weight=_FD_W_JPMC)
+    vec = F.array(
+        F.col("rev_log_s") * _FD_W_REV,
+        F.col("company_age_s") * _FD_W_NUM,
+        F.col("employees_s") * _FD_W_NUM,
+        F.col("public_flag_s") * _FD_W_NUM,
+        *[F.col(f"jd_{v}") for v in _FD_SEGS],
+    )
+    return l2_normalize(base.withColumn("raw_vec", vec), "raw_vec", "vec")
+
+
+def _fd_firmo_sql() -> str:
+    """CTE chain replaying ``_firmographics_full`` term for term:
+    ``fnormed(c_custkey, naics, lat, lon, v1..v9)``.  Same IEEE
+    left-assoc fold order as the Spark expressions (established
+    bit-parity protocol of ``_FIRMO_SQL``)."""
+    scale = (
+        "CASE WHEN {mx} = {mn} THEN 0.0 "
+        "ELSE ({x} - {mn}) / ({mx} - {mn}) END"
+    )
+    fs = [
+        scale.format(x="rev_log", mn="mn_rev", mx="mx_rev")
+        + f" * CAST({_FD_W_REV!r} AS DOUBLE)",
+        scale.format(x="company_age", mn="mn_age", mx="mx_age")
+        + f" * CAST({_FD_W_NUM!r} AS DOUBLE)",
+        scale.format(x="employees", mn="mn_emp", mx="mx_emp")
+        + f" * CAST({_FD_W_NUM!r} AS DOUBLE)",
+        scale.format(x="public_flag", mn="mn_pub", mx="mx_pub")
+        + f" * CAST({_FD_W_NUM!r} AS DOUBLE)",
+    ] + [
+        f"(CASE WHEN c_mktsegment = '{v}' THEN 1.0 ELSE 0.0 END)"
+        f" * CAST({_FD_W_JPMC!r} AS DOUBLE)"
+        for v in _FD_SEGS
+    ]
+    f_cols = ",\n               ".join(
+        f"{e} AS f{i + 1}" for i, e in enumerate(fs)
+    )
+    sumsq = " + ".join(f"f{i} * f{i}" for i in range(1, _FD_DIM + 1))
+    v_cols = ",\n               ".join(
+        f"CASE WHEN nrm = 0 THEN f{i} ELSE f{i} / nrm END AS v{i}"
+        for i in range(1, _FD_DIM + 1)
+    )
+    return f"""
+    fbase AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(c_acctbal AS DOUBLE) AS annual_revenue,
+               CAST(c_custkey % 53 AS DOUBLE) AS company_age,
+               CAST((c_custkey * 7) % 211 AS DOUBLE) AS employees,
+               CAST(c_custkey % 2 AS DOUBLE) AS public_flag,
+               '52' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 4, '0') AS naics,
+               CAST((c_custkey % 120) - 60 + 0.25 AS DOUBLE) AS lat,
+               CAST(((c_custkey * 7) % 300) - 150 + 0.25 AS DOUBLE) AS lon
+        FROM customer),
+    flogged AS (
+        SELECT *, log10(CASE WHEN annual_revenue IS NULL
+                              OR annual_revenue <= 0
+                             THEN 1.0 ELSE annual_revenue END) AS rev_log
+        FROM fbase),
+    fstats AS (SELECT min(rev_log) mn_rev, max(rev_log) mx_rev,
+                      min(company_age) mn_age, max(company_age) mx_age,
+                      min(employees) mn_emp, max(employees) mx_emp,
+                      min(public_flag) mn_pub, max(public_flag) mx_pub
+               FROM flogged),
+    ffeat AS (
+        SELECT c_custkey, naics, lat, lon,
+               {f_cols}
+        FROM flogged, fstats),
+    fnorm AS (SELECT *, sqrt({sumsq}) AS nrm FROM ffeat),
+    fnormed AS (
+        SELECT c_custkey, naics, lat, lon,
+               {v_cols}
+        FROM fnorm)
+"""
+
+
+def _fd_vdot(a: str, b: str, bpfx: str = "v") -> str:
+    """Left-assoc 9-term dot — the HOF fold / unrolled-codegen order."""
+    return " + ".join(
+        f"{a}.v{i} * {b}.{bpfx}{i}" for i in range(1, _FD_DIM + 1)
+    )
+
+
+def _fd_sumsq(a: str, pfx: str = "v") -> str:
+    return " + ".join(
+        f"{a}.{pfx}{i} * {a}.{pfx}{i}" for i in range(1, _FD_DIM + 1)
+    )
+
+
+def _fd_cand_cte() -> str:
+    """Candidate CTEs replaying ``hybrid.ivf_block_candidates`` +
+    ``ivf_auto_centroids`` on the full-dim sides: derived centroid
+    modulus, client argmax-cosine assignment, per-(prospect, level)
+    probing of the block-occupied lists, arm equi-join."""
+    cent_cols = ", ".join(f"v{i} AS c{i}" for i in range(1, _FD_DIM + 1))
+    ccsim = (
+        f"({_fd_vdot('x', 'ct', 'c')})"
+        f" / (sqrt({_fd_sumsq('x')}) * sqrt({_fd_sumsq('ct', 'c')}))"
+    )
+    return f"""
+    fpros AS (SELECT * FROM fnormed WHERE c_custkey % 10 = 0),
+    fclis AS (SELECT * FROM fnormed WHERE c_custkey % 10 <> 0),
+    fmod AS (SELECT greatest(1, count(*) // greatest(1,
+                 CAST(ceil(sqrt(count(*))) AS BIGINT))) AS m FROM fclis),
+    fcent AS (SELECT c_custkey AS list, {cent_cols} FROM fclis
+              WHERE c_custkey % (SELECT m FROM fmod) = 0),
+    fcassign AS (
+        SELECT cid, list FROM (
+            SELECT x.c_custkey AS cid, ct.list,
+                   row_number() OVER (
+                       PARTITION BY x.c_custkey
+                       ORDER BY {ccsim} DESC, ct.list) AS rn
+            FROM fclis x CROSS JOIN fcent ct)
+        WHERE rn <= 1),
+    flvls AS (SELECT unnest(range(0, 7)) AS lvl),
+    fcarm AS (
+        SELECT a.cid, l.lvl,
+               CASE WHEN l.lvl = 0 THEN ''
+                    ELSE substring(c.naics, 1, CAST(l.lvl AS INT)) END AS blk,
+               a.list
+        FROM fclis c JOIN fcassign a ON c.c_custkey = a.cid
+        CROSS JOIN flvls l),
+    fblists AS (SELECT DISTINCT lvl, blk, list FROM fcarm),
+    fqscore AS (
+        SELECT x.c_custkey AS pid, ct.list, {ccsim} AS csim
+        FROM fpros x CROSS JOIN fcent ct),
+    fparm AS (
+        SELECT p.c_custkey AS pid, l.lvl,
+               CASE WHEN l.lvl = 0 THEN ''
+                    ELSE substring(p.naics, 1, CAST(l.lvl AS INT)) END AS blk
+        FROM fpros p CROSS JOIN flvls l),
+    fprobed AS (
+        SELECT pid, lvl, blk, list FROM (
+            SELECT pa.pid, pa.lvl, pa.blk, bl.list, qs.csim,
+                   row_number() OVER (
+                       PARTITION BY pa.pid, pa.lvl
+                       ORDER BY qs.csim DESC, bl.list) AS rn
+            FROM fparm pa
+            JOIN fblists bl ON pa.lvl = bl.lvl AND pa.blk = bl.blk
+            JOIN fqscore qs ON qs.pid = pa.pid AND qs.list = bl.list)
+        WHERE rn <= {_FD_NPROBE}),
+    fcand AS (
+        SELECT DISTINCT pr.pid AS tgt, ca.cid AS src
+        FROM fprobed pr
+        JOIN fcarm ca ON pr.lvl = ca.lvl AND pr.blk = ca.blk
+                     AND pr.list = ca.list)
+"""
+
+
+def _fd_hybrid_score(l: str = "l", r: str = "r") -> str:
+    return (
+        f"CAST(0.6 AS DOUBLE) * ({_fd_vdot(l, r)})\n"
+        f"               + CAST(0.399 AS DOUBLE) * ({_HOPS_SQL})\n"
+        f"               + CAST(0.001 AS DOUBLE) * ({_HAVS_SQL})"
+    )
+
+
+def _fd_sides(spark: SparkSession, sf_dir: str):
+    firmo = _firmographics_full(spark, sf_dir)
+    prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
+    )
+    clients = firmo.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("src_custkey"), "vec", "naics", "lat", "lon"
+    )
+    return prospects, clients
+
+
+#: Projection direction for the general-dim window arm: the
+#: reference's FEATURE-WEIGHT PROFILE (search_ranking_peers.py:442,
+#: 608-611) — fixed literals, so the projection is per-row
+#: deterministic and bit-replayable in SQL (a data-derived mean/PCA
+#: direction would ride nondeterministically-ordered aggregation).
+_FD_DIRECTION = [_FD_W_REV, _FD_W_NUM, _FD_W_NUM, _FD_W_NUM] + [
+    _FD_W_JPMC
+] * len(_FD_SEGS)
+_FD_WINDOW = 256  # the rank-window production floor, re-measured at 9-D
+
+
+def _fd_win_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        projection_window_candidates,
+    )
+
+    prospects, clients = _fd_sides(spark, sf_dir)
+    cand = projection_window_candidates(
+        prospects, clients, "tgt_custkey", "src_custkey",
+        _FD_DIRECTION, vec_col="vec", naics_col="naics",
+        window=_FD_WINDOW,
+    )
+    return hybrid_topk_pruned(
+        prospects, clients, "tgt_custkey", "src_custkey",
+        vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+        candidates=cand, dim=_FD_DIM,
+    )
+
+
+def _fd_proj_sql(alias: str) -> str:
+    terms = " + ".join(
+        f"{alias}.v{i + 1} * CAST({w!r} AS DOUBLE)"
+        for i, w in enumerate(_FD_DIRECTION)
+    )
+    return f"({terms})"
+
+
+def _fd_win_cte() -> str:
+    """ANSI replay of ``projection_window_candidates``: per level,
+    clients ranked by (projection, id); each prospect's insertion
+    point is the count of clients strictly before it; candidates are
+    the ±window sorted neighborhood — the ``_rank_cte`` pattern with
+    the 2-D angle proxy swapped for the 9-term weight-profile
+    projection."""
+    w = _FD_WINDOW
+    return f"""
+    fpros AS (SELECT *, {_fd_proj_sql('fnormed')} AS proj FROM fnormed
+              WHERE c_custkey % 10 = 0),
+    fclis AS (SELECT *, {_fd_proj_sql('fnormed')} AS proj FROM fnormed
+              WHERE c_custkey % 10 <> 0),
+    flvls AS (SELECT unnest(range(0, 7)) AS lvl),
+    fcpos AS (SELECT l.lvl,
+                     CASE WHEN l.lvl = 0 THEN ''
+                          ELSE substring(c.naics, 1, CAST(l.lvl AS INTEGER))
+                     END AS blk,
+                     c.c_custkey, c.proj,
+                     row_number() OVER (
+                         PARTITION BY l.lvl,
+                             CASE WHEN l.lvl = 0 THEN ''
+                                  ELSE substring(c.naics, 1, CAST(l.lvl AS INTEGER))
+                             END
+                         ORDER BY c.proj, c.c_custkey) AS pos
+              FROM fclis c CROSS JOIN flvls l),
+    fpins AS (SELECT l.lvl,
+                     CASE WHEN l.lvl = 0 THEN ''
+                          ELSE substring(p.naics, 1, CAST(l.lvl AS INTEGER))
+                     END AS blk,
+                     p.c_custkey, p.proj,
+                     (SELECT count(*) FROM fclis c
+                       WHERE (l.lvl = 0 OR substring(c.naics, 1, CAST(l.lvl AS INTEGER))
+                                           = substring(p.naics, 1, CAST(l.lvl AS INTEGER)))
+                         AND (c.proj < p.proj
+                              OR (c.proj = p.proj AND c.c_custkey < p.c_custkey))
+                     ) AS ins
+              FROM fpros p CROSS JOIN flvls l),
+    fcand AS (SELECT DISTINCT p.c_custkey AS tgt, c.c_custkey AS src
+              FROM fpins p JOIN fcpos c ON p.lvl = c.lvl AND p.blk = c.blk
+               AND c.pos BETWEEN p.ins - {w - 1} AND p.ins + {w})
+"""
+
+
+def _fd_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        ivf_block_candidates,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+    )
+
+    prospects, clients = _fd_sides(spark, sf_dir)
+    # the candidate pass touches the client frame three times
+    # (assignment, arms, centroid sample) and the re-rank once more —
+    # persist the slim feature frame instead of re-deriving the
+    # scaled/normalized plan per branch
+    clients = clients.persist()
+    centroids = ivf_auto_centroids(clients, "src_custkey", "vec")
+    cand = ivf_block_candidates(
+        prospects, clients, "tgt_custkey", "src_custkey",
+        centroids, vec_col="vec", naics_col="naics",
+        n_probe=_FD_NPROBE,
+    )
+    return hybrid_topk_pruned(
+        prospects, clients, "tgt_custkey", "src_custkey",
+        vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+        candidates=cand, dim=_FD_DIM,
+    )
+
+
+@register(
+    "peer_search_fulldim_ivf_topk",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    {_fd_cand_cte()},
+    fscored AS (
+        SELECT fcand.tgt AS tgt_custkey, fcand.src AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fcand JOIN fnormed l ON fcand.tgt = l.c_custkey
+                   JOIN fnormed r ON fcand.src = r.c_custkey),
+    franked AS (
+        SELECT tgt_custkey, src_custkey, score,
+               row_number() OVER (PARTITION BY tgt_custkey
+                                  ORDER BY score DESC, src_custkey) AS rn
+        FROM fscored WHERE score >= 0.0)
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM franked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def peer_search_fulldim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-dim peer search, IVF ARM (round-13): the FULL
+    reference feature vector (9 dims — w_rev-weighted log revenue +
+    3 numerics + division OHE, search_ranking_peers.py:442,450-455)
+    through ``ivf_block_candidates`` (per-NAICS-level multi-probe
+    IVF, sub-quadratic: |L|·levels·n_probe·√N candidate pairs at the
+    derived centroid density) and the exact unrolled-codegen hybrid
+    re-rank (``hybrid_topk_pruned(dim=9)``).
+
+    This is the APPROXIMATE-serving variant (like
+    ``ann_ivf_topk_embeddings``): its own output is deterministic and
+    fully value-oracled — the DuckDB twin re-derives the centroid
+    modulus, the argmax assignment, the per-(prospect, level) block
+    probing, the candidate set, and the 9-term hybrid score bit for
+    bit — but its recall vs the exact kernel plateaus at ~0.998 on
+    this concentrated geometry (see the ``_FD_NPROBE`` note).  The
+    exact-recall PRODUCTION path is ``peer_search_fulldim_topk``
+    (projection window); the two arms union when a deployment's
+    geometry defeats one of them."""
+    return (
+        _fd_ivf_spark(spark, sf_dir)
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "peer_search_fulldim_topk",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    {_fd_win_cte()},
+    fscored AS (
+        SELECT fcand.tgt AS tgt_custkey, fcand.src AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fcand JOIN fnormed l ON fcand.tgt = l.c_custkey
+                   JOIN fnormed r ON fcand.src = r.c_custkey),
+    franked AS (
+        SELECT tgt_custkey, src_custkey, score,
+               row_number() OVER (PARTITION BY tgt_custkey
+                                  ORDER BY score DESC, src_custkey) AS rn
+        FROM fscored WHERE score >= 0.0)
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM franked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def peer_search_fulldim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE general-dim PRODUCTION peer search (round-13 verdict #1's
+    'Done' query): the FULL 9-dim reference feature vector through
+    ``projection_window_candidates`` — the rank-window generalization
+    that sorts each NAICS-level arm by the vectors' projection onto
+    the reference's weight profile instead of the 2-D angle — and the
+    exact unrolled-codegen hybrid re-rank.
+
+    Why this beats the IVF arm on this feature geometry (measured,
+    SCALE.md round-13): the recipe's vectors are all-positive with a
+    dominant w_rev dimension, so cosine concentrates and
+    sampled-centroid Voronoi cells interleave along a ~1-D manifold —
+    IVF probing plateaued at recall 0.9977 at sf0.1 (missed pairs had
+    cos ≥ 0.989 to the prospect while their list ranked 29/33 in the
+    prospect's centroid order), while the ±256 projection window
+    reads recall 1.0000 at 13× prune (1.54M of 20.25M pairs, sf0.1).
+    Candidates stay LINEAR in the prospect count
+    (levels·|L|·2·window, corpus-independent) — same asymptotics as
+    the 2-D production path.  Both arms compose (union) when a
+    deployment's geometry defeats one of them; the IVF arm ships as
+    ``peer_search_fulldim_ivf_topk``.
+
+    Value-oracled end to end: the DuckDB twin replays features,
+    projection, per-level ranks, insertion counts, the ±window fetch,
+    and the 9-term score bit for bit.  Recall evidence:
+    ``peer_search_fulldim_recall`` (vs the exact BLAS kernel)."""
+    return (
+        _fd_win_spark(spark, sf_dir)
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "peer_search_fulldim_recall",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    {_fd_win_cte()},
+    fscored AS (
+        SELECT fcand.tgt AS tgt_custkey, fcand.src AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fcand JOIN fnormed l ON fcand.tgt = l.c_custkey
+                   JOIN fnormed r ON fcand.src = r.c_custkey),
+    fpruned AS (
+        SELECT tgt_custkey, src_custkey FROM (
+            SELECT tgt_custkey, src_custkey,
+                   row_number() OVER (PARTITION BY tgt_custkey
+                                      ORDER BY score DESC, src_custkey) AS rn
+            FROM fscored WHERE score >= 0.0)
+        WHERE rn <= 15),
+    fexact_scored AS (
+        SELECT l.c_custkey AS tgt_custkey, r.c_custkey AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fnormed l JOIN fnormed r
+          ON l.c_custkey % 10 = 0 AND r.c_custkey % 10 <> 0),
+    fexact AS (
+        SELECT tgt_custkey, src_custkey FROM (
+            SELECT tgt_custkey, src_custkey,
+                   row_number() OVER (PARTITION BY tgt_custkey
+                                      ORDER BY score DESC, src_custkey) AS rn
+            FROM fexact_scored WHERE score >= 0.0)
+        WHERE rn <= 15),
+    fcounts AS (
+        SELECT (SELECT count(*) FROM fexact) AS n_exact,
+               (SELECT count(*) FROM fpruned) AS n_pruned,
+               (SELECT count(*) FROM fexact e JOIN fpruned p
+                 ON e.tgt_custkey = p.tgt_custkey
+                AND e.src_custkey = p.src_custkey) AS n_common)
+    SELECT n_exact, n_pruned, n_common,
+           round(CAST(n_common AS DOUBLE) / n_exact, 4) AS recall,
+           CAST(n_common AS DOUBLE) / n_exact >= 0.95 AS recall_ok
+    FROM fcounts
+    """,
+)
+def peer_search_fulldim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall evidence for the general-dim PRODUCTION path: the exact
+    blocked BLAS kernel (``hybrid_topk`` — dimension-generic since
+    round 2) and the projection-window path both run on the SAME
+    9-dim features; one row of set statistics, all five columns
+    independently recomputed by DuckDB (the oracle derives BOTH pair
+    sets itself, so a hash match proves the Spark kernel, the Spark
+    candidate path, AND the measured recall).  Floor ≥ 0.95 as the
+    contract boolean; measured 1.0000 at sf0.001/sf0.01/sf0.1 and sf1
+    (SCALE.md round-13 row).  The IVF arm's recall (0.9977 plateau at
+    sf0.1) is recorded in SCALE.md — it stays the fallback for
+    geometries where a single projection is uninformative."""
+    prospects, clients = _fd_sides(spark, sf_dir)
+    prospects = prospects.persist()
+    clients = clients.persist()
+    exact = hybrid_topk(
+        prospects, clients, "tgt_custkey", "src_custkey",
+        vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+    ).select("tgt_custkey", "src_custkey", F.lit(1).alias("__e"))
+    pruned = _fd_win_spark(spark, sf_dir).select(
+        "tgt_custkey", "src_custkey", F.lit(1).alias("__p")
+    )
+    joined = exact.join(pruned, ["tgt_custkey", "src_custkey"], "full")
+    n_common = F.count(
+        F.when(F.col("__e").isNotNull() & F.col("__p").isNotNull(), 1)
+    )
+    n_exact = F.count("__e")
+    n_pruned = F.count("__p")
+    return joined.agg(
+        n_exact.alias("n_exact"),
+        n_pruned.alias("n_pruned"),
+        n_common.alias("n_common"),
+        F.round(n_common.cast("double") / n_exact, 4).alias("recall"),
+        (n_common.cast("double") / n_exact >= 0.95).alias("recall_ok"),
+    )

@@ -791,3 +791,59 @@ def test_rank_window_cache_hit_and_miss(spark, sf_dir):
     )
     assert pairs(hit) == pairs(explicit)
     assert seeded == {"snapB": 16}  # hit neither re-derives nor mutates
+
+
+def test_ivf_block_candidates_generous_probe_equals_exact(spark):
+    """Round-13 general-dim candidate generator: with probing wide
+    enough to cover every list, the candidate set contains every
+    pair (the level-0 arm degenerates to the full product), so the
+    exact re-rank over candidates must equal the exact BLAS kernel
+    pair-for-pair on the FULL 9-dim reference feature vector; a
+    narrow probe must stay a strict subset of the pair universe
+    (it actually prunes) while remaining top-k-complete at the
+    measured n_probe."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk,
+        hybrid_topk_pruned,
+        ivf_block_candidates,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _FD_DIM,
+        _fd_sides,
+    )
+
+    pros, clis = _fd_sides(spark, "/root/testdata/sf0.001")
+    pros, clis = pros.persist(), clis.persist()
+    cents = ivf_auto_centroids(clis, "src_custkey", "vec")
+    n_lists = cents.count()
+    wide = ivf_block_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", cents,
+        n_probe=n_lists,
+    )
+    assert wide.count() == pros.count() * clis.count()
+    pairs = lambda df: {  # noqa: E731
+        (r["tgt_custkey"], r["src_custkey"]) for r in df.collect()
+    }
+    via_cand = hybrid_topk_pruned(
+        pros, clis, "tgt_custkey", "src_custkey",
+        candidates=wide, dim=_FD_DIM, k=15,
+    )
+    exact = hybrid_topk(
+        pros, clis, "tgt_custkey", "src_custkey", k=15
+    )
+    assert pairs(via_cand) == pairs(exact) and len(pairs(exact)) > 0
+
+    # a genuinely narrow probe (2 of the ~12 lists at this sf) must
+    # actually PRUNE — strict subset of the pair universe — while
+    # still containing every same-full-naics pair its deep arms probe
+    # nearly fully; top-k completeness at the REGISTERED pin is
+    # carried by peer_search_fulldim_recall (measured 1.0), not here
+    narrow = ivf_block_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", cents, n_probe=2,
+    )
+    n_narrow = narrow.count()
+    assert 0 < n_narrow < pros.count() * clis.count()
+    assert pairs(narrow) < pairs(wide)
