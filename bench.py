@@ -45,6 +45,11 @@ HEADLINE = [
     # 1.0000 vs the exact kernel's ~170-205s and the constant-factor
     # block/bucket prune's 672s (SCALE.md round-9 row).
     "peer_search_rank_window_topk",
+    # round 13: the GENERAL-DIM production peer search — the full
+    # 9-dim reference feature recipe through the projection-window
+    # candidate generator + exact re-rank (recall 1.0000 vs the
+    # exact kernel at every measured sf; SCALE.md round-13)
+    "peer_search_fulldim_topk",
     "penetration_table_products",
 ]
 

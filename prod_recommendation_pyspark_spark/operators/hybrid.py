@@ -1473,8 +1473,18 @@ def projection_window_candidates(
     direction: list[float],
     vec_col: str = "vec",
     naics_col: str = "naics",
-    window: int = 256,
+    window: int | None = 256,
     code_len: int = CODE_LEN,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    sample_mod: int = 500,
+    min_window: int = 64,
+    window_cache: dict | None = None,
+    cache_key=None,
 ) -> DataFrame:
     """The rank-window candidate generator at ANY dimension: sort
     each NAICS-level arm by the vectors' PROJECTION onto a fixed
@@ -1501,26 +1511,66 @@ def projection_window_candidates(
     the projection is per-row deterministic and the SQL oracle
     replays it bit-for-bit — a data-derived direction (corpus mean /
     top principal axis) would ride a nondeterministically-ordered
-    aggregation and flip ULP ties across engines."""
+    aggregation and flip ULP ties across engines.
+
+    ``window=None`` DERIVES the window from the data with the same
+    estimator as ``rank_window_candidates`` (deterministic prospect
+    sample exact-scored against the corpus, per-pair min-need read
+    off the shared rank, ×2 pad, power-of-two ladder, floor
+    ``min_window``; ``window_cache``/``cache_key`` memoize per
+    snapshot).  Measured 9-D need (SCALE.md round-13): max-need
+    96 → 133 → 1305 at sf0.01/0.1/1 — the window GROWS roughly with
+    the corpus' projection-shadow density, so on near-uniform
+    high-dim data this path is a measured-knob approximation whose
+    candidate volume must be re-derived per corpus, not a fixed
+    linear bound; the exact blocked GEMM kernel (``hybrid_topk``)
+    remains the general-dim exact fallback, and clustered real-world
+    corpora are where the window (and the IVF arm) pay off."""
     proj = F.element_at(F.col(vec_col), 1).cast("double") * float(direction[0])
     for i, w in enumerate(direction[1:], start=2):
         proj = proj + F.element_at(F.col(vec_col), i).cast("double") * float(w)
     key = proj.alias("__v1n")
+    if (
+        window is None
+        and window_cache is not None
+        and cache_key in window_cache
+    ):
+        window = int(window_cache[cache_key])
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len, key_expr=key)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len, key_expr=key)
     ranked = _distributed_rank(cli.unionByName(pro), left.sparkSession)
-    clis_pos = ranked.filter(F.col("__isc") == 1).select(
+    clis_base = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
         "__lvl",
         "__blk",
         F.col("__pos").alias("__cpos"),
-        F.floor((F.col("__pos") - 1) / window).alias("__wb"),
     )
     pros_ins = ranked.filter(F.col("__isc") == 0).select(
         F.col("__id").alias("__tid"),
         "__lvl",
         "__blk",
         F.col("__pos").alias("__ins"),
+    )
+    if window is None:
+        sample, n_sampled, _ = _derivation_sample(left, left_id, sample_mod)
+        if n_sampled:
+            exact = _calibration_exact_topk(
+                sample, right, left_id, right_id,
+                vec_col=vec_col, naics_col=naics_col,
+                lat_col=lat_col, lon_col=lon_col,
+                k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            )
+            pairs = exact.select(
+                F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+            )
+            _, mx = _needed_window_stats(pairs, pros_ins, clis_base)
+        else:
+            mx = None  # empty left: any window yields the empty result
+        window = _ladder_window(max(min_window, 2 * (mx or 0)))
+        if window_cache is not None:
+            window_cache[cache_key] = int(window)
+    clis_pos = clis_base.withColumn(
+        "__wb", F.floor((F.col("__cpos") - 1) / window)
     )
     return _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
 

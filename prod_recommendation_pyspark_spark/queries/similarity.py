@@ -3226,10 +3226,24 @@ def _fd_sides(spark: SparkSession, sf_dir: str):
 _FD_DIRECTION = [_FD_W_REV, _FD_W_NUM, _FD_W_NUM, _FD_W_NUM] + [
     _FD_W_JPMC
 ] * len(_FD_SEGS)
-_FD_WINDOW = 256  # the rank-window production floor, re-measured at 9-D
+#: Production floor for the 9-D projection window — derive-then-floor
+#: like the 2-D path (derivation can only RAISE it).  Measured 9-D
+#: max-need: 96 / 133 / 1305 at sf0.01 / 0.1 / 1 — so 512 covers every
+#: driver/oracle scale with ≥ 3.8× margin (and the ×2-padded ladder of
+#: the sf0.1 need, ladder(266) = 512, lands exactly on it, so the
+#: derive-then-floor result is 512 at ALL oracle scales and the SQL
+#: twin can pin it), while sf1 derives 2048-4096 and reads recall
+#: 1.0000 there (SCALE.md round-13).
+_FD_WINDOW = 512
 
 
-def _fd_win_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fd_win_spark(
+    spark: SparkSession, sf_dir: str, window: int | None = None
+) -> DataFrame:
+    """Shared body of the full-dim production queries: derive-then-
+    floor-at-512 projection-window candidates (memoized per snapshot
+    via the same ``_DERIVED_WINDOW_CACHE`` the 2-D production query
+    uses) + exact unrolled-codegen re-rank."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         hybrid_topk_pruned,
         projection_window_candidates,
@@ -3239,7 +3253,10 @@ def _fd_win_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = projection_window_candidates(
         prospects, clients, "tgt_custkey", "src_custkey",
         _FD_DIRECTION, vec_col="vec", naics_col="naics",
-        window=_FD_WINDOW,
+        window=window, min_window=_FD_WINDOW,
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+        window_cache=_DERIVED_WINDOW_CACHE,
+        cache_key=("fulldim", sf_dir, _FD_WINDOW),
     )
     return hybrid_topk_pruned(
         prospects, clients, "tgt_custkey", "src_custkey",
@@ -3399,31 +3416,41 @@ def peer_search_fulldim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def peer_search_fulldim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE general-dim PRODUCTION peer search (round-13 verdict #1's
-    'Done' query): the FULL 9-dim reference feature vector through
-    ``projection_window_candidates`` — the rank-window generalization
-    that sorts each NAICS-level arm by the vectors' projection onto
-    the reference's weight profile instead of the 2-D angle — and the
-    exact unrolled-codegen hybrid re-rank.
+    """THE general-dim peer-search candidate path (round-13 verdict
+    #1's 'Done' query): the FULL 9-dim reference feature vector
+    through ``projection_window_candidates`` — the rank-window
+    generalization that sorts each NAICS-level arm by the vectors'
+    projection onto the reference's weight profile instead of the
+    2-D angle — derive-then-floor-at-512, then the exact
+    unrolled-codegen hybrid re-rank.
 
-    Why this beats the IVF arm on this feature geometry (measured,
-    SCALE.md round-13): the recipe's vectors are all-positive with a
-    dominant w_rev dimension, so cosine concentrates and
-    sampled-centroid Voronoi cells interleave along a ~1-D manifold —
-    IVF probing plateaued at recall 0.9977 at sf0.1 (missed pairs had
-    cos ≥ 0.989 to the prospect while their list ranked 29/33 in the
-    prospect's centroid order), while the ±256 projection window
-    reads recall 1.0000 at 13× prune (1.54M of 20.25M pairs, sf0.1).
-    Candidates stay LINEAR in the prospect count
-    (levels·|L|·2·window, corpus-independent) — same asymptotics as
-    the 2-D production path.  Both arms compose (union) when a
-    deployment's geometry defeats one of them; the IVF arm ships as
-    ``peer_search_fulldim_ivf_topk``.
+    Measured recall vs the exact kernel is 1.0000 at EVERY scale:
+    sf0.001/0.01/0.1 at the 512 floor (max window-need 96/133), and
+    sf1 where the derivation raises the window to 4096 (max need
+    1305, ×2 pad, ladder) — meeting the 2-D path's sf1 recall.  Why
+    not IVF: on this all-positive, w_rev-dominated geometry cosine
+    concentrates and sampled-centroid cells interleave — the IVF arm
+    plateaus at 0.9977 (sf0.1) and 0.7962 (sf1); it ships as
+    ``peer_search_fulldim_ivf_topk`` and unions in when a
+    deployment's geometry defeats a single projection.
+
+    HONEST SCALE NOTE (measured, SCALE.md round-13): the window-need
+    grows ~linearly with corpus density on this near-uniform
+    synthetic recipe (133 → 1305 per ×10 data), so here the derived
+    window is a measured-constant-factor prune, and at sf1 the exact
+    blocked GEMM kernel is still the cheapest exact answer (51s vs
+    636s warm) — high-dim exact sub-quadratic top-k does not exist
+    in general; the 2-D angle order was the special case.  The
+    candidate paths win where real corpora are clustered (shadow
+    density sub-linear) or recall < 1 is acceptable; the engine
+    surfaces all three (kernel / window / IVF) with the knobs
+    derived, not pinned.
 
     Value-oracled end to end: the DuckDB twin replays features,
     projection, per-level ranks, insertion counts, the ±window fetch,
-    and the 9-term score bit for bit.  Recall evidence:
-    ``peer_search_fulldim_recall`` (vs the exact BLAS kernel)."""
+    and the 9-term score bit for bit (the floor-512 pin is exactly
+    what derive-then-floor yields at every oracle scale).  Recall
+    evidence: ``peer_search_fulldim_recall``."""
     return (
         _fd_win_spark(spark, sf_dir)
         .select(
@@ -3482,10 +3509,11 @@ def peer_search_fulldim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently recomputed by DuckDB (the oracle derives BOTH pair
     sets itself, so a hash match proves the Spark kernel, the Spark
     candidate path, AND the measured recall).  Floor ≥ 0.95 as the
-    contract boolean; measured 1.0000 at sf0.001/sf0.01/sf0.1 and sf1
-    (SCALE.md round-13 row).  The IVF arm's recall (0.9977 plateau at
-    sf0.1) is recorded in SCALE.md — it stays the fallback for
-    geometries where a single projection is uninformative."""
+    contract boolean; measured 1.0000 at sf0.001/sf0.01/sf0.1 (floor
+    512) and sf1 (derived 4096) — SCALE.md round-13 row.  The IVF
+    arm's recall (0.9977 at sf0.1, 0.7962 at sf1) is recorded in
+    SCALE.md — it stays the fallback for geometries where a single
+    projection is uninformative."""
     prospects, clients = _fd_sides(spark, sf_dir)
     prospects = prospects.persist()
     clients = clients.persist()

@@ -847,3 +847,58 @@ def test_ivf_block_candidates_generous_probe_equals_exact(spark):
     n_narrow = narrow.count()
     assert 0 < n_narrow < pros.count() * clis.count()
     assert pairs(narrow) < pairs(wide)
+
+
+def test_projection_window_derivation_and_memo(spark):
+    """9-D projection window (round 13): (a) a window covering the
+    whole corpus makes the candidate-pruned result equal the exact
+    kernel pair-for-pair; (b) ``window=None`` derives a ladder window
+    ≥ the floor and memoizes it per cache key; (c) a seeded cache hit
+    is used verbatim (no re-derivation)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk,
+        hybrid_topk_pruned,
+        projection_window_candidates,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _FD_DIM,
+        _FD_DIRECTION,
+        _fd_sides,
+    )
+
+    pros, clis = _fd_sides(spark, "/root/testdata/sf0.001")
+    pros, clis = pros.persist(), clis.persist()
+    n_clis = clis.count()
+    pairs = lambda df: {  # noqa: E731
+        (r["tgt_custkey"], r["src_custkey"]) for r in df.collect()
+    }
+    wide = projection_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", _FD_DIRECTION,
+        window=n_clis,
+    )
+    via_wide = hybrid_topk_pruned(
+        pros, clis, "tgt_custkey", "src_custkey",
+        candidates=wide, dim=_FD_DIM, k=15,
+    )
+    exact = hybrid_topk(pros, clis, "tgt_custkey", "src_custkey", k=15)
+    assert pairs(via_wide) == pairs(exact) and len(pairs(exact)) > 0
+
+    cache = {}
+    derived = projection_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", _FD_DIRECTION,
+        window=None, min_window=128, window_cache=cache, cache_key="s1",
+    )
+    assert derived.count() > 0
+    assert isinstance(cache.get("s1"), int) and cache["s1"] >= 128
+
+    seeded = {"s2": 32}  # deliberately NOT the derived value
+    hit = projection_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", _FD_DIRECTION,
+        window=None, window_cache=seeded, cache_key="s2",
+    )
+    explicit = projection_window_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", _FD_DIRECTION,
+        window=32,
+    )
+    assert pairs(hit) == pairs(explicit)
+    assert seeded == {"s2": 32}
