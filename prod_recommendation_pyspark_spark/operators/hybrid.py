@@ -1620,9 +1620,19 @@ def ivf_block_candidates(
     SUB-quadratic (the exact kernel is |L|·N) with n_probe the
     recall knob; every join is a bounded-key equi-join, the only
     broadcast is the √N-row centroid table, and the arm/score frames
-    are slim (no vectors travel past step 2).  Recall is measured by
-    ``peer_search_fulldim_recall`` (1.0 at every tested sf — see
-    SCALE.md round-13)."""
+    are slim (no vectors travel past step 2).  MEASURED recall on
+    the reference's 9-dim recipe (SCALE.md round-13): 1.0000 at
+    sf0.01 (n_probe 16) but a plateau at 0.9977 (sf0.1) / 0.7962
+    (sf1) — on that all-positive, one-dominant-dimension geometry,
+    cosine concentrates and sampled-centroid cells interleave, so
+    the prospect's centroid order is a weak proxy for where its
+    neighbors live (missed pairs had cos ≥ 0.989 with their list
+    ranked 29/33 for the prospect; ``assign_probe=2`` does not move
+    it).  The production full-dim query therefore rides
+    ``projection_window_candidates``; this arm serves clustered
+    multi-modal geometries (where IVF shines — see the ANN suite)
+    and unions with the window arm when either is insufficient
+    (union recall 1.0000 at sf0.1)."""
     arms = lambda df, id_col: df.select(  # noqa: E731
         F.col(id_col),
         F.explode(

@@ -122,16 +122,23 @@ def ann_leg(spark, ann_dir: str, work: str) -> dict:
         (F.col("label") == 3) & (F.col("vec_id") % 10 == 0)
     ).select(F.col("vec_id").alias("nbr_id")).localCheckpoint()
     res["tombstone_rows"] = tombs.count()
-    t0 = time.time()
-    served_t = ivf_probe(
-        qs, artifact, "tgt_id", "nbr_id", centroids,
-        vec_col="embedding", k=K, n_probe=16, use_kernel=True,
-        tombstones=tombs,
-    )
-    got_t = {
-        (r[0], r[1]) for r in served_t.select("tgt_id", "nbr_id").collect()
-    }
-    res["tombstone_probe_wall_s"] = round(time.time() - t0, 1)
+    # warm + timed, like the plain probe: the first execution of ANY
+    # probe plan shape in a session pays codegen + Arrow-worker +
+    # page-cache warmup (~90s extra at 10M — round-13 isolated
+    # sequence: tomb 127.6 cold → 31.6s warm vs plain 36.0 → 33.1),
+    # which single-shot timing misreads as a tombstone penalty
+    for tag in ("warm", "timed"):
+        t0 = time.time()
+        served_t = ivf_probe(
+            qs, artifact, "tgt_id", "nbr_id", centroids,
+            vec_col="embedding", k=K, n_probe=16, use_kernel=True,
+            tombstones=tombs,
+        )
+        got_t = {
+            (r[0], r[1])
+            for r in served_t.select("tgt_id", "nbr_id").collect()
+        }
+        res[f"tombstone_probe_{tag}_wall_s"] = round(time.time() - t0, 1)
     res["tombstoned_served_clean"] = not (
         {c for _, c in got_t}
         & {r[0] for r in tombs.collect()}
