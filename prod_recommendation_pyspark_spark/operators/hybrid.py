@@ -1656,10 +1656,16 @@ def ivf_block_candidates(
         F.col("__a.__blk").alias("__blk"),
     )
     # ``assign_probe`` > 1 = client MULTI-ASSIGNMENT (each client rides
-    # its k nearest lists): the standard boundary-recall fix — a client
-    # sitting on a Voronoi edge is reachable from either side's probes
-    # — at < assign_probe× candidate volume (only boundary fetches
-    # duplicate, and the pair set dedups)
+    # its k nearest lists): the standard boundary fix — a client on a
+    # Voronoi edge is reachable from either side's probes — at
+    # < assign_probe× candidate volume (only boundary fetches
+    # duplicate, and the pair set dedups).  NOT monotone at fixed
+    # n_probe (pytest-pinned): the extra copies also enrich each
+    # block's occupied-list pool, so a newly-occupied list can
+    # DISPLACE a previously-probed one from the prospect's top-n_probe
+    # ranking; supersetting is guaranteed only when n_probe covers the
+    # occupied pool.  Net recall effect is empirical — measured flat
+    # (0.9977 → 0.9977) on the fulldim recipe at sf0.1.
     r_assign = ivf_assign(
         right.select(F.col(right_id), F.col(vec_col).alias("__v")),
         right_id,

@@ -902,3 +902,52 @@ def test_projection_window_derivation_and_memo(spark):
     )
     assert pairs(hit) == pairs(explicit)
     assert seeded == {"s2": 32}
+
+
+def test_ivf_block_candidates_multi_assign_contract(spark):
+    """Client multi-assignment's REAL contract (discovered by this
+    test's first draft, now pinned): at fixed small n_probe it is NOT
+    monotone — extra client copies enrich each block's occupied-list
+    pool, and a newly-occupied list can displace a previously-probed
+    one from the prospect's top-n_probe — but once n_probe covers the
+    occupied pool, assign_probe=2 is a strict superset (every client
+    is fetchable through BOTH of its lists)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        ivf_block_candidates,
+    )
+    from prod_recommendation_pyspark_spark.operators.similarity import (
+        ivf_auto_centroids,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _fd_sides,
+    )
+
+    pros, clis = _fd_sides(spark, "/root/testdata/sf0.001")
+    pros, clis = pros.persist(), clis.persist()
+    cents = ivf_auto_centroids(clis, "src_custkey", "vec")
+    n_lists = cents.count()
+    pairs = lambda df: {  # noqa: E731
+        (r["tgt_custkey"], r["src_custkey"]) for r in df.collect()
+    }
+    # generous probing: multi-assignment can only add pairs
+    one_full = pairs(ivf_block_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", cents,
+        n_probe=n_lists, assign_probe=1,
+    ))
+    two_full = pairs(ivf_block_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", cents,
+        n_probe=n_lists, assign_probe=2,
+    ))
+    assert one_full and one_full <= two_full
+    # narrow probing: displacement is REAL — the sets may differ in
+    # both directions, but volume stays bounded by ~assign_probe x
+    one = pairs(ivf_block_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", cents,
+        n_probe=2, assign_probe=1,
+    ))
+    two = pairs(ivf_block_candidates(
+        pros, clis, "tgt_custkey", "src_custkey", cents,
+        n_probe=2, assign_probe=2,
+    ))
+    assert one and two
+    assert len(two) <= 2 * len(one)
