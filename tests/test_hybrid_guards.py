@@ -951,3 +951,53 @@ def test_ivf_block_candidates_multi_assign_contract(spark):
     ))
     assert one and two
     assert len(two) <= 2 * len(one)
+
+
+def test_fulldim_candidate_operators_handle_empty_sides(spark):
+    """Empty prospect/client relations must flow through both
+    general-dim candidate generators as empty outputs — no dim-probe
+    crashes, no degenerate windows (same contract the 2-D paths pin)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        ivf_block_candidates,
+        projection_window_candidates,
+    )
+
+    schema = (
+        "tgt_custkey long, vec array<double>, naics string, "
+        "lat double, lon double"
+    )
+    empty_l = spark.createDataFrame([], schema)
+    empty_r = spark.createDataFrame(
+        [], schema.replace("tgt_custkey", "src_custkey")
+    )
+    full_r = spark.createDataFrame(
+        [(i, [0.6, 0.1, 0.1, 0.1, 0.05, 0.0, 0.0, 0.0, 0.0],
+          f"52{i:04d}", 1.0, 2.0) for i in range(1, 8)],
+        schema.replace("tgt_custkey", "src_custkey"),
+    )
+    cents = full_r.selectExpr("src_custkey AS centroid_id", "vec")
+    direction = [0.8] + [0.05] * 8
+    assert projection_window_candidates(
+        empty_l, full_r, "tgt_custkey", "src_custkey", direction
+    ).count() == 0
+    assert projection_window_candidates(
+        empty_l, full_r, "tgt_custkey", "src_custkey", direction,
+        window=None,  # empty-left derivation: floor window, no crash
+    ).count() == 0
+    assert ivf_block_candidates(
+        empty_l, full_r, "tgt_custkey", "src_custkey", cents
+    ).count() == 0
+    full_l = spark.createDataFrame(
+        [(10, [0.7, 0.1, 0.1, 0.1, 0.05, 0.0, 0.0, 0.0, 0.0],
+          "520001", 1.0, 2.0)],
+        schema,
+    )
+    assert projection_window_candidates(
+        full_l, empty_r, "tgt_custkey", "src_custkey", direction
+    ).count() == 0
+    empty_c = spark.createDataFrame(
+        [], "centroid_id long, vec array<double>"
+    )
+    assert ivf_block_candidates(
+        full_l, empty_r, "tgt_custkey", "src_custkey", empty_c
+    ).count() == 0
