@@ -3208,7 +3208,15 @@ def _fd_hybrid_score(l: str = "l", r: str = "r") -> str:
 
 
 def _fd_sides(spark: SparkSession, sf_dir: str):
-    firmo = _firmographics_full(spark, sf_dir)
+    """(prospects, clients) on a localCheckpointed full-dim feature
+    subtree — same rationale as ``_rank_sides``: the scan + log/scale
+    stats + OHE + normalize feeds the candidate arms, both scoring
+    sides, AND the window calibration; unmaterialized it re-executes
+    per branch (measured cold-isolated at sf0.1: 32.2 → 28.1s for the
+    production query, 27.5 → 22.0s for the IVF arm, 20.1 → 18.2s for
+    the recall row).  Checkpoint blocks are reclaimed by the
+    ContextCleaner when the result frames are GC'd."""
+    firmo = _firmographics_full(spark, sf_dir).localCheckpoint()
     prospects = firmo.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("tgt_custkey"), "vec", "naics", "lat", "lon"
     )
