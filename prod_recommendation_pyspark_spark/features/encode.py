@@ -19,7 +19,11 @@ from pyspark.sql import types as T
 
 
 def string_index(
-    df: DataFrame, col: str, out_col: str | None = None, keep_invalid: bool = True
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    keep_invalid: bool = True,
+    max_labels: int = 100_000,
 ) -> DataFrame:
     """M2 — StringIndexer semantics (``frequencyDesc``: labels ordered
     by descending frequency, ties broken by value; ``handleInvalid=
@@ -32,15 +36,34 @@ def string_index(
     then broadcast-join indices onto the fact side.  No fit object, no
     global window (a single-partition sort, even of a tiny table,
     would trip the WindowExec fact-table alarm).
-    """
+
+    ``max_labels`` (round-13 verdict #5) guards the driver-side
+    dictionary: indexing is defined for CATEGORICAL columns (bounded
+    label sets, same contract as ``StringIndexer``), but a caller who
+    misapplies it to a high-cardinality key (an id column at 100 TB)
+    would otherwise OOM the driver at the collect.  The label pull is
+    ``limit(max_labels + 1)`` — the collect itself is bounded, so the
+    guard costs nothing and the overflow raises LOUDLY before any
+    driver memory is at risk."""
     out_col = out_col or f"{col}_idx"
     spark = df.sparkSession
     freq_rows = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("__freq"))
+        .limit(max_labels + 1)
         .collect()
     )
+    if len(freq_rows) > max_labels:
+        raise ValueError(
+            f"string_index: column '{col}' has more than "
+            f"max_labels={max_labels} distinct labels — this operator "
+            "is for categorical columns (the label dictionary is "
+            "collected and broadcast); indexing a high-cardinality key "
+            "would OOM the driver.  Use dense_ids (a distributed "
+            "range-partitioned id map) for key columns, or raise "
+            "max_labels if the cardinality is genuinely intended."
+        )
     ordered = sorted(freq_rows, key=lambda r: (-r["__freq"], r[col]))
     label_rows = [(r[col], float(i)) for i, r in enumerate(ordered)]
     n_labels = float(len(label_rows))

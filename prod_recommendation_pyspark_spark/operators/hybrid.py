@@ -1438,10 +1438,16 @@ def rank_window_insert(
     of the small arrival frame against the index's distinct id set —
     an index scan that the re-rank below performs anyway), keeping the
     rebuild equivalence exact for the surviving (genuinely new)
-    arrivals."""
+    arrivals.  The same hazard WITHIN the arrival batch (round-14
+    advice: one new id appearing twice in the same frame would union
+    two ``__rid`` rows per arm past the index anti-join) is closed by
+    ``dropDuplicates([right_id])`` — exactly one row per id survives;
+    which one is arbitrary, so an arrival batch carrying CONFLICTING
+    payloads for one id is an upstream bug (conflicting updates ride
+    tombstone → compact → insert, like the IVF twin)."""
     w = _resolve_probe_window(index, None)
     _require_dim2(arrivals, vec_col, "rank_window_insert(arrivals)")
-    arrivals = arrivals.join(
+    arrivals = arrivals.dropDuplicates([right_id]).join(
         index.select(F.col("__rid").alias(right_id)).distinct(),
         right_id,
         "left_anti",

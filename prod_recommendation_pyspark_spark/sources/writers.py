@@ -79,6 +79,32 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _try_claim(fs, hpath, staging, staging_name, marker_name, target) -> bool:
+    """One VERIFIED version-claim attempt for :func:`publish_versioned`:
+    rename staging onto the target, then check the per-publish marker
+    really landed at the target root.  Returns True only when the
+    claim is provably ours; False means retry at the next number
+    (plain rename failure, or the Hadoop rename-into-existing-dir
+    merge was detected and rolled back — the nested staging renamed
+    atomically back out).  Measured on RawLocalFileSystem AND per the
+    FileSystem spec for HDFS: ``rename(src, existing_nonempty_dir)``
+    returns TRUE and nests src inside — the exact silent-loss mode the
+    marker check closes (round-14 advice)."""
+    if not fs.rename(staging, target):
+        return False
+    if fs.exists(hpath(target, marker_name)):
+        return True
+    nested = hpath(target, staging_name)
+    if not (fs.exists(nested) and fs.rename(nested, staging)):
+        raise RuntimeError(
+            f"publish_versioned: rename onto {target} reported success "
+            "but the claim marker is absent and the staging directory "
+            "could not be recovered — manual inspection required "
+            "(possible filesystem with non-standard rename semantics)."
+        )
+    return False
+
+
 def publish_versioned(
     df: DataFrame,
     base: str,
@@ -101,55 +127,81 @@ def publish_versioned(
     plain partition-style paths (``__v=3``), so retention is a
     directory delete and a version's files are never rewritten.
 
-    CONCURRENCY (round-13 advice): each publish writes into a private
-    dot-prefixed staging directory (invisible to readers and to
-    ``latest_published_version``'s ``__v=`` listing) and CLAIMS its
+    CONCURRENCY (round-13/14 advice): each publish writes into a
+    private dot-prefixed staging directory (invisible to readers and
+    to ``latest_published_version``'s ``__v=`` listing) and CLAIMS its
     version number with one atomic ``FileSystem.rename`` onto
-    ``__v=N`` — rename-if-absent is the filesystem's test-and-set, so
-    two concurrent publishers can never interleave into one directory
-    and nothing ever deletes another writer's in-flight files.  The
-    loser of a rename race re-reads the latest version and retries at
-    N+1 (its data, a later rebuild, lands as the newer version).  A
-    marker-less ``__v=N`` directory can only be a crashed legacy
-    (pre-rename) writer — renames are all-or-nothing and happen after
-    job commit — so it is safe to clear when it blocks a claim.  A
-    publisher that dies mid-write leaves only its own staging dir;
-    ``prune_published_versions(sweep_staging=True)`` clears those
-    during maintenance windows."""
+    ``__v=N``.  Rename alone is NOT a portable test-and-set: the
+    Hadoop FileSystem contract (HDFS included) moves the source INTO
+    an existing destination directory and returns true, so a publisher
+    that lost the race between its ``exists()`` check and its
+    ``rename()`` would "succeed" while its data lands invisibly nested
+    as ``__v=N/.__staging_*``.  The claim is therefore VERIFIED, not
+    assumed: each staging dir carries a per-publish uuid MARKER file
+    (dot-prefixed — hidden from parquet readers), and only a rename
+    after which the marker sits at ``__v=N/<marker>`` counts as a win.
+    A rename that nested instead is rolled back (the nested staging is
+    atomically renamed back out) and the publisher retries at the next
+    number — its data, a later rebuild, lands as the newer version.
+
+    A marker-less ``__v=N`` directory can only be a crashed legacy
+    (pre-rename) writer — rename publishers expose ``__v=N`` only
+    fully committed.  When one blocks a claim it is QUARANTINED (one
+    atomic rename to a dot-prefixed ``.__wreck_*`` name, after
+    re-checking ``_SUCCESS`` immediately beforehand), never deleted in
+    place: between a stale check and a delete, a concurrent publisher
+    could have cleared the same wreck and committed its own version
+    there — a delete would destroy that freshly committed data, a
+    quarantine rename just fails and the loop re-resolves.  Under
+    concurrency the remaining assumption is that no LEGACY writer is
+    still mid-write into the wreck (legacy and rename publishers
+    cannot safely share a base).  A publisher that dies mid-write
+    leaves only its own staging dir;
+    ``prune_published_versions(sweep_staging=True)`` clears staging
+    and quarantined-wreck dirs during maintenance windows."""
     spark = df.sparkSession
     from prod_recommendation_pyspark_spark.sources.readers import (
         latest_published_version,
     )
 
     jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
     hconf = spark._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
-    staging_name = f".__staging_{uuid.uuid4().hex}"
-    staging = jvm.org.apache.hadoop.fs.Path(f"{base}/{staging_name}")
+    fs = hpath(base).getFileSystem(hconf)
+    token = uuid.uuid4().hex
+    staging_name = f".__staging_{token}"
+    staging = hpath(f"{base}/{staging_name}")
+    marker_name = f".__publisher_{token}"
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{base}/{staging_name}")
+    # the claim marker rides INSIDE staging, so the atomic rename
+    # carries it to the target iff the rename truly replaced the path
+    fs.create(hpath(staging, marker_name)).close()
     try:
         for _ in range(64):  # bounded: one loser retry per contender
             n = latest_published_version(spark, base) + 1
-            target = jvm.org.apache.hadoop.fs.Path(f"{base}/__v={n}")
+            target = hpath(f"{base}/__v={n}")
             if fs.exists(target):
-                if fs.exists(
-                    jvm.org.apache.hadoop.fs.Path(target, "_SUCCESS")
-                ):
+                # re-checked IMMEDIATELY before the quarantine rename
+                # (round-14 advice): a committed publish landing after
+                # an earlier stale listing must never be moved aside
+                if fs.exists(hpath(target, "_SUCCESS")):
                     continue  # raced a committed publish: next number
-                # marker-less target: crashed legacy writer (a rename
-                # publisher exposes __v=N only fully committed)
-                fs.delete(target, True)
-            if fs.rename(staging, target):
-                return n
+                # marker-less target: quarantine-rename it aside (an
+                # atomic claim of the WRECK — if a concurrent publisher
+                # committed or quarantined it first, the rename fails
+                # and the loop re-resolves)
+                aside = hpath(f"{base}/.__wreck_{n}_{uuid.uuid4().hex}")
+                if not fs.rename(target, aside):
+                    continue
+            if _try_claim(fs, hpath, staging, staging_name, marker_name, target):
+                return n  # verified: the claim is OURS
         raise RuntimeError(
             f"publish_versioned: could not claim a version under "
             f"{base} after 64 attempts — pathological publisher "
-            "contention or a filesystem whose rename cannot "
-            "test-and-set (rename onto an existing path must fail, "
-            "not merge)."
+            "contention."
         )
     finally:
         if fs.exists(staging):
@@ -176,7 +228,9 @@ def prune_published_versions(
     itself happens at the next batch boundary.
 
     ``sweep_staging=True`` also removes ``.__staging_*`` directories
-    left by publishers that DIED mid-write.  Only enable it when no
+    left by publishers that DIED mid-write, and ``.__wreck_*``
+    directories quarantined by ``publish_versioned`` when a legacy
+    marker-less version dir blocked a claim.  Only enable it when no
     publisher is running against this base — a live publisher's
     staging dir looks identical to a dead one's, and deleting it
     re-creates exactly the concurrent-destruction race the staging
@@ -213,7 +267,9 @@ def prune_published_versions(
     if sweep_staging:
         for status in fs.listStatus(p):
             name = status.getPath().getName()
-            if status.isDirectory() and name.startswith(".__staging_"):
+            if status.isDirectory() and (
+                name.startswith(".__staging_") or name.startswith(".__wreck_")
+            ):
                 fs.delete(status.getPath(), True)
     return sorted(expire)
 

@@ -376,6 +376,7 @@ def streaming_peer_serving_published(
     w_havs: float = DEFAULT_W_HAVS,
     checkpoint_dir: str | None = None,
     tombstones: DataFrame | None = None,
+    dead_letter_dir: str | None = None,
 ):
     """HOT-SWAP serving: :func:`streaming_peer_serving` against a
     ``publish_versioned`` artifact BASE instead of a fixed index
@@ -396,16 +397,23 @@ def streaming_peer_serving_published(
     flips the serving version at the boundary).
 
     STARTUP ORDER (round-13 advice): a non-empty batch arriving
-    BEFORE any committed version is SKIPPED with a driver-side
-    warning instead of raising inside foreachBatch — a raise would
-    kill the 24/7 query on a mere deployment-ordering hiccup, which
-    is strictly worse than dropping the pre-launch prospects (they
-    can be re-enqueued; the loop cannot un-crash).  Operationally:
-    publish the first artifact, then start the server.  Retention:
-    run ``prune_published_versions`` with ``keep >= 2`` on a base
-    under hot-swap serving — a slow in-flight batch may still be
-    reading version N's files after N+1 commits (see the prune
-    docstring)."""
+    BEFORE any committed version is SKIPPED instead of raising inside
+    foreachBatch — a raise would kill the 24/7 query on a mere
+    deployment-ordering hiccup, which is strictly worse than parking
+    the pre-launch prospects (the loop cannot un-crash).  The skip
+    still COMMITS the batch's offsets to the checkpoint, so those
+    rows will never replay on their own (round-14 advice) — which is
+    why the skip is made ACTIONABLE: with ``dead_letter_dir`` set
+    (recommended for production), every skipped batch is appended
+    there as parquet with its batch id, so an operator re-enqueues
+    ``spark.read.parquet(dead_letter_dir)`` once the first artifact
+    commits; without it, the warning carries the dropped row count
+    and says plainly that the rows are gone.  Operationally: publish
+    the first artifact, then start the server — or always set the
+    dead-letter path.  Retention: run ``prune_published_versions``
+    with ``keep >= 2`` on a base under hot-swap serving — a slow
+    in-flight batch may still be reading version N's files after N+1
+    commits (see the prune docstring)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         _resolve_probe_window,
         hybrid_topk_pruned,
@@ -426,11 +434,31 @@ def streaming_peer_serving_published(
         if v <= 0:
             import warnings
 
+            if dead_letter_dir is not None:
+                (
+                    batch_df.withColumn(
+                        "__dead_letter_batch_id", F.lit(batch_id)
+                    )
+                    .write.mode("append")
+                    .parquet(dead_letter_dir)
+                )
+                warnings.warn(
+                    f"streaming_peer_serving_published: batch "
+                    f"{batch_id} arrived before any committed version "
+                    f"under {base} — parked in the dead-letter path "
+                    f"{dead_letter_dir} for re-enqueue after the first "
+                    "publish commits.",
+                    stacklevel=2,
+                )
+                return
+            n_dropped = batch_df.count()
             warnings.warn(
                 f"streaming_peer_serving_published: batch {batch_id} "
-                f"arrived before any committed version under {base} — "
-                "skipping it (publish the first artifact before "
-                "starting the server).",
+                f"({n_dropped} rows) arrived before any committed "
+                f"version under {base} — DROPPED PERMANENTLY (its "
+                "offsets commit with the skip).  Pass dead_letter_dir "
+                "to park pre-launch batches for re-enqueue, or publish "
+                "the first artifact before starting the server.",
                 stacklevel=2,
             )
             return

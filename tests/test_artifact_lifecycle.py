@@ -379,20 +379,73 @@ def test_publish_staging_rename_and_duplicate_insert_guard(
 
     base = str(tmp_path / "artifact")
     publish_versioned(spark.range(5), base)
-    # legacy wreck: a marker-less __v=2 dir blocking the next claim
+    # legacy wreck: a marker-less NON-EMPTY __v=2 dir blocking the
+    # next claim — it must be QUARANTINED aside (round-14 advice), not
+    # deleted in place: a delete racing another publisher's fresh
+    # commit at the same path would destroy committed data
     os.makedirs(os.path.join(base, "__v=2"))
+    with open(os.path.join(base, "__v=2", "legacy.dat"), "w") as f:
+        f.write("legacy")
     assert publish_versioned(spark.range(7), base) == 2
     assert read_published(spark, base).count() == 7
+    # the wreck's bytes survived, moved aside under .__wreck_2_*
+    wrecks = [d for d in os.listdir(base) if d.startswith(".__wreck_2_")]
+    assert len(wrecks) == 1
+    assert os.path.isfile(os.path.join(base, wrecks[0], "legacy.dat"))
+    # the committed version carries its publisher's claim marker
+    assert [
+        f
+        for f in os.listdir(os.path.join(base, "__v=2"))
+        if f.startswith(".__publisher_")
+    ]
     # no staging residue after successful publishes
     assert not [d for d in os.listdir(base) if d.startswith(".__staging_")]
     # a dead publisher's staging dir: invisible to readers, swept only
-    # under sweep_staging=True
+    # under sweep_staging=True (which also clears quarantined wrecks)
     os.makedirs(os.path.join(base, ".__staging_deadbeef"))
     assert read_published(spark, base).count() == 7
     prune_published_versions(spark, base, keep=2)
     assert os.path.isdir(os.path.join(base, ".__staging_deadbeef"))
+    assert os.path.isdir(os.path.join(base, wrecks[0]))
     prune_published_versions(spark, base, keep=2, sweep_staging=True)
     assert not os.path.isdir(os.path.join(base, ".__staging_deadbeef"))
+    assert not os.path.isdir(os.path.join(base, wrecks[0]))
+
+    # (b2) the VERIFIED claim: Hadoop rename onto an existing
+    # non-empty dir returns TRUE and NESTS the source (measured on
+    # RawLocalFileSystem; the FileSystem spec gives HDFS the same
+    # semantics) — _try_claim must detect the merge via the missing
+    # marker, atomically recover its staging, and report no-win
+    from prod_recommendation_pyspark_spark.sources.writers import _try_claim
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+    st_name = ".__staging_racetest"
+    st_dir = os.path.join(base, st_name)
+    os.makedirs(st_dir)
+    with open(os.path.join(st_dir, "part-0"), "w") as f:
+        f.write("mine")
+    open(os.path.join(st_dir, ".__publisher_racetest"), "w").close()
+    raced = os.path.join(base, "__v=9")  # appeared between exists+rename
+    os.makedirs(raced)
+    with open(os.path.join(raced, "part-0"), "w") as f:
+        f.write("theirs")
+    won = _try_claim(
+        fs, hpath, hpath(st_dir), st_name, ".__publisher_racetest",
+        hpath(raced),
+    )
+    assert won is False
+    # staging recovered intact (marker and data), raced dir untouched
+    assert os.path.isfile(os.path.join(st_dir, "part-0"))
+    assert os.path.isfile(os.path.join(st_dir, ".__publisher_racetest"))
+    with open(os.path.join(raced, "part-0")) as f:
+        assert f.read() == "theirs"
+    assert not os.path.isdir(os.path.join(raced, st_name))
+    import shutil
+
+    shutil.rmtree(st_dir)
+    shutil.rmtree(raced)
 
     # (c) duplicate-id arrivals are dropped: inserting (dups ∪ new)
     # must equal inserting new alone, and equal the rebuild
@@ -407,6 +460,13 @@ def test_publish_staging_rename_and_duplicate_insert_guard(
     key = lambda df: {tuple(r) for r in df.select(*cols).collect()}  # noqa: E731
     assert key(grown) == key(rebuilt)
     assert dups.count() == 3
+    # (d) INTRA-BATCH duplicates (round-14 advice): the same NEW id
+    # twice in one arrival frame passes the index anti-join but must
+    # still insert exactly once — a second __rid row per arm would
+    # silently shift every later position
+    twice = new.unionByName(new.limit(2))
+    grown2 = rank_window_insert(index, twice, "src")
+    assert key(grown2) == key(rebuilt)
 
 
 def test_prune_published_versions(spark, tmp_path):

