@@ -822,6 +822,31 @@ def _v1n_expr(vec_col: str):
     )
 
 
+def _projection_key(direction: list[float], vec_col: str):
+    """The projection-window sort key: the vector's dot product with a
+    FIXED ``direction``, folded strictly left-to-right so every caller
+    (candidate generator, index build, probe, insert) and the SQL
+    oracle compute the bit-identical key.  Aliased ``__v1n`` to ride
+    the shared arm/rank machinery."""
+    proj = F.element_at(F.col(vec_col), 1).cast("double") * float(direction[0])
+    for i, w in enumerate(direction[1:], start=2):
+        proj = proj + F.element_at(F.col(vec_col), i).cast("double") * float(w)
+    return proj.alias("__v1n")
+
+
+def _direction_str(direction: list[float]) -> str:
+    """Canonical metadata encoding of a projection direction — stamped
+    on the artifact (``__dir``) so probes verify they use the SAME
+    projection the index was ranked by (a mismatched direction would
+    silently fetch wrong neighborhoods, the exact hazard ``__w``
+    already guards for the window)."""
+    return ",".join(repr(float(w)) for w in direction)
+
+
+def _parse_direction(s: str) -> list[float]:
+    return [float(x) for x in s.split(",")] if s else []
+
+
 def _malformed_expr(naics_col: str, code_len: int):
     # null-safe: NULL codes are malformed (length(NULL) != n is NULL,
     # which F.when treats as false — the isNull arm catches it)
@@ -1162,7 +1187,18 @@ def rank_window_index(
         )["window"]
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli, spark)
-    return ranked.select(
+    return _index_rows(ranked, window)
+
+
+def _index_rows(
+    ranked: DataFrame, window: int, dir_str: str | None = None
+) -> DataFrame:
+    """Artifact rows from a ``_distributed_rank`` output: dense per-arm
+    positions, window blocks, and the build metadata (``__w``; plus
+    ``__dir`` for the projection family) — shared by the nightly
+    builds, compaction, and insert so every producer stamps the same
+    schema."""
+    cols = [
         F.col("__id").alias("__rid"),
         "__v1n",
         "__lvl",
@@ -1170,7 +1206,10 @@ def rank_window_index(
         F.col("__pos").alias("__cpos"),
         F.floor((F.col("__pos") - 1) / window).alias("__wb"),
         F.lit(int(window)).alias("__w"),
-    )
+    ]
+    if dir_str is not None:
+        cols.append(F.lit(dir_str).alias("__dir"))
+    return ranked.select(*cols)
 
 
 def _resolve_probe_window(index: DataFrame, window: int | None) -> int:
@@ -1273,9 +1312,32 @@ def rank_window_probe(
     slack).  Run compaction once tombstones accumulate; the
     compacted probe IS the rebuild, value-oracled end to end
     (``rank_window_delete_e2e``)."""
+    if "__dir" in index.columns:
+        raise ValueError(
+            "rank_window_probe: this index carries __dir metadata — it "
+            "is a PROJECTION-window artifact; probe it with "
+            "projection_window_probe (the 2-D angle key would fetch "
+            "wrong neighborhoods)."
+        )
     _require_dim2(left, vec_col, "rank_window_probe(left)")
     window = _resolve_probe_window(index, window)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
+    return _probe_fetch(pro, index, window, left_id, right_id, tombstones)
+
+
+def _probe_fetch(
+    pro: DataFrame,
+    index: DataFrame,
+    window: int,
+    left_id: str,
+    right_id: str,
+    tombstones: DataFrame | None,
+) -> DataFrame:
+    """Key-agnostic probe body shared by :func:`rank_window_probe` and
+    :func:`projection_window_probe`: block-summary insertion
+    arithmetic + windowed fetch + tombstone anti-join, entirely in
+    terms of the stored ``__v1n`` sort keys — the probing family only
+    differs in HOW the prospect's ``__v1n`` is computed."""
     blocks = index.groupBy("__lvl", "__blk", "__wb").agg(
         F.min(F.struct("__v1n", F.col("__rid").alias("__id"))).alias("__lo")
     )
@@ -1373,8 +1435,18 @@ def rank_window_compact(
 
     ``tombstones``: the deleted client ids in its FIRST column (any
     name — the index stores ids as ``__rid``, so there is no caller
-    column name to match against)."""
+    column name to match against).
+
+    Works unchanged on PROJECTION-family artifacts (round 14): the
+    re-rank runs over the STORED ``__v1n`` keys, which already carry
+    the projection, and the ``__dir`` metadata is validated
+    (mixed-direction artifacts raise) and re-stamped."""
     w = _resolve_probe_window(index, None)
+    dir_str = (
+        _direction_str(_resolve_probe_direction(index, None))
+        if "__dir" in index.columns
+        else None
+    )
     kept = index.join(
         F.broadcast(tombstones.selectExpr(
             f"{tombstones.columns[0]} AS __rid"
@@ -1387,15 +1459,7 @@ def rank_window_compact(
         F.lit(1).alias("__isc"),
     )
     ranked = _distributed_rank(u, index.sparkSession)
-    return ranked.select(
-        F.col("__id").alias("__rid"),
-        "__v1n",
-        "__lvl",
-        "__blk",
-        F.col("__pos").alias("__cpos"),
-        F.floor((F.col("__pos") - 1) / w).alias("__wb"),
-        F.lit(int(w)).alias("__w"),
-    )
+    return _index_rows(ranked, w, dir_str)
 
 
 def rank_window_insert(
@@ -1444,15 +1508,32 @@ def rank_window_insert(
     ``dropDuplicates([right_id])`` — exactly one row per id survives;
     which one is arbitrary, so an arrival batch carrying CONFLICTING
     payloads for one id is an upstream bug (conflicting updates ride
-    tombstone → compact → insert, like the IVF twin)."""
+    tombstone → compact → insert, like the IVF twin).
+
+    PROJECTION-family artifacts (round 14) insert through here too:
+    when the index carries ``__dir``, the arrivals' sort keys are
+    computed with THAT stored projection (validated, re-stamped) —
+    the direction travels with the artifact, so an insert can never
+    rank arrivals by a different key than the corpus was built on."""
     w = _resolve_probe_window(index, None)
-    _require_dim2(arrivals, vec_col, "rank_window_insert(arrivals)")
+    direction = (
+        _resolve_probe_direction(index, None)
+        if "__dir" in index.columns
+        else None
+    )
+    if direction is None:
+        _require_dim2(arrivals, vec_col, "rank_window_insert(arrivals)")
+        key = None
+    else:
+        key = _projection_key(direction, vec_col)
     arrivals = arrivals.dropDuplicates([right_id]).join(
         index.select(F.col("__rid").alias(right_id)).distinct(),
         right_id,
         "left_anti",
     )
-    new = _arm_clients(arrivals, right_id, vec_col, naics_col, code_len)
+    new = _arm_clients(
+        arrivals, right_id, vec_col, naics_col, code_len, key_expr=key
+    )
     old = index.select(
         F.col("__rid").alias("__id"), "__v1n", "__lvl", "__blk",
         F.lit(1).alias("__isc"),
@@ -1460,14 +1541,269 @@ def rank_window_insert(
     ranked = _distributed_rank(
         old.unionByName(new), index.sparkSession
     )
-    return ranked.select(
+    return _index_rows(
+        ranked, w, None if direction is None else _direction_str(direction)
+    )
+
+
+def derive_projection_window_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    direction: list[float],
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    sample_mod: int = 500,
+    code_len: int = CODE_LEN,
+    min_window: int = 64,
+) -> dict:
+    """STANDALONE window derivation for the PROJECTION family — the
+    general-dim twin of :func:`derive_rank_window_stats`, with the
+    within-arm sort key swapped for the fixed-``direction`` projection
+    (:func:`_projection_key`).  Same estimator: exact-score a
+    deterministic prospect sample against the corpus (one linear
+    |sample|·|R| blocked-kernel pass), read each true top-k pair's
+    minimum required window off a shared rank of the client corpus +
+    sampled prospects, pad ×2, round up the power-of-two ladder, floor
+    ``min_window``.  Consumers: :func:`projection_window_index` builds
+    (derive once at index time, stamp ``__w`` + ``__dir``) and the
+    kernel-vs-window DISPATCH (round-13 verdict #1), which compares
+    the derived window's predicted candidate volume against the exact
+    kernel's — see :func:`projection_window_wins`."""
+    spark = left.sparkSession
+    sample, n_sampled, used_mod = _derivation_sample(
+        left, left_id, sample_mod
+    )
+    key = _projection_key(direction, vec_col)
+    cli = _arm_clients(
+        right, right_id, vec_col, naics_col, code_len, key_expr=key
+    )
+    pro = _arm_prospects(
+        sample, left_id, vec_col, naics_col, code_len, key_expr=key
+    )
+    ranked = _distributed_rank(cli.unionByName(pro), spark)
+    clis_base = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
-        "__v1n",
         "__lvl",
         "__blk",
         F.col("__pos").alias("__cpos"),
-        F.floor((F.col("__pos") - 1) / w).alias("__wb"),
-        F.lit(int(w)).alias("__w"),
+    )
+    pros_ins = ranked.filter(F.col("__isc") == 0).select(
+        F.col("__id").alias("__tid"),
+        "__lvl",
+        "__blk",
+        F.col("__pos").alias("__ins"),
+    )
+    exact = _calibration_exact_topk(
+        sample, right, left_id, right_id,
+        vec_col=vec_col, naics_col=naics_col,
+        lat_col=lat_col, lon_col=lon_col,
+        k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+    )
+    pairs = exact.select(
+        F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+    )
+    n_pairs, mx = _needed_window_stats(pairs, pros_ins, clis_base)
+    return {
+        "n_sampled": n_sampled,
+        "n_pairs": n_pairs,
+        "max_needed": mx,
+        "window": _ladder_window(max(min_window, 2 * (mx or 0))),
+        "sample_mod": used_mod,
+    }
+
+
+#: Measured per-candidate cost ratio of the projection-window path vs
+#: the exact blocked-GEMM kernel, per scored pair: at sf1 on the
+#: 9-dim firmographics recipe the window path scored 7·2·4096 = 57,344
+#: candidates/prospect in 636 s where the kernel scored the full
+#: 135k clients/prospect in 51 s (SCALE.md round-13) —
+#: (636/57,344)/(51/135,000) ≈ 29× more wall per candidate (the rank
+#: shuffle + window-fetch join + distinct vs one BLAS row).  32 is
+#: that measurement rounded up: the dispatch prefers the kernel near
+#: the boundary, because the kernel is exact and its cost model has
+#: no data-geometry risk.
+PROJECTION_WINDOW_COST_RATIO = 32
+
+
+def projection_window_wins(
+    window: int,
+    n_right: int,
+    code_len: int = CODE_LEN,
+    cost_ratio: int = PROJECTION_WINDOW_COST_RATIO,
+) -> bool:
+    """The kernel-vs-window DISPATCH RULE (round-13 verdict #1): take
+    the projection-window candidate path only when its predicted
+    per-prospect candidate volume — ``(code_len+1) · 2 · window``
+    (well-formed arms; the malformed arm is additive noise) — costs
+    less than the exact kernel's ``n_right`` pairs at the MEASURED
+    per-candidate cost ratio.  Both sides scale with |prospects|, so
+    the prospect count cancels.  On near-uniform geometries the
+    derived window grows ~linearly with corpus density (measured
+    133 → 1305 per ×10 data, SCALE.md round-13), so this picks the
+    kernel there — at sf1 the window path measured 636 s vs the
+    kernel's 51 s on identical input; on clustered real corpora the
+    derivation lands small windows and the window path wins the
+    asymptotics.  The deciding quantity is exactly what the
+    derivation already computes, so dispatch adds no jobs beyond the
+    one `count()` of the client corpus."""
+    return (code_len + 1) * 2 * window * cost_ratio < n_right
+
+
+def projection_window_index(
+    right: DataFrame,
+    right_id: str,
+    direction: list[float],
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    window: int | None = None,
+    code_len: int = CODE_LEN,
+    calibration: DataFrame | None = None,
+    calibration_id: str | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    sample_mod: int = 500,
+    min_window: int = 64,
+) -> DataFrame:
+    """Nightly-buildable serving artifact for the GENERAL-DIM
+    projection-window peer search (round-13 verdict #2) — the
+    :func:`rank_window_index` twin with the 2-D angle key swapped for
+    the fixed-``direction`` projection: one distributed rank of the
+    client corpus per arm, positions dense per (lvl, blk), ``__wb``
+    window blocks, and BOTH build parameters stamped as metadata
+    columns — ``__w`` (the window, as in the 2-D artifact) and
+    ``__dir`` (the projection direction, canonical string form).  A
+    probe with a mismatched window OR direction raises instead of
+    silently fetching wrong neighborhoods; compaction and insert read
+    both off the artifact, so the full CRUD lifecycle
+    (:func:`rank_window_compact` / :func:`rank_window_insert` — they
+    dispatch on the metadata) and the versioned-publish / hot-swap
+    machinery apply unchanged.
+
+    ``window=None`` derives the build window at index time from a
+    ``calibration`` prospect frame
+    (:func:`derive_projection_window_stats`) — same nightly story as
+    the 2-D artifact.  Scale: (code_len+1)·|R| slim rows; write
+    partitioned by ``__lvl`` like the 2-D artifact (NOT by ``__blk``
+    — the global arm's empty-string block id round-trips as NULL in
+    Hive-style paths)."""
+    spark = right.sparkSession
+    if window is None:
+        if calibration is None or calibration_id is None:
+            raise ValueError(
+                "projection_window_index: window=None derives the "
+                "build window from the data — pass calibration= and "
+                "calibration_id=, or an explicit window."
+            )
+        window = derive_projection_window_stats(
+            calibration, right, calibration_id, right_id, direction,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            sample_mod=sample_mod, code_len=code_len,
+            min_window=min_window,
+        )["window"]
+    key = _projection_key(direction, vec_col)
+    cli = _arm_clients(
+        right, right_id, vec_col, naics_col, code_len, key_expr=key
+    )
+    ranked = _distributed_rank(cli, spark)
+    return _index_rows(ranked, window, _direction_str(direction))
+
+
+def _resolve_probe_direction(
+    index: DataFrame, direction: list[float] | None
+) -> list[float]:
+    """Direction the probe MUST use = the direction the index was
+    ranked by — the ``__dir`` twin of :func:`_resolve_probe_window`:
+    reads the metadata (min == max or the artifact holds MIXED builds
+    → raise), returns the stored direction when ``direction=None``,
+    validates equality when explicit (mismatch raises — probing with
+    a different projection silently fetches wrong neighborhoods)."""
+    if "__dir" not in index.columns:
+        raise ValueError(
+            "projection_window_probe: index carries no __dir metadata "
+            "— it is a 2-D rank-window artifact; probe it with "
+            "rank_window_probe."
+        )
+    row = index.agg(
+        F.min("__dir").alias("lo"), F.max("__dir").alias("hi")
+    ).first()
+    if row is None or row["lo"] is None:
+        # empty index: any direction yields the empty result
+        if direction is None:
+            raise ValueError(
+                "projection_window_probe: the index is EMPTY and no "
+                "direction was passed — the probe cannot compute "
+                "prospect keys; pass direction= explicitly."
+            )
+        return [float(w) for w in direction]
+    if row["lo"] != row["hi"]:
+        raise ValueError(
+            "projection_window_probe: index holds MIXED projection "
+            f"directions ({row['lo']!r} vs {row['hi']!r}) — e.g. a "
+            "rebuild under a new direction appended over an old "
+            "artifact. Rebuild the index path cleanly."
+        )
+    stored = _parse_direction(row["lo"])
+    if direction is not None and [float(w) for w in direction] != stored:
+        raise ValueError(
+            f"projection_window_probe: direction={list(direction)} "
+            f"does not match the index's build direction {stored} — "
+            "probing with a mismatched projection silently fetches "
+            "wrong neighborhoods. Pass direction=None to use the "
+            "index's."
+        )
+    return stored
+
+
+def projection_window_probe(
+    left: DataFrame,
+    index: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    window: int | None = None,
+    direction: list[float] | None = None,
+    code_len: int = CODE_LEN,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Probe a :func:`projection_window_index` with a prospect batch —
+    the general-dim twin of :func:`rank_window_probe`, sharing its
+    entire fetch body (:func:`_probe_fetch`: broadcast block-summary
+    insertion arithmetic, ≤3 window blocks + one straddling partial
+    count per (prospect, arm), tombstone anti-join, per-row
+    independent so batch splitting and streaming micro-batches change
+    nothing).  Candidate parity with the batch
+    :func:`projection_window_candidates` at the build window is
+    pytest-pinned; the registered ``peer_search_fulldim_probe_parity``
+    query pins the probed serving result under the full value oracle.
+
+    BOTH build parameters are read off the artifact by default
+    (``window=None`` → ``__w``, ``direction=None`` → ``__dir``);
+    explicit values are VALIDATED against the metadata and a mismatch
+    raises — the round-13 verdict's 'mismatched-direction probes
+    raise' contract."""
+    direction = _resolve_probe_direction(index, direction)
+    window = _resolve_probe_window(index.drop("__dir"), window)
+    pro = _arm_prospects(
+        left, left_id, vec_col, naics_col, code_len,
+        key_expr=_projection_key(direction, vec_col),
+    )
+    return _probe_fetch(
+        pro, index.drop("__dir"), window, left_id, right_id, tombstones
     )
 
 
@@ -1532,10 +1868,7 @@ def projection_window_candidates(
     linear bound; the exact blocked GEMM kernel (``hybrid_topk``)
     remains the general-dim exact fallback, and clustered real-world
     corpora are where the window (and the IVF arm) pay off."""
-    proj = F.element_at(F.col(vec_col), 1).cast("double") * float(direction[0])
-    for i, w in enumerate(direction[1:], start=2):
-        proj = proj + F.element_at(F.col(vec_col), i).cast("double") * float(w)
-    key = proj.alias("__v1n")
+    key = _projection_key(direction, vec_col)
     if (
         window is None
         and window_cache is not None
