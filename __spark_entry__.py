@@ -180,6 +180,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if latest_round == 12
         else []
     )
+    # 6. round 14: the full-dim production query now DISPATCHES
+    #    kernel-vs-window (the kernel runs at oracle scales), the
+    #    rank-window probe/insert/compact paths moved through the
+    #    shared _probe_fetch/_index_rows cells with metadata-driven
+    #    family dispatch, and the versioned publish gained
+    #    marker-verified claims + wreck quarantine — every query on
+    #    those paths gets driver re-verification the round the change
+    #    lands.
+    changed_r14 = (
+        [
+            "peer_search_fulldim_topk",
+            "peer_search_fulldim_recall",
+            "peer_search_probe_parity",
+            "rank_window_delete_e2e",
+            "rank_window_insert_e2e",
+            "rank_window_nightly_e2e",
+            "rank_window_versioned_publish_e2e",
+            "streaming_peer_serving_replay",
+        ]
+        if latest_round == 13
+        else []
+    )
     stale_companions = [
         n
         for n in ROWS_ONLY_COMPANIONS.values()
@@ -192,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + changed_r11
         + changed_r12
         + changed_r13
+        + changed_r14
         if n in QUERIES and n not in fresh
     ]
     pool = [

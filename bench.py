@@ -124,6 +124,43 @@ def _serving_benches(spark, sf_dir: str):
 
     yield "serving:rank_window_probe", rank_window_serving
 
+    # projection-window (general-dim) serving: nightly __w+__dir
+    # artifact for the FULL 9-dim reference recipe, probe + exact
+    # dim-9 re-rank — the round-14 serving split for the path the
+    # production fulldim query takes on clustered corpora
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        projection_window_index,
+        projection_window_probe,
+    )
+    from prod_recommendation_pyspark_spark.queries.similarity import (
+        _FD_DIM,
+        _FD_DIRECTION,
+        _FD_WINDOW,
+        _fd_sides,
+    )
+
+    fd_pros, fd_clis = _fd_sides(spark, sf_dir)
+    fd_index = projection_window_index(
+        fd_clis, "src_custkey", _FD_DIRECTION, window=_FD_WINDOW
+    ).localCheckpoint()
+    fd_batch = fd_pros.filter(
+        F.col("tgt_custkey") % 3 != 0
+    ).localCheckpoint()
+
+    def projection_window_serving():
+        cand = projection_window_probe(
+            fd_batch, fd_index, "tgt_custkey", "src_custkey"
+        )
+        return hybrid_topk_pruned(
+            fd_batch, fd_clis, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD,
+            w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=_FD_DIM,
+        ).count()
+
+    yield "serving:projection_window_probe", projection_window_serving
+
     # IVF: nightly list-partitioned artifact reloaded cold, probe the
     # standard query batch (assign -> DPP list fetch -> exact re-rank)
     emb = Catalog(spark, sf_dir).table("embeddings")
