@@ -3456,26 +3456,35 @@ def _fd_ivf_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM franked WHERE rn <= 15
     ORDER BY tgt_custkey, src_custkey
     """,
+    negative_result=True,
 )
 def peer_search_fulldim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """General-dim peer search, IVF ARM (round-13): the FULL
-    reference feature vector (9 dims — w_rev-weighted log revenue +
-    3 numerics + division OHE, search_ranking_peers.py:442,450-455)
-    through ``ivf_block_candidates`` (per-NAICS-level multi-probe
-    IVF, sub-quadratic: |L|·levels·n_probe·√N candidate pairs at the
-    derived centroid density) and the exact unrolled-codegen hybrid
-    re-rank (``hybrid_topk_pruned(dim=9)``).
+    """General-dim peer search, IVF ARM — DEMOTED to
+    ``registry.NEGATIVE_RESULTS`` for the firmographics recipe in
+    round 14 (r13 verdict #3 option (b), same discipline as the r7
+    quadratic prune): still runnable and fully value-oracled for
+    replay (the DuckDB twin re-derives centroid modulus, argmax
+    assignment, per-(prospect, level) block probing, candidate set,
+    and the 9-term score bit for bit; driver-green r13 on file), but
+    no longer a production path or a sweep line for THIS geometry.
 
-    This is the APPROXIMATE-serving variant (like
-    ``ann_ivf_topk_embeddings``): its own output is deterministic and
-    fully value-oracled — the DuckDB twin re-derives the centroid
-    modulus, the argmax assignment, the per-(prospect, level) block
-    probing, the candidate set, and the 9-term hybrid score bit for
-    bit — but its recall vs the exact kernel plateaus at ~0.998 on
-    this concentrated geometry (see the ``_FD_NPROBE`` note).  The
-    exact-recall PRODUCTION path is ``peer_search_fulldim_topk``
-    (projection window); the two arms union when a deployment's
-    geometry defeats one of them."""
+    Why demoted, measured: on the all-positive, w_rev-dominated
+    recipe, recall vs the exact kernel plateaus at 0.9977 (sf0.1) /
+    0.7962 (sf1) — cosine concentrates and sampled-centroid cells
+    interleave along a ~1-D manifold, so the prospect's
+    centroid-cosine order is a weak proxy for where its neighbors
+    live.  Round 14 also tested the obvious better-signal candidate
+    (rank lists by |proj(centroid) − proj(prospect)| on the feature-
+    weight profile — the informative coordinate): candidate coverage
+    of the true top-15 pairs at sf1 measured **0.1605** vs
+    centroid-cosine's 0.7962 (scripts/measure_fulldim_r14.py, SCALE.md
+    round-14) — the centroid projections are so concentrated that
+    projection distance is noise at list granularity; the failed
+    experiment is recorded rather than iterated past its evidence.
+    The production path is ``peer_search_fulldim_topk`` (kernel-vs-
+    window dispatch); ``ivf_block_candidates`` itself stays first-
+    class for clustered/multi-modal geometries, where the ANN suite
+    measures IVF winning."""
     return (
         _fd_ivf_spark(spark, sf_dir)
         .select(
@@ -3532,8 +3541,12 @@ def peer_search_fulldim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves value-oracled (``peer_search_fulldim_dispatch``).  Why
     not IVF: on this all-positive, w_rev-dominated geometry cosine
     concentrates and sampled-centroid cells interleave — the IVF arm
-    plateaus at 0.9977 (sf0.1) / 0.7962 (sf1); it ships as
-    ``peer_search_fulldim_ivf_topk`` for clustered geometries.
+    plateaus at 0.9977 (sf0.1) / 0.7962 (sf1), and the round-14
+    better-signal experiment (projection-distance list ranking) made
+    it WORSE (coverage 0.1605 at sf1), so
+    ``peer_search_fulldim_ivf_topk`` is demoted to
+    ``registry.NEGATIVE_RESULTS`` for this recipe (value-oracled for
+    replay; the operator stays first-class for clustered geometries).
 
     Serving lifecycle (round 14): the window arm's nightly artifact is
     ``projection_window_index`` / ``probe`` (__w + __dir stamped;
