@@ -1798,13 +1798,34 @@ def projection_window_probe(
     raise' contract."""
     direction = _resolve_probe_direction(index, direction)
     window = _resolve_probe_window(index.drop("__dir"), window)
+    return _projection_probe_resolved(
+        left, index.drop("__dir"), left_id, right_id, direction, window,
+        vec_col, naics_col, code_len, tombstones,
+    )
+
+
+def _projection_probe_resolved(
+    left: DataFrame,
+    index: DataFrame,
+    left_id: str,
+    right_id: str,
+    direction: list[float],
+    window: int,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    code_len: int = CODE_LEN,
+    tombstones: DataFrame | None = None,
+) -> DataFrame:
+    """Probe body AFTER metadata resolution — for the streaming loops,
+    which validate ``__w``/``__dir`` ONCE at start (or per published
+    version) and must not re-run the metadata agg jobs every
+    micro-batch (the 2-D loop's ``__w``-strip pattern, extended to the
+    direction)."""
     pro = _arm_prospects(
         left, left_id, vec_col, naics_col, code_len,
         key_expr=_projection_key(direction, vec_col),
     )
-    return _probe_fetch(
-        pro, index.drop("__dir"), window, left_id, right_id, tombstones
-    )
+    return _probe_fetch(pro, index, window, left_id, right_id, tombstones)
 
 
 def projection_window_candidates(

@@ -3364,19 +3364,23 @@ def _fd_proj_sql(alias: str) -> str:
     return f"({terms})"
 
 
-def _fd_win_cte() -> str:
+def _fd_win_cte(cli_filter: str = "") -> str:
     """ANSI replay of ``projection_window_candidates``: per level,
     clients ranked by (projection, id); each prospect's insertion
     point is the count of clients strictly before it; candidates are
     the ±window sorted neighborhood — the ``_rank_cte`` pattern with
     the 2-D angle proxy swapped for the 9-term weight-profile
-    projection."""
+    projection.
+
+    ``cli_filter`` (an extra ``AND ...`` predicate on the fclis CTE)
+    replays a DELETED client corpus — ``projection_window_delete_e2e``'s
+    rebuild-minus-deleted oracle, exactly like ``_rank_cte``'s."""
     w = _FD_WINDOW
     return f"""
     fpros AS (SELECT *, {_fd_proj_sql('fnormed')} AS proj FROM fnormed
               WHERE c_custkey % 10 = 0),
     fclis AS (SELECT *, {_fd_proj_sql('fnormed')} AS proj FROM fnormed
-              WHERE c_custkey % 10 <> 0),
+              WHERE c_custkey % 10 <> 0{cli_filter}),
     flvls AS (SELECT unnest(range(0, 7)) AS lvl),
     fcpos AS (SELECT l.lvl,
                      CASE WHEN l.lvl = 0 THEN ''
@@ -3751,6 +3755,230 @@ def peer_search_fulldim_probe_parity(
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
             candidates=cand, dim=_FD_DIM,
         )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "projection_window_delete_e2e",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    {_fd_win_cte(cli_filter=" AND c_custkey % 9 <> 4")},
+    fscored AS (
+        SELECT fcand.tgt AS tgt_custkey, fcand.src AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fcand JOIN fnormed l ON fcand.tgt = l.c_custkey
+                   JOIN fnormed r ON fcand.src = r.c_custkey),
+    franked AS (
+        SELECT tgt_custkey, src_custkey, score,
+               row_number() OVER (PARTITION BY tgt_custkey
+                                  ORDER BY score DESC, src_custkey) AS rn
+        FROM fscored WHERE score >= 0.0)
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM franked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def projection_window_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE lifecycle on the 9-D serving artifact, under the full
+    value oracle — the projection twin of ``rank_window_delete_e2e``:
+    a third of an id-class of clients is tombstoned, the ``__dir``
+    artifact is compacted by the SHARED metadata-dispatched
+    ``rank_window_compact`` (surviving rows re-ranked over their
+    STORED projection keys — no corpus rescan, no re-projection,
+    ``__dir`` re-stamped), and the window-less, direction-less probe
+    serves off the compacted artifact.  The oracle re-derives the
+    whole pipeline over the SURVIVING clients (``_fd_win_cte`` with
+    the deleted ids filtered out — ranks, insertion points, windows
+    all rebuilt-minus-deleted), so a hash-green row proves compaction
+    ≡ rebuild for the projection family end to end.  Pre-compaction
+    tombstone-probe semantics are pytest-pinned separately
+    (tests/test_projection_artifact.py)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        projection_window_index,
+        projection_window_probe,
+        rank_window_compact,
+    )
+
+    prospects, clients = _fd_sides(spark, sf_dir)
+    index = projection_window_index(
+        clients, "src_custkey", _FD_DIRECTION, window=_FD_WINDOW
+    )
+    tombs = clients.filter(F.col("src_custkey") % 9 == 4).select(
+        "src_custkey"
+    )
+    compacted = rank_window_compact(index, tombs).localCheckpoint()
+    cand = projection_window_probe(
+        prospects, compacted, "tgt_custkey", "src_custkey"
+    )
+    kept = clients.join(F.broadcast(tombs), "src_custkey", "left_anti")
+    return (
+        hybrid_topk_pruned(
+            prospects, kept, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=_FD_DIM,
+        )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "projection_window_insert_e2e",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    {_fd_win_cte()},
+    fscored AS (
+        SELECT fcand.tgt AS tgt_custkey, fcand.src AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fcand JOIN fnormed l ON fcand.tgt = l.c_custkey
+                   JOIN fnormed r ON fcand.src = r.c_custkey),
+    franked AS (
+        SELECT tgt_custkey, src_custkey, score,
+               row_number() OVER (PARTITION BY tgt_custkey
+                                  ORDER BY score DESC, src_custkey) AS rn
+        FROM fscored WHERE score >= 0.0)
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM franked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def projection_window_insert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT lifecycle on the 9-D serving artifact, under the full
+    value oracle — the projection twin of ``rank_window_insert_e2e``:
+    the nightly ``__dir`` artifact is built on a PARTIAL client corpus
+    (src_custkey % 6 != 5), the remaining clients arrive intraday and
+    merge through the SHARED metadata-dispatched ``rank_window_insert``
+    — which reads the direction OFF THE ARTIFACT, keys ONLY the
+    arrivals with it, and re-runs the distributed dense rank against
+    the stored slim rows (no rescan, intra-batch duplicate ids
+    dropped) — and the metadata-less probe serves off the grown
+    artifact.  The oracle is the full-corpus projection-window replay,
+    so a hash-green row proves insert ≡ rebuild-over-the-grown-corpus
+    for the projection family end to end."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_pruned,
+        projection_window_index,
+        projection_window_probe,
+        rank_window_insert,
+    )
+
+    prospects, clients = _fd_sides(spark, sf_dir)
+    old = clients.filter(F.col("src_custkey") % 6 != 5)
+    arrivals = clients.filter(F.col("src_custkey") % 6 == 5)
+    index = projection_window_index(
+        old, "src_custkey", _FD_DIRECTION, window=_FD_WINDOW
+    )
+    grown = rank_window_insert(
+        index, arrivals, "src_custkey"
+    ).localCheckpoint()
+    cand = projection_window_probe(
+        prospects, grown, "tgt_custkey", "src_custkey"
+    )
+    return (
+        hybrid_topk_pruned(
+            prospects, clients, "tgt_custkey", "src_custkey",
+            vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+            k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+            candidates=cand, dim=_FD_DIM,
+        )
+        .select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
+    )
+
+
+@register(
+    "streaming_projection_serving_replay",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    {_fd_win_cte()},
+    fscored AS (
+        SELECT fcand.tgt AS tgt_custkey, fcand.src AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fcand JOIN fnormed l ON fcand.tgt = l.c_custkey
+                   JOIN fnormed r ON fcand.src = r.c_custkey),
+    franked AS (
+        SELECT tgt_custkey, src_custkey, score,
+               row_number() OVER (PARTITION BY tgt_custkey
+                                  ORDER BY score DESC, src_custkey) AS rn
+        FROM fscored WHERE score >= 0.0)
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM franked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def streaming_projection_serving_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 24/7 serving loop for the GENERAL-DIM artifact, registered
+    under the full value oracle — the projection twin of
+    ``streaming_peer_serving_replay``, and the round-14 proof that the
+    streaming loops are artifact-FAMILY-driven: the same
+    ``streaming/joins.py::streaming_peer_serving`` is handed a
+    ``__dir`` artifact, detects the family from the metadata ONCE at
+    start (``_resolve_serving_probe`` — window + direction validated,
+    then stripped so no per-batch metadata jobs run), probes each of
+    three real micro-batches with the projection key, and exact-scores
+    at the direction's dim.  Prospects land in exactly one micro-batch
+    and the probe is per-row independent, so the unioned per-batch
+    top-15 IS the batch path's — the same window-512 CTE replays the
+    whole loop, pinning the streaming execution end to end."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        projection_window_index,
+    )
+    from prod_recommendation_pyspark_spark.streaming.joins import (
+        streaming_peer_serving,
+    )
+
+    prospects, clients = _fd_sides(spark, sf_dir)
+    index = projection_window_index(
+        clients, "src_custkey", _FD_DIRECTION, window=_FD_WINDOW
+    ).localCheckpoint()
+    base = tempfile.mkdtemp(prefix="projection_serving_replay_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    landing, out = f"{base}/landing", f"{base}/out"
+    for i in range(3):  # three part files -> three micro-batches
+        prospects.filter(F.col("tgt_custkey") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    stream = (
+        spark.readStream.schema(prospects.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def emit(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(out)
+
+    q = streaming_peer_serving(
+        stream, index, clients, "tgt_custkey", "src_custkey", emit,
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(landing, ignore_errors=True)
+    if not os.path.isdir(out):  # no batch emitted (empty prospect set)
+        return spark.createDataFrame(
+            [], "tgt_custkey long, src_custkey long, score double"
+        )
+    return (
+        spark.read.parquet(out)
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
         )

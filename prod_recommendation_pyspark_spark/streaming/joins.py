@@ -322,32 +322,31 @@ def streaming_peer_serving(
     without restarting the loop (streamed ≡ batch-with-tombstones,
     pytest-pinned)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
-        _resolve_probe_window,
         hybrid_topk_pruned,
-        rank_window_probe,
     )
 
-    window = _resolve_probe_window(index, window)
-    # resolved + validated ONCE above; per batch, probe a __w-stripped
-    # view with the explicit window so _resolve_probe_window's agg job
-    # does not re-run every micro-batch (the index is static — its
-    # window cannot change under a running query)
-    probe_index = index.drop("__w")
+    # family + window + direction resolved and validated ONCE; per
+    # batch, probe a metadata-stripped view with the explicit values
+    # so the metadata agg jobs do not re-run every micro-batch (the
+    # index is static — its build params cannot change under a
+    # running query).  ROUND 14: the loop is artifact-family-driven —
+    # a __dir (projection) artifact serves the general-dim recipe
+    # through the same plumbing, scoring at the direction's dim.
+    probe, dim, probe_index = _resolve_serving_probe(index, window)
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cand = rank_window_probe(
+        cand = probe(
             batch_df, probe_index, left_id, right_id,
-            vec_col=vec_col, naics_col=naics_col, window=window,
-            tombstones=tombstones,
+            vec_col, naics_col, tombstones,
         )
         topk = hybrid_topk_pruned(
             batch_df, clients, left_id, right_id,
             vec_col=vec_col, naics_col=naics_col,
             lat_col=lat_col, lon_col=lon_col,
             k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-            candidates=cand, dim=2,
+            candidates=cand, dim=dim,
         )
         emit(topk, batch_id)
 
@@ -357,6 +356,47 @@ def streaming_peer_serving(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def _resolve_serving_probe(index: DataFrame, window: int | None):
+    """Resolve a serving artifact's FAMILY + build metadata once, for
+    the streaming loops: returns ``(probe_fn, score_dim,
+    metadata-stripped index)`` where ``probe_fn(batch, idx, lid, rid,
+    vec_col, naics_col, tombstones)`` runs the family's probe with the
+    pre-validated window/direction (no per-batch metadata agg jobs).
+    2-D rank-window artifacts score at dim=2; ``__dir`` (projection)
+    artifacts score at ``len(direction)``."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        _projection_probe_resolved,
+        _resolve_probe_direction,
+        _resolve_probe_window,
+        rank_window_probe,
+    )
+
+    if "__dir" in index.columns:
+        direction = _resolve_probe_direction(index, None)
+        w = _resolve_probe_window(index.drop("__dir"), window)
+        stripped = index.drop("__w", "__dir")
+
+        def probe(batch, idx, lid, rid, vec_col, naics_col, tombstones):
+            return _projection_probe_resolved(
+                batch, idx, lid, rid, direction, w,
+                vec_col=vec_col, naics_col=naics_col, tombstones=tombstones,
+            )
+
+        return probe, len(direction), stripped
+
+    w = _resolve_probe_window(index, window)
+    stripped = index.drop("__w")
+
+    def probe(batch, idx, lid, rid, vec_col, naics_col, tombstones):
+        return rank_window_probe(
+            batch, idx, lid, rid,
+            vec_col=vec_col, naics_col=naics_col, window=w,
+            tombstones=tombstones,
+        )
+
+    return probe, 2, stripped
 
 
 def streaming_peer_serving_published(
@@ -415,16 +455,14 @@ def streaming_peer_serving_published(
     in-flight batch may still be reading version N's files after N+1
     commits (see the prune docstring)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
-        _resolve_probe_window,
         hybrid_topk_pruned,
-        rank_window_probe,
     )
     from prod_recommendation_pyspark_spark.sources.readers import (
         latest_published_version,
         read_published,
     )
 
-    state: dict = {"version": None, "index": None, "window": None}
+    state: dict = {"version": None, "index": None, "probe": None, "dim": 2}
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -464,20 +502,23 @@ def streaming_peer_serving_published(
             return
         if v != state["version"]:
             idx = read_published(spark, base, version=v)
-            state["window"] = _resolve_probe_window(idx, None)
-            state["index"] = idx.drop("__w")
+            # family + metadata validated once per resolved version
+            # (round 14: __dir projection artifacts hot-swap through
+            # the same loop, scored at the direction's dim)
+            state["probe"], state["dim"], state["index"] = (
+                _resolve_serving_probe(idx, None)
+            )
             state["version"] = v
-        cand = rank_window_probe(
+        cand = state["probe"](
             batch_df, state["index"], left_id, right_id,
-            vec_col=vec_col, naics_col=naics_col, window=state["window"],
-            tombstones=tombstones,
+            vec_col, naics_col, tombstones,
         )
         topk = hybrid_topk_pruned(
             batch_df, clients, left_id, right_id,
             vec_col=vec_col, naics_col=naics_col,
             lat_col=lat_col, lon_col=lon_col,
             k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-            candidates=cand, dim=2,
+            candidates=cand, dim=state["dim"],
         )
         emit(topk, batch_id)
 
