@@ -33,11 +33,14 @@ NEGATIVE_ORACLES: dict[str, str] = {}
 #: driver pins use).  Policy note + per-round skip list recorded in
 #: each ORACLE_r{N}_sf01.md.
 SLOW_SWEEP: set[str] = {
-    "peer_search_fulldim_recall",         # 36.1s @ sf0.1 (r13)
-    "peer_search_fulldim_probe_parity",   # 47.4s @ sf0.1 (r14, its first full sweep)
-    "entity_resolution_pipeline_docs",    # 30.3s
-    "mmr_diversify_embeddings",           # 25.1s
-    "streaming_dedup_within_batch",       # 23.3s
+    "peer_search_fulldim_recall",            # 36.1s @ sf0.1 (r13)
+    "peer_search_fulldim_probe_parity",      # 47.4s @ sf0.1 (r14 debut sweep)
+    "projection_window_delete_e2e",          # 36.8s (r14 debut sweep)
+    "projection_window_insert_e2e",          # 33.6s (r14 debut sweep)
+    "streaming_projection_serving_replay",   # 46.1s (r14 debut sweep)
+    "entity_resolution_pipeline_docs",       # 30.3s
+    "mmr_diversify_embeddings",              # 25.1s
+    "streaming_dedup_within_batch",          # 23.3s
 }
 
 
