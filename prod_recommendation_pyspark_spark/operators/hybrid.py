@@ -1000,10 +1000,19 @@ def _window_fetch(
     window: int,
     left_id: str,
     right_id: str,
+    broadcast_probes: bool = False,
 ) -> DataFrame:
     """Fetch the clients in positions [ins−window+1, ins+window] via an
     equi-join on (lvl, blk, ⌊pos/window⌋), the prospect exploded to the
-    ≤3 covering position blocks."""
+    ≤3 covering position blocks.
+
+    ``broadcast_probes`` (the SERVING path — round 14): the probe
+    side is batch-sized BY CONTRACT there, so it broadcasts and the
+    corpus-sized index never shuffles for the fetch — the same
+    no-store-side-Exchange property the dedup band store pins.  The
+    BATCH candidate path leaves it False: there the prospect side is
+    the full left relation, and a shuffle join on the bounded
+    (lvl, blk, wb) key is the right plan at any |L|."""
     probes = pros_ins.select(
         "__tid",
         "__lvl",
@@ -1017,6 +1026,8 @@ def _window_fetch(
             )
         ).alias("__wb"),
     )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
     return (
         probes.join(clis_pos, ["__lvl", "__blk", "__wb"])
         .filter(
@@ -1369,8 +1380,11 @@ def _probe_fetch(
         F.col("__v1n").alias("__cv"),
         "__rid",
     )
+    # the straddle frame is (batch × arms)-sized — broadcast it so the
+    # partial count never shuffles the corpus-sized index (round 14;
+    # same contract as the fetch's broadcast_probes below)
     partial = (
-        straddle.join(idx_s, ["__lvl", "__blk", "__swb"])
+        F.broadcast(straddle).join(idx_s, ["__lvl", "__blk", "__swb"])
         .filter(
             k_lt(
                 F.col("__cv"),
@@ -1400,7 +1414,10 @@ def _probe_fetch(
         )
     )
     clis_pos = index.select("__rid", "__lvl", "__blk", "__cpos", "__wb")
-    fetched = _window_fetch(pros_ins, clis_pos, window, left_id, right_id)
+    fetched = _window_fetch(
+        pros_ins, clis_pos, window, left_id, right_id,
+        broadcast_probes=True,
+    )
     if tombstones is not None:
         # re-select: a named-column join hoists the key to column 0,
         # which would silently swap (left_id, right_id) positionally
