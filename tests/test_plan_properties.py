@@ -295,3 +295,28 @@ def test_rank_window_fetch_is_single_equi_join_band(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
     assert "__wb" in plan  # the window-block equi-key survived
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["peer_search_probe_parity", "peer_search_fulldim_probe_parity"],
+)
+def test_probe_fetch_never_shuffles_the_index(spark, name):
+    """SERVING contract (round 14): in a probe, the only joins that
+    touch the corpus-sized index — the straddle partial-count join on
+    (__lvl, __blk, __swb) and the window fetch on (__lvl, __blk, __wb)
+    — must build the batch-sized probe side as a BROADCAST.  A
+    SortMergeJoin on either key family means the index re-shuffles per
+    serving batch, turning O(batch) serving into O(corpus).  The
+    surviving SortMergeJoins in these plans are batch-side self-joins
+    keyed on __id; they never carry a window-block key."""
+    df = QUERIES[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fetch_joins = [
+        ln
+        for ln in plan.splitlines()
+        if ("__wb" in ln or "__swb" in ln) and "Join" in ln
+    ]
+    assert fetch_joins, "fetch equi-keys vanished from the plan"
+    for ln in fetch_joins:
+        assert "BroadcastHashJoin" in ln, ln.strip()[:160]
