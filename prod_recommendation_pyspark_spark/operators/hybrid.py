@@ -1396,11 +1396,18 @@ def _probe_fetch(
         .groupBy("__id", "__lvl", "__blk", "__swb")
         .agg(F.count(F.lit(1)).alias("__cnt"))
     )
+    # straddle and partial are (batch × arms)-sized like pro itself —
+    # broadcast them so the insertion assembly never sorts/shuffles at
+    # all: the whole probe is then broadcast-only up to the final
+    # window fetch (round 14; the last four SortMergeJoins in the
+    # probe plan were exactly these two left joins, once per probe)
     pros_ins = (
-        pro.join(straddle.select("__id", "__lvl", "__blk", "__swb"),
-                 ["__id", "__lvl", "__blk"], "left")
-        .join(partial.select("__id", "__lvl", "__blk", "__cnt"),
-              ["__id", "__lvl", "__blk"], "left")
+        pro.join(
+            F.broadcast(straddle.select("__id", "__lvl", "__blk", "__swb")),
+            ["__id", "__lvl", "__blk"], "left")
+        .join(
+            F.broadcast(partial.select("__id", "__lvl", "__blk", "__cnt")),
+            ["__id", "__lvl", "__blk"], "left")
         .select(
             F.col("__id").alias("__tid"),
             "__lvl",

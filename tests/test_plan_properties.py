@@ -302,16 +302,18 @@ def test_rank_window_fetch_is_single_equi_join_band(spark):
     ["peer_search_probe_parity", "peer_search_fulldim_probe_parity"],
 )
 def test_probe_fetch_never_shuffles_the_index(spark, name):
-    """SERVING contract (round 14): in a probe, the only joins that
-    touch the corpus-sized index — the straddle partial-count join on
-    (__lvl, __blk, __swb) and the window fetch on (__lvl, __blk, __wb)
-    — must build the batch-sized probe side as a BROADCAST.  A
-    SortMergeJoin on either key family means the index re-shuffles per
-    serving batch, turning O(batch) serving into O(corpus).  The
-    surviving SortMergeJoins in these plans are batch-side self-joins
-    keyed on __id; they never carry a window-block key."""
+    """SERVING contract (round 14): a probe plan contains NO
+    SortMergeJoin at all.  The joins touching the corpus-sized index
+    (straddle partial-count on (__lvl, __blk, __swb), window fetch on
+    (__lvl, __blk, __wb)) broadcast the batch-sized probe side — an
+    SMJ there re-shuffles the index per serving batch, turning
+    O(batch) serving into O(corpus) — and the batch-side insertion
+    assembly (pro ⋈ straddle ⋈ partial on __id) broadcasts its
+    (batch × arms)-sized right sides, so the whole probe is
+    broadcast-only up to the fetch."""
     df = QUERIES[name](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
     fetch_joins = [
         ln
         for ln in plan.splitlines()
