@@ -1819,7 +1819,18 @@ def projection_window_probe(
     (``window=None`` → ``__w``, ``direction=None`` → ``__dir``);
     explicit values are VALIDATED against the metadata and a mismatch
     raises — the round-13 verdict's 'mismatched-direction probes
-    raise' contract."""
+    raise' contract.
+
+    WHEN to serve through this artifact is a measured cost rule, not
+    a hope (SCALE.md round-14, fourth decade): a probed candidate
+    costs ~29× a blocked-GEMM pair, so on uniform geometry whose
+    derived window has grown large (sf10: __w=16384 → a 1k-prospect
+    probe fetches 229M pairs ≈ the exact kernel's wall on the same
+    batch) route batches through the nightly kernel snapshot instead
+    — :func:`projection_window_wins` (the batch dispatcher's rule)
+    answers the same question for serving batch sizes.  The artifact
+    wins on clustered geometries (small derived windows) and small
+    trickle batches — the streaming micro-batch regime it serves."""
     direction = _resolve_probe_direction(index, direction)
     window = _resolve_probe_window(index.drop("__dir"), window)
     return _projection_probe_resolved(
