@@ -1822,15 +1822,16 @@ def projection_window_probe(
     raise' contract.
 
     WHEN to serve through this artifact is a measured cost rule, not
-    a hope (SCALE.md round-14, fourth decade): a probed candidate
-    costs ~29× a blocked-GEMM pair, so on uniform geometry whose
-    derived window has grown large (sf10: __w=16384 → a 1k-prospect
-    probe fetches 229M pairs ≈ the exact kernel's wall on the same
-    batch) route batches through the nightly kernel snapshot instead
-    — :func:`projection_window_wins` (the batch dispatcher's rule)
-    answers the same question for serving batch sizes.  The artifact
-    wins on clustered geometries (small derived windows) and small
-    trickle batches — the streaming micro-batch regime it serves."""
+    a hope (SCALE.md round-14 appendices, sf1 + sf10): at sf1 a
+    1k-prospect probe beats the exact kernel on the same batch ~2.3×
+    (55s vs ~127s); at sf10 the derived window has grown to 16384 and
+    the kernel edges ahead (382s vs ~330s).  On uniform geometry at
+    decade scale, compare fetched-pair volume (levels·2·__w·|batch|)
+    against kernel pairs (|batch|·|corpus|) at the two measured
+    throughputs before choosing the serving path; clustered
+    geometries (small derived windows) and small trickle batches stay
+    firmly in the artifact's domain — the streaming micro-batch
+    regime it serves."""
     direction = _resolve_probe_direction(index, direction)
     window = _resolve_probe_window(index.drop("__dir"), window)
     return _projection_probe_resolved(
