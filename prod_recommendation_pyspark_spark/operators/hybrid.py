@@ -1281,6 +1281,7 @@ def rank_window_probe(
     window: int | None = None,
     code_len: int = CODE_LEN,
     tombstones: DataFrame | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Probe a :func:`rank_window_index` with a prospect batch and
     return the SAME candidate pairs as the batch
@@ -1322,7 +1323,16 @@ def rank_window_probe(
     |deleted| ≪ window slack; the derivation's ×2 pad is exactly that
     slack).  Run compaction once tombstones accumulate; the
     compacted probe IS the rebuild, value-oracled end to end
-    (``rank_window_delete_e2e``)."""
+    (``rank_window_delete_e2e``).
+
+    ``broadcast_probes`` (default True — the SERVING contract: probe
+    batches are bounded) broadcasts every probe-derived frame so the
+    corpus-sized index never shuffles.  A caller probing a
+    CORPUS-SIZED prospect relation (bulk replays, backfills) must
+    pass False (round-15 advice): at large scale the
+    (batch × arms)-sized broadcasts would exceed the broadcast/driver
+    memory limits, and the shuffle join on the bounded
+    (lvl, blk, wb) key is the right plan for that shape."""
     if "__dir" in index.columns:
         raise ValueError(
             "rank_window_probe: this index carries __dir metadata — it "
@@ -1333,7 +1343,10 @@ def rank_window_probe(
     _require_dim2(left, vec_col, "rank_window_probe(left)")
     window = _resolve_probe_window(index, window)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
-    return _probe_fetch(pro, index, window, left_id, right_id, tombstones)
+    return _probe_fetch(
+        pro, index, window, left_id, right_id, tombstones,
+        broadcast_probes=broadcast_probes,
+    )
 
 
 def _probe_fetch(
@@ -1343,12 +1356,19 @@ def _probe_fetch(
     left_id: str,
     right_id: str,
     tombstones: DataFrame | None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Key-agnostic probe body shared by :func:`rank_window_probe` and
     :func:`projection_window_probe`: block-summary insertion
     arithmetic + windowed fetch + tombstone anti-join, entirely in
     terms of the stored ``__v1n`` sort keys — the probing family only
-    differs in HOW the prospect's ``__v1n`` is computed."""
+    differs in HOW the prospect's ``__v1n`` is computed.
+
+    ``broadcast_probes`` gates every probe-derived broadcast hint
+    (straddle, partial, and the fetch probes — NOT the ≤|R|/window-row
+    block summary, which is index-derived and bounded); False is for
+    corpus-sized probe relations where the (batch × arms) frames
+    outgrow the broadcast limit (round-15 advice)."""
     blocks = index.groupBy("__lvl", "__blk", "__wb").agg(
         F.min(F.struct("__v1n", F.col("__rid").alias("__id"))).alias("__lo")
     )
@@ -1383,8 +1403,9 @@ def _probe_fetch(
     # the straddle frame is (batch × arms)-sized — broadcast it so the
     # partial count never shuffles the corpus-sized index (round 14;
     # same contract as the fetch's broadcast_probes below)
+    maybe_b = F.broadcast if broadcast_probes else (lambda d: d)
     partial = (
-        F.broadcast(straddle).join(idx_s, ["__lvl", "__blk", "__swb"])
+        maybe_b(straddle).join(idx_s, ["__lvl", "__blk", "__swb"])
         .filter(
             k_lt(
                 F.col("__cv"),
@@ -1403,10 +1424,10 @@ def _probe_fetch(
     # probe plan were exactly these two left joins, once per probe)
     pros_ins = (
         pro.join(
-            F.broadcast(straddle.select("__id", "__lvl", "__blk", "__swb")),
+            maybe_b(straddle.select("__id", "__lvl", "__blk", "__swb")),
             ["__id", "__lvl", "__blk"], "left")
         .join(
-            F.broadcast(partial.select("__id", "__lvl", "__blk", "__cnt")),
+            maybe_b(partial.select("__id", "__lvl", "__blk", "__cnt")),
             ["__id", "__lvl", "__blk"], "left")
         .select(
             F.col("__id").alias("__tid"),
@@ -1423,7 +1444,7 @@ def _probe_fetch(
     clis_pos = index.select("__rid", "__lvl", "__blk", "__cpos", "__wb")
     fetched = _window_fetch(
         pros_ins, clis_pos, window, left_id, right_id,
-        broadcast_probes=True,
+        broadcast_probes=broadcast_probes,
     )
     if tombstones is not None:
         # re-select: a named-column join hoists the key to column 0,
@@ -1466,11 +1487,18 @@ def rank_window_compact(
     the projection, and the ``__dir`` metadata is validated
     (mixed-direction artifacts raise) and re-stamped."""
     w = _resolve_probe_window(index, None)
-    dir_str = (
-        _direction_str(_resolve_probe_direction(index, None))
-        if "__dir" in index.columns
-        else None
-    )
+    dir_str = None
+    if "__dir" in index.columns:
+        stored = _resolve_probe_direction(
+            index, None, who="rank_window_compact", empty_ok=True
+        )
+        # an EMPTIED (fully-tombstoned) artifact has no resolvable
+        # direction (round-15 advice: degrade gracefully, like
+        # _resolve_probe_window's empty-index default) — stamp the
+        # empty canonical form: values in an empty frame are
+        # irrelevant, but the column keeps the artifact in the
+        # projection family for a later direction-supplied insert
+        dir_str = _direction_str(stored) if stored is not None else ""
     kept = index.join(
         F.broadcast(tombstones.selectExpr(
             f"{tombstones.columns[0]} AS __rid"
@@ -1493,6 +1521,7 @@ def rank_window_insert(
     vec_col: str = "vec",
     naics_col: str = "naics",
     code_len: int = CODE_LEN,
+    direction: list[float] | None = None,
 ) -> DataFrame:
     """INSERT intraday client arrivals into a :func:`rank_window_index`
     artifact without re-touching the existing corpus — the last CRUD
@@ -1540,8 +1569,16 @@ def rank_window_insert(
     the direction travels with the artifact, so an insert can never
     rank arrivals by a different key than the corpus was built on."""
     w = _resolve_probe_window(index, None)
+    # ``direction`` is a FALLBACK for an EMPTIED __dir artifact only
+    # (round-15 advice): a non-empty index resolves — and VALIDATES
+    # the caller's value against — its own stored metadata, so an
+    # insert can never key arrivals differently than the corpus; an
+    # emptied artifact has nothing stored, and re-seeding it requires
+    # the caller to say which projection the family rides.
     direction = (
-        _resolve_probe_direction(index, None)
+        _resolve_probe_direction(
+            index, direction, who="rank_window_insert"
+        )
         if "__dir" in index.columns
         else None
     )
@@ -1747,17 +1784,28 @@ def projection_window_index(
 
 
 def _resolve_probe_direction(
-    index: DataFrame, direction: list[float] | None
-) -> list[float]:
+    index: DataFrame,
+    direction: list[float] | None,
+    who: str = "projection_window_probe",
+    empty_ok: bool = False,
+) -> list[float] | None:
     """Direction the probe MUST use = the direction the index was
     ranked by — the ``__dir`` twin of :func:`_resolve_probe_window`:
     reads the metadata (min == max or the artifact holds MIXED builds
     → raise), returns the stored direction when ``direction=None``,
     validates equality when explicit (mismatch raises — probing with
-    a different projection silently fetches wrong neighborhoods)."""
+    a different projection silently fetches wrong neighborhoods).
+
+    ``who`` names the calling operator in every error (round-15
+    advice — compact/insert raised errors blaming the probe).  An
+    EMPTY ``__dir`` index (e.g. fully tombstoned) resolves to the
+    caller's ``direction`` when one was passed; with ``empty_ok=True``
+    it degrades to ``None`` instead of raising — compaction uses this
+    to stay graceful on an emptied artifact, mirroring
+    :func:`_resolve_probe_window`'s empty-index default."""
     if "__dir" not in index.columns:
         raise ValueError(
-            "projection_window_probe: index carries no __dir metadata "
+            f"{who}: index carries no __dir metadata "
             "— it is a 2-D rank-window artifact; probe it with "
             "rank_window_probe."
         )
@@ -1766,16 +1814,18 @@ def _resolve_probe_direction(
     ).first()
     if row is None or row["lo"] is None:
         # empty index: any direction yields the empty result
-        if direction is None:
-            raise ValueError(
-                "projection_window_probe: the index is EMPTY and no "
-                "direction was passed — the probe cannot compute "
-                "prospect keys; pass direction= explicitly."
-            )
-        return [float(w) for w in direction]
+        if direction is not None:
+            return [float(w) for w in direction]
+        if empty_ok:
+            return None
+        raise ValueError(
+            f"{who}: the index is EMPTY and no "
+            "direction was passed — prospect/arrival keys cannot be "
+            "computed; pass direction= explicitly."
+        )
     if row["lo"] != row["hi"]:
         raise ValueError(
-            "projection_window_probe: index holds MIXED projection "
+            f"{who}: index holds MIXED projection "
             f"directions ({row['lo']!r} vs {row['hi']!r}) — e.g. a "
             "rebuild under a new direction appended over an old "
             "artifact. Rebuild the index path cleanly."
@@ -1783,7 +1833,7 @@ def _resolve_probe_direction(
     stored = _parse_direction(row["lo"])
     if direction is not None and [float(w) for w in direction] != stored:
         raise ValueError(
-            f"projection_window_probe: direction={list(direction)} "
+            f"{who}: direction={list(direction)} "
             f"does not match the index's build direction {stored} — "
             "probing with a mismatched projection silently fetches "
             "wrong neighborhoods. Pass direction=None to use the "
@@ -1803,6 +1853,7 @@ def projection_window_probe(
     direction: list[float] | None = None,
     code_len: int = CODE_LEN,
     tombstones: DataFrame | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Probe a :func:`projection_window_index` with a prospect batch —
     the general-dim twin of :func:`rank_window_probe`, sharing its
@@ -1837,6 +1888,7 @@ def projection_window_probe(
     return _projection_probe_resolved(
         left, index.drop("__dir"), left_id, right_id, direction, window,
         vec_col, naics_col, code_len, tombstones,
+        broadcast_probes=broadcast_probes,
     )
 
 
@@ -1851,6 +1903,7 @@ def _projection_probe_resolved(
     naics_col: str = "naics",
     code_len: int = CODE_LEN,
     tombstones: DataFrame | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Probe body AFTER metadata resolution — for the streaming loops,
     which validate ``__w``/``__dir`` ONCE at start (or per published
@@ -1861,7 +1914,10 @@ def _projection_probe_resolved(
         left, left_id, vec_col, naics_col, code_len,
         key_expr=_projection_key(direction, vec_col),
     )
-    return _probe_fetch(pro, index, window, left_id, right_id, tombstones)
+    return _probe_fetch(
+        pro, index, window, left_id, right_id, tombstones,
+        broadcast_probes=broadcast_probes,
+    )
 
 
 def projection_window_candidates(

@@ -79,6 +79,65 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def _looks_committed(fs, hpath, d) -> bool:
+    """True when directory ``d`` holds a COMMITTED publish, i.e.
+    carries ``_SUCCESS``.  That single check is sufficient for the
+    quarantine race: a rename-publish writes ``_SUCCESS`` into staging
+    BEFORE claiming, so a racing commit is never ``_SUCCESS``-less for
+    even an instant at ``__v=N``.  A ``.__publisher_*`` marker alone
+    (claimed dir whose ``_SUCCESS`` was stripped — an operator
+    invalidating a bad artifact) deliberately does NOT count: readers
+    can never resolve such a dir, so quarantining it loses nothing and
+    keeps the re-publish self-heal working (pytest-pinned)."""
+    return fs.exists(hpath(d, "_SUCCESS"))
+
+
+def _quarantine_wreck(fs, hpath, base, target, n) -> bool:
+    """Atomically move a marker-less ``__v=N`` aside; returns True when
+    the caller may proceed to claim N, False to re-resolve the number.
+
+    The bare re-check-then-rename is a TOCTOU (round-15 advice): after
+    our ``_SUCCESS`` re-check, a second contender can quarantine the
+    same wreck AND a third can claim + commit N — our rename then moves
+    the FRESH COMMIT aside.  So the quarantine is verified AFTER the
+    fact: inspect what actually landed in the aside dir; if it carries
+    ``_SUCCESS`` it was a committed publish, so
+    rename it straight back and let the loop move to the next number.
+    Only a genuinely marker-less directory stays quarantined.
+
+    The restore itself is verified against the Hadoop
+    rename-into-existing-dir merge (same hazard ``_try_claim`` closes):
+    if yet another publisher claimed N while we held the commit aside,
+    the rename-back would NEST it — detected via the nested path and
+    rolled back out, then raised loudly: two committed publishes now
+    contend for one number, which no retry can reconcile."""
+    aside_name = f".__wreck_{n}_{uuid.uuid4().hex}"
+    aside = hpath(f"{base}/{aside_name}")
+    if not fs.rename(target, aside):
+        return False  # lost the wreck-claim race: re-resolve
+    if not _looks_committed(fs, hpath, aside):
+        return True  # genuine legacy wreck, kept aside for inspection
+    # we displaced a committed publish — restore it, verified
+    if fs.rename(aside, target):
+        nested = hpath(target, aside_name)
+        if not fs.exists(nested):
+            return False  # restored cleanly: claim the next number
+        # rename merged INTO a newer claim at N: pull ours back out
+        if not fs.rename(nested, aside):
+            raise RuntimeError(
+                f"publish_versioned: displaced committed publish "
+                f"nested under {target} and could not be recovered — "
+                "manual inspection required."
+            )
+    raise RuntimeError(
+        f"publish_versioned: quarantine displaced a committed publish "
+        f"from {target} and another publisher claimed the number "
+        f"before restore — the displaced artifact is preserved at "
+        f"{aside}; reconcile manually (two committed publishes "
+        "contend for one version number)."
+    )
+
+
 def _try_claim(fs, hpath, staging, staging_name, marker_name, target) -> bool:
     """One VERIFIED version-claim attempt for :func:`publish_versioned`:
     rename staging onto the target, then check the per-publish marker
@@ -147,12 +206,14 @@ def publish_versioned(
     A marker-less ``__v=N`` directory can only be a crashed legacy
     (pre-rename) writer — rename publishers expose ``__v=N`` only
     fully committed.  When one blocks a claim it is QUARANTINED (one
-    atomic rename to a dot-prefixed ``.__wreck_*`` name, after
-    re-checking ``_SUCCESS`` immediately beforehand), never deleted in
-    place: between a stale check and a delete, a concurrent publisher
-    could have cleared the same wreck and committed its own version
-    there — a delete would destroy that freshly committed data, a
-    quarantine rename just fails and the loop re-resolves.  Under
+    atomic rename to a dot-prefixed ``.__wreck_*`` name), never
+    deleted in place, and the quarantine is VERIFIED after the fact
+    (:func:`_quarantine_wreck`, round-15 advice): the pre-rename
+    ``_SUCCESS`` re-check alone is a TOCTOU — a concurrent publisher
+    can commit its own version at N between the check and our rename —
+    so whatever landed aside is inspected, and anything carrying
+    ``_SUCCESS`` is renamed straight back with
+    the loop re-resolving at the next number.  Under
     concurrency the remaining assumption is that no LEGACY writer is
     still mid-write into the wreck (legacy and rename publishers
     cannot safely share a base).  A publisher that dies mid-write
@@ -189,12 +250,12 @@ def publish_versioned(
                 # an earlier stale listing must never be moved aside
                 if fs.exists(hpath(target, "_SUCCESS")):
                     continue  # raced a committed publish: next number
-                # marker-less target: quarantine-rename it aside (an
-                # atomic claim of the WRECK — if a concurrent publisher
-                # committed or quarantined it first, the rename fails
-                # and the loop re-resolves)
-                aside = hpath(f"{base}/.__wreck_{n}_{uuid.uuid4().hex}")
-                if not fs.rename(target, aside):
+                # marker-less target: quarantine-rename it aside, then
+                # VERIFY what was moved (round-15 advice — the bare
+                # re-check-then-rename TOCTOU): a committed publish
+                # landing between the check and the rename is renamed
+                # back and the loop re-resolves at the next number
+                if not _quarantine_wreck(fs, hpath, base, target, n):
                     continue
             if _try_claim(fs, hpath, staging, staging_name, marker_name, target):
                 return n  # verified: the claim is OURS

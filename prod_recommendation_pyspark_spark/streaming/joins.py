@@ -444,8 +444,11 @@ def streaming_peer_serving_published(
     still COMMITS the batch's offsets to the checkpoint, so those
     rows will never replay on their own (round-14 advice) — which is
     why the skip is made ACTIONABLE: with ``dead_letter_dir`` set
-    (recommended for production), every skipped batch is appended
-    there as parquet with its batch id, so an operator re-enqueues
+    (recommended for production), every skipped batch is parked there
+    as parquet under a batch-id-keyed partition directory
+    (``__dlq_batch=N``, written with OVERWRITE so foreachBatch's
+    at-least-once replays cannot double-park a batch — round-15
+    advice), so an operator re-enqueues
     ``spark.read.parquet(dead_letter_dir)`` once the first artifact
     commits; without it, the warning carries the dropped row count
     and says plainly that the rows are gone.  Operationally: publish
@@ -473,12 +476,19 @@ def streaming_peer_serving_published(
             import warnings
 
             if dead_letter_dir is not None:
+                # batch-id-keyed subdirectory + overwrite, NOT a flat
+                # append (round-15 advice): foreachBatch is
+                # at-least-once — a restart after the append but
+                # before the offset commit replays the batch, and a
+                # second append would double-serve every parked
+                # prospect on re-enqueue.  Overwriting the batch's own
+                # partition directory makes the park idempotent per
+                # batch id; partition discovery surfaces the id as a
+                # __dlq_batch column on read.
                 (
-                    batch_df.withColumn(
-                        "__dead_letter_batch_id", F.lit(batch_id)
+                    batch_df.write.mode("overwrite").parquet(
+                        f"{dead_letter_dir}/__dlq_batch={batch_id}"
                     )
-                    .write.mode("append")
-                    .parquet(dead_letter_dir)
                 )
                 warnings.warn(
                     f"streaming_peer_serving_published: batch "

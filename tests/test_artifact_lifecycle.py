@@ -563,3 +563,64 @@ def test_ivf_compact_equals_rebuild_property(spark, mod, rem):
         for r in df.select("nbr_id", "ivf_list").collect()
     }
     assert key(compacted) == key(rebuilt)
+
+
+def test_quarantine_wreck_restores_committed_publish(spark, tmp_path):
+    """Round-15 advice pin: the quarantine's pre-rename _SUCCESS
+    re-check is a TOCTOU — a committed publish can land at __v=N
+    between the check and the rename.  ``_quarantine_wreck`` must
+    therefore verify AFTER the rename: (a) a directory that turns out
+    committed (``_SUCCESS`` present) is renamed straight
+    back and the claim does NOT proceed; (b) a genuine marker-less
+    wreck stays quarantined and the claim proceeds."""
+    import os
+
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        _quarantine_wreck,
+    )
+
+    base = str(tmp_path / "artifact")
+    os.makedirs(base)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(base).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # (a) the dir at __v=4 is actually a COMMITTED publish (simulates
+    # the commit landing after the caller's stale _SUCCESS check)
+    committed = os.path.join(base, "__v=4")
+    os.makedirs(committed)
+    with open(os.path.join(committed, "part-0"), "w") as f:
+        f.write("fresh-commit")
+    open(os.path.join(committed, "_SUCCESS"), "w").close()
+    assert _quarantine_wreck(fs, hpath, base, hpath(committed), 4) is False
+    # restored in place, bytes intact, nothing left aside
+    with open(os.path.join(committed, "part-0")) as f:
+        assert f.read() == "fresh-commit"
+    assert os.path.isfile(os.path.join(committed, "_SUCCESS"))
+    assert not [d for d in os.listdir(base) if d.startswith(".__wreck_")]
+
+    # (a2) marker-only variant: claim marker present, no _SUCCESS —
+    # readers can NEVER resolve such a dir (an operator stripped its
+    # commit marker to invalidate it), so it is quarantined like any
+    # wreck, preserving the re-publish self-heal semantics
+    marked = os.path.join(base, "__v=5")
+    os.makedirs(marked)
+    open(os.path.join(marked, ".__publisher_abc123"), "w").close()
+    assert _quarantine_wreck(fs, hpath, base, hpath(marked), 5) is True
+    assert not os.path.isdir(marked)
+    aside5 = [d for d in os.listdir(base) if d.startswith(".__wreck_5_")]
+    assert len(aside5) == 1
+    import shutil
+
+    shutil.rmtree(os.path.join(base, aside5[0]))
+
+    # (b) a genuine legacy wreck: no _SUCCESS, no marker — quarantined
+    wreck = os.path.join(base, "__v=6")
+    os.makedirs(wreck)
+    with open(os.path.join(wreck, "legacy.dat"), "w") as f:
+        f.write("legacy")
+    assert _quarantine_wreck(fs, hpath, base, hpath(wreck), 6) is True
+    assert not os.path.isdir(wreck)
+    asides = [d for d in os.listdir(base) if d.startswith(".__wreck_6_")]
+    assert len(asides) == 1
+    assert os.path.isfile(os.path.join(base, asides[0], "legacy.dat"))

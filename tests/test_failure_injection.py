@@ -302,12 +302,19 @@ def test_serving_skips_batches_before_first_published_version(spark):
     # round-14 advice: the skipped batches are NOT silently lost —
     # both were parked in the dead-letter path (their offsets commit
     # with the skip, so this parquet is the ONLY replay artifact),
-    # tagged with their batch id, re-enqueueable as a plain read
+    # keyed by batch id, re-enqueueable as a plain read
     parked = spark.read.parquet(dl)
     assert parked.count() == b0.count() + b1.count()
+    # round-15 advice: the park is a batch-id-keyed PARTITION dir
+    # written with overwrite — partition discovery surfaces the id,
+    # and a foreachBatch replay of the same batch cannot double-park
     assert {
-        r["__dead_letter_batch_id"]
-        for r in parked.select("__dead_letter_batch_id").distinct().collect()
+        r["__dlq_batch"]
+        for r in parked.select("__dlq_batch").distinct().collect()
     } == {0, 1}
     replayed = {r["tgt"] for r in parked.select("tgt").collect()}
     assert replayed == {r["tgt"] for r in pros.select("tgt").collect()}
+    # replay idempotency: re-parking batch 0's rows under its batch id
+    # (what an at-least-once restart does) leaves the park unchanged
+    b0.write.mode("overwrite").parquet(f"{dl}/__dlq_batch=0")
+    assert spark.read.parquet(dl).count() == b0.count() + b1.count()

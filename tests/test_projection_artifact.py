@@ -215,3 +215,41 @@ def test_projection_window_dispatch_rule(spark):
     assert stats["window"] in RANK_WINDOW_LADDER
     assert stats["n_sampled"] >= 8
     assert stats["window"] >= max(64, 2 * (stats["max_needed"] or 0))
+
+
+def test_emptied_projection_artifact_compact_insert_graceful(spark):
+    """Round-15 advice pin: an EMPTIED __dir artifact (every client
+    tombstoned) must not brick the CRUD cells.  (a) compact degrades
+    gracefully — empty result, family (__dir column) preserved;
+    (b) insert into the emptied artifact accepts a caller-supplied
+    fallback direction and re-seeds it equal to a fresh build;
+    (c) insert WITHOUT the fallback raises an error naming
+    rank_window_insert (not the probe)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        projection_window_index,
+        rank_window_compact,
+        rank_window_insert,
+    )
+
+    _, clis, _ = _pw_fixture(spark)
+    # build at 64 = the empty-index default window: metadata rides
+    # rows, so a fully-emptied artifact genuinely loses its stored
+    # __w/__dir and re-seeding falls back to the defaults + the
+    # caller-supplied direction
+    index = projection_window_index(clis, "src", DIRECTION, window=64)
+    all_tombs = clis.select("src")
+    emptied = rank_window_compact(index, all_tombs)
+    assert emptied.count() == 0
+    assert "__dir" in emptied.columns  # family survives the emptying
+
+    arrivals = clis.filter(F.col("src") % 3 == 0)
+    with pytest.raises(ValueError, match="rank_window_insert"):
+        rank_window_insert(emptied, arrivals, "src")
+    reseeded = rank_window_insert(
+        emptied, arrivals, "src", direction=DIRECTION
+    )
+    rebuilt = projection_window_index(arrivals, "src", DIRECTION, window=64)
+    cols = ["__rid", "__lvl", "__blk", "__cpos", "__wb", "__w", "__dir"]
+    got = {tuple(r) for r in reseeded.select(*cols).collect()}
+    want = {tuple(r) for r in rebuilt.select(*cols).collect()}
+    assert got == want
