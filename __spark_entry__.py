@@ -202,6 +202,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if latest_round == 13
         else []
     )
+    # 7. round 15: the probe fetch gained the broadcast_probes gate
+    #    (default-True plans unchanged, but the shared body changed),
+    #    compact/insert resolve direction through the renamed/extended
+    #    resolver, and the versioned publish's wreck quarantine is now
+    #    verified-after-rename — every e2e query riding those cells
+    #    gets driver re-verification the round the change lands.
+    changed_r15 = (
+        [
+            "peer_search_probe_parity",
+            "peer_search_fulldim_probe_parity",
+            "rank_window_delete_e2e",
+            "rank_window_insert_e2e",
+            "projection_window_delete_e2e",
+            "projection_window_insert_e2e",
+            "rank_window_versioned_publish_e2e",
+            "streaming_peer_serving_replay",
+            "streaming_projection_serving_replay",
+        ]
+        if latest_round == 14
+        else []
+    )
     stale_companions = [
         n
         for n in ROWS_ONLY_COMPANIONS.values()
@@ -215,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + changed_r12
         + changed_r13
         + changed_r14
+        + changed_r15
         if n in QUERIES and n not in fresh
     ]
     pool = [
@@ -245,6 +267,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ordered.remove(comp)
             ordered.insert(ordered.index(twin), comp)
     return {n: QUERIES[n] for n in ordered}
+
+
+def staleness_note() -> str:
+    """One-line registry-staleness summary for the per-round ORACLE
+    file (round-14 verdict #5): how stale the driver-evidence tail is
+    — the oldest last-driver-pass round across the registry and the
+    count of queries whose last driver pass is more than K=2 rounds
+    old.  Generated from the same committed CORRECTNESS history the
+    sample rotation reads, so the note costs nothing and cannot drift
+    from the rotation's own view."""
+    latest, hash_ok, rows_only, last_pass = _driver_history()
+    verified = [n for n in QUERIES if n in hash_ok or n in rows_only]
+    never = [n for n in QUERIES if n not in last_pass]
+    if not verified:
+        return f"registry staleness: no driver history yet (r{latest})."
+    oldest = min(last_pass.get(n, 0) for n in verified)
+    k = 2
+    older = sum(1 for n in verified if latest - last_pass.get(n, 0) > k)
+    return (
+        f"registry staleness vs driver samples (r{latest}): "
+        f"{len(verified)}/{len(QUERIES)} driver-verified ever; oldest "
+        f"last-driver-pass r{oldest}; {older} queries last "
+        f"driver-passed more than {k} rounds ago"
+        + (f"; {len(never)} never sampled (fresh)" if never else "")
+        + ".  (Every registered query is additionally re-oracled in "
+        "full by the per-round sf0.001/sf0.01 sweeps recorded in this "
+        "file — driver staleness measures the independent driver's "
+        "sampling lag, not verification coverage.)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1691,6 +1691,24 @@ def derive_projection_window_stats(
 #: that measurement rounded up: the dispatch prefers the kernel near
 #: the boundary, because the kernel is exact and its cost model has
 #: no data-geometry risk.
+#:
+#: PROVENANCE & RE-MEASUREMENT (round-14 verdict #7): the ~29× was
+#: measured at sf1 (SCALE.md round-13 general-dim appendix) and
+#: re-confirmed at sf10, where the kernel's 100-prospect subsample
+#: throughput against the probe's fetched-pair throughput reproduces
+#: the same constant ("same constant the dispatcher uses", SCALE.md
+#: round-14 fourth-decade appendix) — two decades on record.  It is a
+#: BATCH-path constant: both sides of the batch dispatch run the same
+#: scoring over different candidate volumes, so the ratio captures
+#: the candidate-generation machinery (rank shuffle + fetch join +
+#: distinct) per emitted pair.  Re-measure via
+#: scripts/measure_fulldim_r14.py if the candidate fetch plan, the
+#: re-rank path, or the kernel blocking changes; the serving-side
+#: twin (which has DIFFERENT overhead shape) is the separate
+#: interpolated rule in :func:`serving_cost_ratio` below.  The flip
+#: boundary is pytest-pinned at this documented value
+#: (tests/test_projection_artifact.py::
+#: test_projection_window_dispatch_rule).
 PROJECTION_WINDOW_COST_RATIO = 32
 
 
@@ -1716,6 +1734,187 @@ def projection_window_wins(
     derivation already computes, so dispatch adds no jobs beyond the
     one `count()` of the client corpus."""
     return (code_len + 1) * 2 * window * cost_ratio < n_right
+
+
+#: Measured SERVING-path throughputs, pairs/second, at the two
+#: recorded decades (SCALE.md round-14 projection-artifact appendices;
+#: local[32], 24g driver, 1,000-prospect batches, dim-9 recipe):
+#:
+#: ==========  ==================  ===================
+#: |clients|   probe (fetch+rank)  kernel (blocked GEMM)
+#: ==========  ==================  ===================
+#: 135,000     57.3M / 55.0s       13.5M / 12.7s
+#: 1,350,000   229.4M / 382.2s     135M / 32.9s
+#: ==========  ==================  ===================
+#:
+#: The probe's per-fetched-pair cost RISES with corpus (re-rank
+#: memory pressure) while the kernel's per-pair cost FALLS (GEMM
+#: utilization), which is exactly why the serving crossover flips
+#: inside the fourth decade.  Re-measure (measure_projection_artifact
+#: .py stages) whenever the recipe's dim, the re-rank path, or the
+#: kernel blocking changes; the rule below interpolates BETWEEN these
+#: decades and clamps outside them — it is calibrated for the
+#: decade-scale regime where the choice carries real wall, and
+#: below it both paths are cheap enough that either verdict is fine.
+SERVING_PROBE_PAIRS_PER_SEC = {135_000: 1.042e6, 1_350_000: 0.599e6}
+SERVING_KERNEL_PAIRS_PER_SEC = {135_000: 1.063e6, 1_350_000: 4.104e6}
+
+
+def serving_cost_ratio(n_right: int) -> float:
+    """Kernel-vs-probe per-pair cost ratio at corpus size ``n_right``
+    — kernel throughput over probe throughput, log-log interpolated
+    between the two measured decades and clamped outside them:
+    ≈1.02 at 135k clients (the paths cost the same per pair) rising
+    to ≈6.85 at 1.35M (the probe pays ~7× per fetched pair).  The SQL
+    twin of the dispatch-evidence query replays this expression
+    bit-for-bit, so keep it a pure function of the two throughput
+    tables."""
+    import math
+
+    lo_n, hi_n = 135_000, 1_350_000
+    r_lo = (
+        SERVING_KERNEL_PAIRS_PER_SEC[lo_n] / SERVING_PROBE_PAIRS_PER_SEC[lo_n]
+    )
+    r_hi = (
+        SERVING_KERNEL_PAIRS_PER_SEC[hi_n] / SERVING_PROBE_PAIRS_PER_SEC[hi_n]
+    )
+    n = min(max(n_right, lo_n), hi_n)
+    t = (math.log(n) - math.log(lo_n)) / (math.log(hi_n) - math.log(lo_n))
+    return math.exp(math.log(r_lo) + t * (math.log(r_hi) - math.log(r_lo)))
+
+
+def serving_probe_wins(
+    window: int,
+    n_right: int,
+    n_batch: int = 1,
+    code_len: int = CODE_LEN,
+) -> bool:
+    """The SERVING-side probe-vs-kernel dispatch rule (round-14
+    verdict #1): serve an intraday batch off the window artifact only
+    when the probe's predicted fetched-pair volume —
+    ``(code_len+1)·2·window·|batch|`` — costs less than the exact
+    kernel's ``|batch|·n_right`` pairs at the measured per-pair cost
+    ratio (:func:`serving_cost_ratio`).  Both sides are linear in
+    ``n_batch`` so the batch size cancels; it stays in the signature
+    because the quantities being compared ARE the two batch costs, and
+    a future fixed-cost term would need it.
+
+    Measured anchors (SCALE.md round-14, pytest-pinned): at sf1
+    (window 4096, 135k clients) the probe wins ~2.3× (55s vs ~127s);
+    at sf10 (window 16384, 1.35M clients) the kernel edges ahead
+    (382s vs ~330s) — the rule reproduces both verdicts from the
+    recorded throughputs.  Clustered corpora (small derived windows)
+    and trickle batches stay firmly in the artifact's domain at any
+    measured scale."""
+    probe_pairs = (code_len + 1) * 2 * window * n_batch
+    kernel_pairs = n_batch * n_right
+    return probe_pairs * serving_cost_ratio(n_right) < kernel_pairs
+
+
+def serve_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    clients: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "vec",
+    naics_col: str = "naics",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    k: int = 15,
+    threshold: float = 0.0,
+    w_hops: float = DEFAULT_W_HOPS,
+    w_havs: float = DEFAULT_W_HAVS,
+    n_right: int | None = None,
+    code_len: int = CODE_LEN,
+    tombstones: DataFrame | None = None,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """THE serving entry point: answer one intraday prospect batch
+    with the full scored top-K, routing probe-vs-kernel on the
+    measured cost rule (:func:`serving_probe_wins`) instead of leaving
+    the crossover as deployment prose — the serving twin of the batch
+    query's :func:`projection_window_wins` dispatch (round-14 verdict
+    #1).  Family (2-D rank window vs ``__dir`` projection) and build
+    metadata are resolved off the artifact exactly like the probes do;
+    ``clients`` is the feature relation the artifact was built from
+    (ideally the PUBLISHED feature snapshot — see
+    ``publish_versioned(companions=...)``), used by the probe route's
+    exact re-rank and by the kernel route's scoring.
+
+    ``n_right`` is the client-corpus size for the rule; pass the
+    cached/memoized count in serving loops (a ``count()`` per
+    micro-batch would add a corpus job — the exact thing the probe
+    route avoids).  When None, one count job runs.
+
+    Routes, both returning ``(left_id, right_id, score)`` top-K:
+
+    - PROBE (wins on clustered windows / modest corpora): fetch
+      candidate pairs from the artifact
+      (:func:`rank_window_probe` / the projection twin), exact-score
+      them (:func:`hybrid_topk_pruned`) at the family's dim —
+      tombstones anti-joined at pair level, the probe contract.
+    - KERNEL (wins when the derived window stops pruning): the exact
+      blocked-GEMM :func:`hybrid_topk` of the batch against the LIVE
+      clients (tombstones anti-joined at the relation level — the
+      kernel route serves rebuild semantics, which is exactly what an
+      exact pass means).
+
+    On geometries where the derived window keeps recall 1.0 (measured
+    at every decade on the firmographics recipe) the two routes return
+    the SAME top-K, so the dispatch changes the plan, never the result
+    — which is what lets ``peer_search_serve_batch_e2e`` pin either
+    route under one value oracle.  Reference anchor: the blocked
+    batching intent at search_ranking_peers.py:489-494."""
+    if "__dir" in index.columns:
+        direction = _resolve_probe_direction(index, None, who="serve_batch")
+        stripped = index.drop("__dir")
+        window = _resolve_probe_window(stripped, None)
+        dim: int | None = len(direction)
+
+        def _probe() -> DataFrame:
+            return _projection_probe_resolved(
+                batch, stripped, left_id, right_id, direction, window,
+                vec_col, naics_col, code_len, tombstones,
+                broadcast_probes=broadcast_probes,
+            )
+
+    else:
+        _require_dim2(batch, vec_col, "serve_batch(batch)")
+        window = _resolve_probe_window(index, None)
+        dim = 2
+
+        def _probe() -> DataFrame:
+            return rank_window_probe(
+                batch, index, left_id, right_id,
+                vec_col=vec_col, naics_col=naics_col, window=window,
+                code_len=code_len, tombstones=tombstones,
+                broadcast_probes=broadcast_probes,
+            )
+
+    if n_right is None:
+        n_right = clients.count()
+    if serving_probe_wins(window, n_right, code_len=code_len):
+        return hybrid_topk_pruned(
+            batch, clients, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            candidates=_probe(), dim=dim,
+        )
+    live = (
+        clients.join(
+            F.broadcast(tombstones.select(right_id)), right_id, "left_anti"
+        )
+        if tombstones is not None
+        else clients
+    )
+    return hybrid_topk(
+        batch, live, left_id, right_id,
+        vec_col=vec_col, naics_col=naics_col,
+        lat_col=lat_col, lon_col=lon_col,
+        k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+    )
 
 
 def projection_window_index(

@@ -3364,7 +3364,7 @@ def _fd_proj_sql(alias: str) -> str:
     return f"({terms})"
 
 
-def _fd_win_cte(cli_filter: str = "") -> str:
+def _fd_win_cte(cli_filter: str = "", pro_filter: str = "") -> str:
     """ANSI replay of ``projection_window_candidates``: per level,
     clients ranked by (projection, id); each prospect's insertion
     point is the count of clients strictly before it; candidates are
@@ -3374,11 +3374,15 @@ def _fd_win_cte(cli_filter: str = "") -> str:
 
     ``cli_filter`` (an extra ``AND ...`` predicate on the fclis CTE)
     replays a DELETED client corpus — ``projection_window_delete_e2e``'s
-    rebuild-minus-deleted oracle, exactly like ``_rank_cte``'s."""
+    rebuild-minus-deleted oracle, exactly like ``_rank_cte``'s.
+    ``pro_filter`` (same form, on fpros) restricts the PROSPECT side —
+    the serving-batch replay: probes are per-row independent, so a
+    batch's candidates are exactly the full replay filtered to the
+    batch's prospects."""
     w = _FD_WINDOW
     return f"""
     fpros AS (SELECT *, {_fd_proj_sql('fnormed')} AS proj FROM fnormed
-              WHERE c_custkey % 10 = 0),
+              WHERE c_custkey % 10 = 0{pro_filter}),
     fclis AS (SELECT *, {_fd_proj_sql('fnormed')} AS proj FROM fnormed
               WHERE c_custkey % 10 <> 0{cli_filter}),
     flvls AS (SELECT unnest(range(0, 7)) AS lvl),
@@ -3682,6 +3686,155 @@ def peer_search_fulldim_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(w), int(n), int(pred), bool(kernel))],
         "derived_window int, n_clients long, pred_candidates long, "
         "kernel_chosen boolean",
+    )
+
+
+def _srv_ratio_sql(n_expr: str) -> str:
+    """DuckDB replay of ``hybrid.serving_cost_ratio``: the kernel/probe
+    per-pair cost ratio log-log interpolated between the two measured
+    decades, built from the SAME literal throughput constants so the
+    oracle recomputes the rule's every input independently."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        SERVING_KERNEL_PAIRS_PER_SEC,
+        SERVING_PROBE_PAIRS_PER_SEC,
+    )
+
+    lo_n, hi_n = 135_000, 1_350_000
+    r_lo = (
+        f"({SERVING_KERNEL_PAIRS_PER_SEC[lo_n]!r}"
+        f" / {SERVING_PROBE_PAIRS_PER_SEC[lo_n]!r})"
+    )
+    r_hi = (
+        f"({SERVING_KERNEL_PAIRS_PER_SEC[hi_n]!r}"
+        f" / {SERVING_PROBE_PAIRS_PER_SEC[hi_n]!r})"
+    )
+    clamped = (
+        f"least(greatest(CAST({n_expr} AS DOUBLE), {float(lo_n)!r}),"
+        f" {float(hi_n)!r})"
+    )
+    t = (
+        f"((ln({clamped}) - ln({float(lo_n)!r}))"
+        f" / (ln({float(hi_n)!r}) - ln({float(lo_n)!r})))"
+    )
+    return f"exp(ln({r_lo}) + {t} * (ln({r_hi}) - ln({r_lo})))"
+
+
+@register(
+    "peer_search_serving_dispatch",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    fclis AS (SELECT * FROM fnormed WHERE c_custkey % 10 <> 0),
+    n AS (SELECT count(*) AS n_clients FROM fclis),
+    r AS (SELECT n_clients, {_srv_ratio_sql('n_clients')} AS ratio FROM n)
+    SELECT CAST({_FD_WINDOW} AS INTEGER) AS derived_window,
+           n_clients,
+           CAST(7 * 2 * {_FD_WINDOW} AS BIGINT) AS pred_probe_pairs,
+           round(ratio, 4) AS cost_ratio,
+           CAST(7 * 2 * {_FD_WINDOW} AS DOUBLE) * ratio < n_clients
+               AS probe_chosen
+    FROM r
+    """,
+)
+def peer_search_serving_dispatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DISPATCH-evidence row for the SERVING path (round-14 verdict
+    #1), the ``peer_search_fulldim_dispatch`` protocol applied to
+    ``hybrid.serving_probe_wins``: the artifact's window, the client
+    count, the probe's predicted per-prospect fetched-pair volume, the
+    interpolated kernel/probe cost ratio at this corpus size, and the
+    routing decision — every input AND the decision recomputed
+    independently by the SQL twin (which pins ``derived_window`` at
+    the floor-512 claim and rebuilds the ratio from the same literal
+    throughput constants, SCALE.md round-14 appendices).  At the
+    oracle scales the clamped ratio is ~1.02 and the rule reads
+    ``14·512·1.02 < |clients|`` — probe at sf0.1 (13.5k clients),
+    kernel at sf0.01 (1.35k) — so the sweeps exercise BOTH verdicts;
+    the measured decade geometries are pytest-pinned
+    (tests/test_projection_artifact.py)."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        CODE_LEN,
+        serving_cost_ratio,
+        serving_probe_wins,
+    )
+
+    prospects, clients = _fd_sides(spark, sf_dir)
+    w = _fd_derived_window(prospects, clients, sf_dir)
+    if sf_dir not in _FD_NCLIENTS_CACHE:
+        _FD_NCLIENTS_CACHE[sf_dir] = clients.count()
+    n = _FD_NCLIENTS_CACHE[sf_dir]
+    pred = (CODE_LEN + 1) * 2 * w
+    return spark.createDataFrame(
+        [
+            (
+                int(w),
+                int(n),
+                int(pred),
+                float(round(serving_cost_ratio(n), 4)),
+                bool(serving_probe_wins(w, n)),
+            )
+        ],
+        "derived_window int, n_clients long, pred_probe_pairs long, "
+        "cost_ratio double, probe_chosen boolean",
+    )
+
+
+@register(
+    "peer_search_serve_batch_e2e",
+    sql=f"""
+    WITH {_fd_firmo_sql()},
+    {_fd_win_cte(pro_filter=" AND c_custkey % 30 = 0")},
+    fscored AS (
+        SELECT fcand.tgt AS tgt_custkey, fcand.src AS src_custkey,
+               {_fd_hybrid_score()} AS score
+        FROM fcand JOIN fnormed l ON fcand.tgt = l.c_custkey
+                   JOIN fnormed r ON fcand.src = r.c_custkey),
+    franked AS (
+        SELECT tgt_custkey, src_custkey, score,
+               row_number() OVER (PARTITION BY tgt_custkey
+                                  ORDER BY score DESC, src_custkey) AS rn
+        FROM fscored WHERE score >= 0.0)
+    SELECT tgt_custkey, src_custkey, round(score, 4) AS score
+    FROM franked WHERE rn <= 15
+    ORDER BY tgt_custkey, src_custkey
+    """,
+)
+def peer_search_serve_batch_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END serving dispatch under the full value oracle
+    (round-14 verdict #1's 'Done'): one intraday prospect batch
+    (every 3rd prospect) answered through ``hybrid.serve_batch`` —
+    which resolves the ``__dir`` artifact's family/metadata, applies
+    the measured ``serving_probe_wins`` rule, and runs the winning
+    route.  The oracle is the batch-restricted window-512 replay; it
+    pins EITHER route because the derived window keeps recall 1.0 on
+    this recipe at every measured scale, so the dispatch changes the
+    plan, never the result — the same invariance the batch dispatch's
+    oracle rides.  Across the sweep scales the rule actually flips
+    (kernel at sf0.01's 1.35k clients, probe at sf0.1's 13.5k), so a
+    green row at both scales is evidence for both routes end to end."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        projection_window_index,
+        serve_batch,
+    )
+
+    prospects, clients = _fd_sides(spark, sf_dir)
+    batch = prospects.filter(F.col("tgt_custkey") % 30 == 0)
+    index = projection_window_index(
+        clients, "src_custkey", _FD_DIRECTION, window=_FD_WINDOW
+    ).localCheckpoint()
+    if sf_dir not in _FD_NCLIENTS_CACHE:
+        _FD_NCLIENTS_CACHE[sf_dir] = clients.count()
+    out = serve_batch(
+        batch, index, clients, "tgt_custkey", "src_custkey",
+        vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
+        k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
+        n_right=_FD_NCLIENTS_CACHE[sf_dir],
+    )
+    return (
+        out.select(
+            "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
+        )
+        .orderBy("tgt_custkey", "src_custkey")
     )
 
 

@@ -253,3 +253,80 @@ def test_emptied_projection_artifact_compact_insert_graceful(spark):
     got = {tuple(r) for r in reseeded.select(*cols).collect()}
     want = {tuple(r) for r in rebuilt.select(*cols).collect()}
     assert got == want
+
+
+def test_serving_probe_vs_kernel_dispatch_rule():
+    """Round-14 verdict #1 pin: `serving_probe_wins` reproduces BOTH
+    measured decade verdicts from the recorded throughput constants
+    (SCALE.md round-14 appendices) — probe wins at the sf1 geometry
+    (window 4096, 135k clients: 55s vs ~127s), kernel at the sf10
+    geometry (window 16384, 1.35M clients: 382s vs ~330s) — and
+    behaves sanely around them."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        serving_cost_ratio,
+        serving_probe_wins,
+    )
+
+    # the two measured geometries, exactly
+    assert serving_probe_wins(4096, 135_000) is True
+    assert serving_probe_wins(16384, 1_350_000) is False
+    # batch size cancels (both costs are linear in it)
+    assert serving_probe_wins(4096, 135_000, n_batch=1000) is True
+    assert serving_probe_wins(16384, 1_350_000, n_batch=1000) is False
+    # clustered corpora (small derived windows) keep the artifact
+    # even at decade scale; oversized windows lose even at sf1 scale
+    assert serving_probe_wins(512, 1_350_000) is True
+    assert serving_probe_wins(16384, 135_000) is False
+    # ratio endpoints match the measured throughput quotients and the
+    # interpolation is monotone between the decades
+    assert abs(serving_cost_ratio(135_000) - 1.063e6 / 1.042e6) < 1e-9
+    assert abs(serving_cost_ratio(1_350_000) - 4.104e6 / 0.599e6) < 1e-9
+    assert serving_cost_ratio(1_000) == serving_cost_ratio(135_000)
+    assert serving_cost_ratio(10**9) == serving_cost_ratio(1_350_000)
+    mids = [serving_cost_ratio(n) for n in (200_000, 400_000, 800_000)]
+    assert mids == sorted(mids)
+    assert serving_cost_ratio(135_000) < mids[0] < mids[-1]
+    assert mids[-1] < serving_cost_ratio(1_350_000)
+
+
+def test_serve_batch_routes_agree(spark):
+    """`serve_batch` answers the same batch identically through BOTH
+    routes (probe+re-rank vs exact kernel) when the window covers the
+    true top-k — forced via n_right on the fixture (tiny corpus →
+    kernel; huge claimed corpus at small window → probe) — and both
+    equal the bare exact kernel.  Also: tombstoned clients never
+    surface on either route."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk,
+        projection_window_index,
+        serve_batch,
+    )
+
+    pros, clis, tombs = _pw_fixture(spark)
+    batch = pros.filter(F.col("tgt") % 3 == 0)
+    index = projection_window_index(
+        clis, "src", DIRECTION, window=64
+    ).localCheckpoint()
+    kw = dict(vec_col="vec", naics_col="naics", lat_col="lat",
+              lon_col="lon", k=5, threshold=0.0)
+
+    def key(df):
+        return {
+            (r["tgt"], r["src"], round(r["score"], 9)) for r in df.collect()
+        }
+
+    want = key(hybrid_topk(batch, clis, "tgt", "src", **kw))
+    # n_right=90 (true corpus) -> clamped ratio ~1.02, 14*64*1.02 > 90
+    # -> KERNEL route; n_right=10M with window 64 -> probe route
+    via_kernel = key(serve_batch(batch, index, clis, "tgt", "src",
+                                 n_right=clis.count(), **kw))
+    via_probe = key(serve_batch(batch, index, clis, "tgt", "src",
+                                n_right=10_000_000, **kw))
+    assert via_kernel == want
+    assert via_probe == want
+    # tombstones honored on both routes
+    dead = {r["src"] for r in tombs.collect()}
+    for forced in (clis.count(), 10_000_000):
+        got = serve_batch(batch, index, clis, "tgt", "src",
+                          n_right=forced, tombstones=tombs, **kw)
+        assert not ({r["src"] for r in got.collect()} & dead)
