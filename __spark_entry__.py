@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    resolver, and the versioned publish's wreck quarantine is now
     #    verified-after-rename — every e2e query riding those cells
     #    gets driver re-verification the round the change lands.
+    # ... and the candidate-pruned re-rank moved its NaN/threshold
+    # guards above the top-K window (scores evaluate once; set
+    # equality pytest-pinned vs the crossjoin oracle) — every query
+    # riding hybrid_topk_pruned re-verifies too.
     changed_r15 = (
         [
             "peer_search_probe_parity",
@@ -219,6 +223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank_window_versioned_publish_e2e",
             "streaming_peer_serving_replay",
             "streaming_projection_serving_replay",
+            "peer_search_hybrid_topk_pruned",
+            "peer_search_pruned_recall",
+            "peer_search_rank_window_topk",
+            "rank_window_derived_parity",
+            "rank_window_nightly_e2e",
+            "peer_search_fulldim_topk",
+            "peer_search_fulldim_recall",
         ]
         if latest_round == 14
         else []

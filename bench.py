@@ -119,7 +119,7 @@ def _serving_benches(spark, sf_dir: str):
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD,
             w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=2,
+            candidates=cand, dim=2, broadcast_sides=True,
         ).count()
 
     yield "serving:rank_window_probe", rank_window_serving
@@ -156,7 +156,7 @@ def _serving_benches(spark, sf_dir: str):
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD,
             w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=_FD_DIM,
+            candidates=cand, dim=_FD_DIM, broadcast_sides=True,
         ).count()
 
     yield "serving:projection_window_probe", projection_window_serving

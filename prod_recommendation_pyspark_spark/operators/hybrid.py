@@ -1901,6 +1901,7 @@ def serve_batch(
             lat_col=lat_col, lon_col=lon_col,
             k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
             candidates=_probe(), dim=dim,
+            broadcast_sides=broadcast_probes,
         )
     live = (
         clients.join(
@@ -2381,6 +2382,7 @@ def hybrid_topk_pruned(
     candidates: DataFrame | None = None,
     quantile_buckets: int | None = None,
     dim: int | None = None,
+    broadcast_sides: bool = False,
 ) -> DataFrame:
     """Candidate-pruned hybrid top-K: exact hybrid scoring (same
     formula as ``hybrid_topk``) restricted to candidate pairs; the
@@ -2388,6 +2390,22 @@ def hybrid_topk_pruned(
     candidate set, so results match the exact kernel whenever every
     true top-k pair is a candidate (recall is measured by the
     ``peer_search_pruned_recall`` query).
+
+    ``broadcast_sides`` (the SERVING-path re-rank, round 15): hint
+    both feature sides broadcast so the CANDIDATE frame — always the
+    big relation on that path (|batch|·arms·2w pairs vs a bounded
+    batch and the client dimension table) — is scored WITHOUT ever
+    being shuffled: candidates stream through two BroadcastHashJoins
+    straight into the map-side WindowGroupLimit, and only the ≤15·|L|
+    surviving rows reach the top-K exchange.  Without the hint, sides
+    materialized from checkpoints (``Scan ExistingRDD``) carry no
+    size statistics, so the planner SortMergeJoins — shuffling and
+    sorting the multi-million-pair candidate frame twice (measured
+    2.5× the serving re-rank wall at sf0.1; at sf10 that shuffle is
+    ~46 GB and was the measured re-rank memory-pressure collapse,
+    0.6M pairs/s vs 1.0M at sf1).  Leave False on the BATCH path,
+    where the left relation is corpus-sized and the shuffle join is
+    the right plan.
 
     Candidate source matters at scale: the default
     ``hybrid_candidates`` (NAICS-block ∪ quantile-bucket arms) is a
@@ -2420,6 +2438,8 @@ def hybrid_topk_pruned(
         F.col(lat_col).alias("__rlat"),
         F.col(lon_col).alias("__rlon"),
     )
+    if broadcast_sides:
+        lhs, rhs = F.broadcast(lhs), F.broadcast(rhs)
     if dim is not None:
         # Validate dim against the ACTUAL vector length before taking
         # the unrolled path: element_at beyond the array is NULL (a
@@ -2480,8 +2500,33 @@ def hybrid_topk_pruned(
                 w_havs,
             ),
         )
-        .filter(~F.isnan("score"))
-        .filter(F.col("score") >= threshold)
         .select(left_id, right_id, "score")
     )
-    return windowed_topk(scored, left_id, [F.col("score").desc(), F.col(right_id)], k)
+    # NO filter below the top-K window (round 15): a pre-rank
+    # `isnan(score)` or `score >= threshold` predicate gets pushed
+    # into the join condition with the FULL ~200-node score expression
+    # inlined — extra per-pair evaluations that measurably knock the
+    # scoring stage off the fast path (9.8s vs ~1s on the 1.8M-pair
+    # sf0.1 serving re-rank).  Instead NaN is neutralized in the SORT
+    # KEY — ``nanvl(score, -inf)`` makes NaN rows order LAST (Spark
+    # otherwise sorts NaN largest, where it would displace real top-K
+    # rows) — and both guards run AFTER the window, on the
+    # materialized column.  Exactly equivalent to filter-then-rank:
+    # non-NaN rows keep their (score DESC, id) order, NaN rows rank
+    # strictly after all of them, and within each group the rows with
+    # score >= threshold form a prefix of that ranking — so
+    # row_number <= k AND the post-filter select the same set, for
+    # every threshold and k (pytest-pinned against the crossjoin
+    # oracle, NaN cases included).
+    ranked = windowed_topk(
+        scored,
+        left_id,
+        [
+            F.nanvl(F.col("score"), F.lit(float("-inf"))).desc(),
+            F.col(right_id),
+        ],
+        k,
+    )
+    return ranked.filter(
+        ~F.isnan("score") & (F.col("score") >= threshold)
+    )

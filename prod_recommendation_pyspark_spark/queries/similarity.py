@@ -1512,7 +1512,7 @@ def peer_search_probe_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=THRESHOLD,
             w_hops=W_HOPS,
             w_havs=W_HAVS,
-            candidates=cand,
+            candidates=cand, broadcast_sides=True,
             dim=2,
         )
         .select(
@@ -1566,7 +1566,7 @@ def rank_window_nightly_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             prospects, clients, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=2,
+            candidates=cand, dim=2, broadcast_sides=True,
         )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
@@ -1629,7 +1629,7 @@ def rank_window_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             prospects, kept, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=2,
+            candidates=cand, dim=2, broadcast_sides=True,
         )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
@@ -1682,7 +1682,7 @@ def rank_window_insert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             prospects, clients, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=2,
+            candidates=cand, dim=2, broadcast_sides=True,
         )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
@@ -1758,7 +1758,7 @@ def rank_window_versioned_publish_e2e(
             prospects, clients, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=2,
+            candidates=cand, dim=2, broadcast_sides=True,
         )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
@@ -3906,7 +3906,7 @@ def peer_search_fulldim_probe_parity(
             prospects, clients, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=_FD_DIM,
+            candidates=cand, dim=_FD_DIM, broadcast_sides=True,
         )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
@@ -3974,7 +3974,7 @@ def projection_window_delete_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             prospects, kept, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=_FD_DIM,
+            candidates=cand, dim=_FD_DIM, broadcast_sides=True,
         )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")
@@ -4040,7 +4040,7 @@ def projection_window_insert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             prospects, clients, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
-            candidates=cand, dim=_FD_DIM,
+            candidates=cand, dim=_FD_DIM, broadcast_sides=True,
         )
         .select(
             "tgt_custkey", "src_custkey", F.round("score", 4).alias("score")

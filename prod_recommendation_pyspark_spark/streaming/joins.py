@@ -346,7 +346,7 @@ def streaming_peer_serving(
             vec_col=vec_col, naics_col=naics_col,
             lat_col=lat_col, lon_col=lon_col,
             k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-            candidates=cand, dim=dim,
+            candidates=cand, dim=dim, broadcast_sides=True,
         )
         emit(topk, batch_id)
 
@@ -528,7 +528,7 @@ def streaming_peer_serving_published(
             vec_col=vec_col, naics_col=naics_col,
             lat_col=lat_col, lon_col=lon_col,
             k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-            candidates=cand, dim=state["dim"],
+            candidates=cand, dim=state["dim"], broadcast_sides=True,
         )
         emit(topk, batch_id)
 

@@ -1001,3 +1001,48 @@ def test_fulldim_candidate_operators_handle_empty_sides(spark):
     assert ivf_block_candidates(
         full_l, empty_r, "tgt_custkey", "src_custkey", empty_c
     ).count() == 0
+
+
+def test_pruned_post_rank_threshold_nan_equivalence(spark):
+    """Round-15 reorder pin: `hybrid_topk_pruned` now ranks FIRST
+    (NaN sunk via nanvl(score, -inf) in the sort key) and applies the
+    isnan/threshold guards AFTER the window — which must select
+    exactly the filter-then-rank set the crossjoin oracle computes,
+    including groups with NaN-scored pairs (NaN vec entries) and a
+    binding nonzero threshold."""
+    import math
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        hybrid_topk_crossjoin,
+        hybrid_topk_pruned,
+    )
+
+    def vec(i):
+        if i % 9 == 4:  # NaN-poisoned vectors -> NaN scores
+            return [float("nan"), 0.5]
+        return [math.cos(0.1 + 1.1 * i / 80), math.sin(0.1 + 1.1 * i / 80)]
+
+    rows = [
+        (i, f"52{i % 3}1{i % 4}0", vec(i), float(i % 50), float(i % 80))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, naics string, vec array<double>, lat double, lon double"
+    )
+    pros = df.filter(F.col("id") % 4 == 0).withColumnRenamed("id", "tgt")
+    clis = df.filter(F.col("id") % 4 != 0).withColumnRenamed("id", "src")
+    all_pairs = pros.select("tgt").crossJoin(clis.select("src"))
+    for th in (-10.0, 0.0, 0.55, 0.8):
+        got = hybrid_topk_pruned(
+            pros, clis, "tgt", "src", k=5, threshold=th,
+            candidates=all_pairs, dim=2,
+        )
+        want = hybrid_topk_crossjoin(
+            pros, clis, "tgt", "src", k=5, threshold=th
+        )
+        a = {(r[0], r[1], r[2]) for r in got.collect()}
+        b = {(r[0], r[1], r[2]) for r in want.collect()}
+        assert a == b, th
+    # the binding-threshold case actually bound (fewer than k rows in
+    # some group) and NaN rows truly exist in the scored pairs
+    assert clis.filter(F.isnan(F.element_at("vec", 1))).count() > 0
