@@ -127,7 +127,11 @@ def _serving_benches(spark, sf_dir: str):
     # projection-window (general-dim) serving: nightly __w+__dir
     # artifact for the FULL 9-dim reference recipe, probe + exact
     # dim-9 re-rank — the round-14 serving split for the path the
-    # production fulldim query takes on clustered corpora
+    # production fulldim query takes on clustered corpora.  Round 15:
+    # the nightly job PUBLISHES the index with its client feature
+    # snapshot as an atomic companion, and the timed probe reads BOTH
+    # off the published version — the deployment shape (no lineage to
+    # the corpus feature plan, no per-probe feature recompute).
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         projection_window_index,
         projection_window_probe,
@@ -138,11 +142,25 @@ def _serving_benches(spark, sf_dir: str):
         _FD_WINDOW,
         _fd_sides,
     )
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        read_published,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        publish_versioned,
+    )
 
     fd_pros, fd_clis = _fd_sides(spark, sf_dir)
-    fd_index = projection_window_index(
-        fd_clis, "src_custkey", _FD_DIRECTION, window=_FD_WINDOW
-    ).localCheckpoint()
+    publish_versioned(
+        projection_window_index(
+            fd_clis, "src_custkey", _FD_DIRECTION, window=_FD_WINDOW
+        ),
+        f"{base}/fd_index", partition_by=["__lvl"],
+        companions={"features": fd_clis},
+    )
+    fd_index = read_published(spark, f"{base}/fd_index", version=1)
+    fd_feats = read_published(
+        spark, f"{base}/fd_index", version=1, companion="features"
+    )
     fd_batch = fd_pros.filter(
         F.col("tgt_custkey") % 3 != 0
     ).localCheckpoint()
@@ -152,7 +170,7 @@ def _serving_benches(spark, sf_dir: str):
             fd_batch, fd_index, "tgt_custkey", "src_custkey"
         )
         return hybrid_topk_pruned(
-            fd_batch, fd_clis, "tgt_custkey", "src_custkey",
+            fd_batch, fd_feats, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD,
             w_hops=W_HOPS, w_havs=W_HAVS,

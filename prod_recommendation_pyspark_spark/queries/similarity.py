@@ -1721,7 +1721,19 @@ def rank_window_versioned_publish_e2e(
 
     This is the glue between the nightly rebuild and the intraday
     CRUD paths: rebuilds land as new versions, tombstones/inserts
-    ride within a version, retention is a directory delete."""
+    ride within a version, retention is a directory delete.
+
+    Round 15 (r14 verdict #2): each publish carries the CLIENT
+    FEATURE SNAPSHOT it was built from as an atomic companion
+    (``publish_versioned(companions={"features": ...})``), and the
+    serving re-rank reads THAT snapshot back
+    (``read_published(companion="features")``, version-pinned to the
+    resolved artifact) instead of recomputing the corpus feature
+    subtree per probe session — the deployment shape that removed the
+    measured +20s-per-probe recompute at sf1.  A hash-green row now
+    also proves the companion round-trips bit-exactly: the scores are
+    computed from the published features, against an oracle that
+    derives them from the raw tables."""
     import atexit
     import shutil
     import tempfile
@@ -1731,6 +1743,7 @@ def rank_window_versioned_publish_e2e(
         rank_window_probe,
     )
     from prod_recommendation_pyspark_spark.sources.readers import (
+        latest_published_version,
         read_published,
     )
     from prod_recommendation_pyspark_spark.sources.writers import (
@@ -1744,18 +1757,27 @@ def rank_window_versioned_publish_e2e(
     publish_versioned(
         rank_window_index(stale, "src_custkey", window=_RANK_WINDOW),
         f"{base}/index", partition_by=["__lvl"],
+        companions={"features": stale},
     )
     publish_versioned(
         rank_window_index(clients, "src_custkey", window=_RANK_WINDOW),
         f"{base}/index", partition_by=["__lvl"],
+        companions={"features": clients},
     )
-    artifact = read_published(spark, f"{base}/index").localCheckpoint()
+    # resolve ONCE, read artifact + its build's features at that pin
+    v = latest_published_version(spark, f"{base}/index")
+    artifact = read_published(
+        spark, f"{base}/index", version=v
+    ).localCheckpoint()
+    feats = read_published(
+        spark, f"{base}/index", version=v, companion="features"
+    )
     cand = rank_window_probe(
         prospects, artifact, "tgt_custkey", "src_custkey"
     )
     return (
         hybrid_topk_pruned(
-            prospects, clients, "tgt_custkey", "src_custkey",
+            prospects, feats, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
             k=TOPK_PEERS, threshold=THRESHOLD, w_hops=W_HOPS, w_havs=W_HAVS,
             candidates=cand, dim=2, broadcast_sides=True,

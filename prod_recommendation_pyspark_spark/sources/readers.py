@@ -137,13 +137,24 @@ def latest_published_version(spark: SparkSession, base: str) -> int:
 
 
 def read_published(
-    spark: SparkSession, base: str, version: int | None = None
+    spark: SparkSession,
+    base: str,
+    version: int | None = None,
+    companion: str | None = None,
 ) -> DataFrame:
     """Read one committed version of a ``publish_versioned`` artifact
     (default: the latest).  The read targets the single version
     directory, so no partition discovery ever lists an in-flight
     rebuild's files; pin ``version=`` for reproducible replays
-    against a historical artifact."""
+    against a historical artifact.
+
+    ``companion`` reads a side table published atomically WITH that
+    version (``publish_versioned(companions=...)``) — e.g. the
+    feature snapshot an index was built from.  Resolve the version
+    ONCE and pass it to both reads when fetching an artifact plus its
+    companion: two latest-version resolutions could straddle a
+    concurrent publish and pair an index with another build's
+    features."""
     n = (
         latest_published_version(spark, base)
         if version is None
@@ -156,7 +167,10 @@ def read_published(
             "nothing was published yet or the only write crashed "
             "before committing."
         )
-    return spark.read.parquet(f"{base}/__v={n}")
+    path = f"{base}/__v={n}"
+    if companion is not None:
+        path = f"{path}/__companion_{companion}"
+    return spark.read.parquet(path)
 
 
 def literal_rows(

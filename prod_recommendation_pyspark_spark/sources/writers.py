@@ -168,6 +168,7 @@ def publish_versioned(
     df: DataFrame,
     base: str,
     partition_by: list[str] | None = None,
+    companions: dict[str, DataFrame] | None = None,
 ) -> int:
     """ATOMIC-PUBLISH a nightly artifact rebuild: write the frame
     under ``base/__v=N`` (N = latest committed version + 1) and let
@@ -219,7 +220,23 @@ def publish_versioned(
     cannot safely share a base).  A publisher that dies mid-write
     leaves only its own staging dir;
     ``prune_published_versions(sweep_staging=True)`` clears staging
-    and quarantined-wreck dirs during maintenance windows."""
+    and quarantined-wreck dirs during maintenance windows.
+
+    ``companions`` (round-14 verdict #2) are side tables that must
+    version ATOMICALLY with the artifact — above all the FEATURE
+    SNAPSHOT the index was built from, so intraday probes re-rank
+    against the exact corpus state the stored ranks encode instead of
+    recomputing the feature subtree per probe session (the measured
+    +20s per sf1 probe) or silently skewing against an
+    upstream table that changed intraday.  Each frame is written
+    inside the SAME staging directory under ``__companion_<name>/``
+    before the claim, so one atomic rename publishes artifact and
+    companions together and a crashed publish leaves neither.  The
+    underscore prefix hides companion dirs from the main
+    ``read_published`` parquet listing (Spark's hidden-path filter);
+    read one back with ``read_published(..., companion=name)`` —
+    version-pinned reads replay the artifact WITH its exact
+    features."""
     spark = df.sparkSession
     from prod_recommendation_pyspark_spark.sources.readers import (
         latest_published_version,
@@ -237,6 +254,15 @@ def publish_versioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{base}/{staging_name}")
+    for cname, cdf in (companions or {}).items():
+        if not cname.replace("_", "").isalnum():
+            raise ValueError(
+                f"publish_versioned: companion name {cname!r} must be "
+                "alphanumeric/underscore (it becomes a directory name)."
+            )
+        cdf.write.mode("errorifexists").parquet(
+            f"{base}/{staging_name}/__companion_{cname}"
+        )
     # the claim marker rides INSIDE staging, so the atomic rename
     # carries it to the target iff the rename truly replaced the path
     fs.create(hpath(staging, marker_name)).close()

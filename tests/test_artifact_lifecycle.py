@@ -624,3 +624,60 @@ def test_quarantine_wreck_restores_committed_publish(spark, tmp_path):
     asides = [d for d in os.listdir(base) if d.startswith(".__wreck_6_")]
     assert len(asides) == 1
     assert os.path.isfile(os.path.join(base, asides[0], "legacy.dat"))
+
+
+def test_publish_companion_feature_snapshot(spark, tmp_path):
+    """Round-14 verdict #2 pin: `publish_versioned(companions=...)`
+    versions side tables atomically WITH the artifact.  (a) companion
+    rides the same atomic rename and reads back exactly; (b) the main
+    read never sees companion files (hidden-path filter); (c) a
+    version-pinned read pairs the artifact with ITS build's
+    companion, not a later one; (d) prune removes expired versions'
+    companions with the version dir."""
+    import os
+
+    import pytest
+
+    from prod_recommendation_pyspark_spark.sources.readers import (
+        read_published,
+    )
+    from prod_recommendation_pyspark_spark.sources.writers import (
+        prune_published_versions,
+        publish_versioned,
+    )
+
+    base = str(tmp_path / "artifact")
+    idx1 = spark.range(10).withColumn("tag", F.lit("i1"))
+    feat1 = spark.range(3).withColumn("f", F.lit(1.0))
+    assert publish_versioned(idx1, base, companions={"features": feat1}) == 1
+    idx2 = spark.range(20).withColumn("tag", F.lit("i2"))
+    feat2 = spark.range(7).withColumn("f", F.lit(2.0))
+    assert publish_versioned(idx2, base, companions={"features": feat2}) == 2
+
+    # (a)+(b): latest main read = 20 rows, unpolluted by companions
+    assert read_published(spark, base).count() == 20
+    assert read_published(spark, base, companion="features").count() == 7
+    # (c): pinned replay pairs v1's artifact with v1's features
+    assert read_published(spark, base, version=1).count() == 10
+    assert (
+        read_published(spark, base, version=1, companion="features").count()
+        == 3
+    )
+    assert {
+        r["f"]
+        for r in read_published(
+            spark, base, version=1, companion="features"
+        ).collect()
+    } == {1.0}
+    # companion dir really lives INSIDE the version dir
+    assert os.path.isdir(os.path.join(base, "__v=2", "__companion_features"))
+    # (d): retention drops the version's companion with the version
+    v3 = spark.range(5)
+    publish_versioned(v3, base, companions={"features": feat2})
+    prune_published_versions(spark, base, keep=2)
+    assert not os.path.isdir(os.path.join(base, "__v=1"))
+    with pytest.raises(Exception):
+        read_published(spark, base, version=1, companion="features").count()
+    # bad companion name is rejected before any write
+    with pytest.raises(ValueError, match="companion name"):
+        publish_versioned(v3, base, companions={"bad/name": feat2})
