@@ -59,6 +59,18 @@ from prod_recommendation_pyspark_spark.operators.similarity import (
 DEFAULT_W_HOPS = 0.399  # search_ranking_peers.py:608
 DEFAULT_W_HAVS = 0.001  # search_ranking_peers.py:609
 
+#: NAICS shared-prefix depth (0..6) → hops score, the kernel's LUT
+#: twin of ``naics_hops_score``'s when-ladder: built from the exact
+#: expression the former per-pair where/maximum chain evaluated, so
+#: the gathered doubles are bit-identical (depth 0 → 0.0 is the
+#: p == 0 override; depths 1..5 → max(1 − 2·(6−p)/10, 0); 6 → 1.0).
+_HOPS_LUT = np.array(
+    [0.0]
+    + [max(1.0 - 2.0 * (6 - p) / 10.0, 0.0) for p in range(1, 6)]
+    + [1.0],
+    dtype=np.float64,
+)
+
 
 def hybrid_score_expr(
     dot: Column,
@@ -227,7 +239,15 @@ def hybrid_topk(
         ids = r["__rid"].to_numpy(dtype=np.int64)
         mat_t = np.array(r["__rvec"].tolist(), dtype=np.float64).T  # (d, m)
         rn_str = [(x or "") for x in r["__rnaics"].tolist()]
-        rn = np.array(rn_str, dtype="S6").view("uint8").reshape(len(r), -1)
+        # 6-byte-truncated codes packed into big-endian uint64 (first
+        # byte most significant, zero-padded): prefix-p equality is
+        # then ONE (b, m) compare of `code >> 8·(8−p)` per depth —
+        # the S6 truncation must happen BEFORE the S8 pad so 7+-char
+        # codes keep the byte-compare semantics of the original
+        # (b, m, 6) path
+        rn64 = (
+            np.array(rn_str, dtype="S6").astype("S8").view(">u8").reshape(-1)
+        )
         rnlen = np.array([len(x) for x in rn_str])
         rlat = r["__rlat"].to_numpy(dtype=np.float64)
         rlon = r["__rlon"].to_numpy(dtype=np.float64)
@@ -245,15 +265,31 @@ def hybrid_topk(
             lvec = np.array(chunk["__lvec"].tolist(), dtype=np.float64)
             cos = lvec @ mat_t  # (b, m)
 
-            # NAICS hops: prefix depth via cumulative char equality
+            # NAICS hops: shared-prefix depth as Σ_p 1[first p bytes
+            # equal] over p = 1..6 (prefix-p equality implies every
+            # shorter prefix, so the sum IS the depth) — 6 flat (b, m)
+            # uint64 compares accumulated into an int8 grid, replacing
+            # the former (b, m, 6) byte tensor + int64 cumprod + sum,
+            # whose 6× intermediates dominated the kernel's non-GEMM
+            # wall (bit-identical depths; optimization r15, guide
+            # §4.2).  The depth→score ladder becomes one float64 LUT
+            # gather — same IEEE values as the original where/maximum
+            # chain (the LUT is built from the identical expression).
             lcodes = chunk["__lnaics"].fillna("").to_numpy()
             lnlen = np.array([len(c) for c in lcodes])
-            ln = np.array([c.encode()[:6].ljust(6) for c in lcodes], dtype="S6")
-            ln = ln.view("uint8").reshape(len(chunk), 6)
-            eq = ln[:, None, :] == rn[None, :, :]  # (b, m, 6)
-            p = eq.cumprod(axis=2).sum(axis=2)
-            hops = np.where(p == 6, 1.0, np.maximum(1.0 - 2.0 * (6 - p) / 10.0, 0.0))
-            hops = np.where(p == 0, 0.0, hops)
+            ln64 = (
+                np.array(
+                    [c.encode()[:6].ljust(6) for c in lcodes], dtype="S6"
+                )
+                .astype("S8")
+                .view(">u8")
+                .reshape(-1)
+            )
+            p = np.zeros((len(chunk), m), dtype=np.int8)
+            for pre in range(1, 7):
+                sh = np.uint64(8 * (8 - pre))
+                p += (ln64 >> sh)[:, None] == (rn64 >> sh)[None, :]
+            hops = _HOPS_LUT[p]
             bad = (lnlen != 6)[:, None] | r_bad[None, :]
             hops = np.where(bad, -1.0, hops)
 
@@ -1058,6 +1094,8 @@ def derive_rank_window_stats(
     sample_mod: int = 500,
     code_len: int = CODE_LEN,
     min_window: int = 64,
+    prev_window: int | None = None,
+    warm_sample_mod: int | None = None,
 ) -> dict:
     """STANDALONE window derivation — for :func:`rank_window_index`
     builds (derive once at index time; probes must reuse the index's
@@ -1070,13 +1108,67 @@ def derive_rank_window_stats(
     full client corpus plus only the sampled prospects, then pad ×2
     and round up the power-of-two ladder (floor ``min_window``).
 
+    ``prev_window`` WARM-STARTS the derivation from the previous
+    snapshot's derived window (round-14 verdict #3 / optimization
+    round 15): the calibration kernel is the derivation's entire cost
+    at scale (sf10: one 3,000-sample × 1.35M-client pass = 361 s of a
+    ~372 s derivation), so a nightly rebuild against a corpus that
+    drifted only marginally re-pays it for an answer it already has.
+    With ``prev_window`` set, the derivation first runs on a ~8×
+    SMALLER sample (``warm_sample_mod``, default ``sample_mod·8`` —
+    the mod is the INVERSE of the sampling rate, so a larger mod
+    samples fewer prospects); if that cheap pass derives a window ≤
+    ``prev_window`` the previous window is KEPT (stability: the
+    window never shrinks between nightly builds without a full pass),
+    otherwise the FULL-sample derivation runs — escalation, the rare
+    path, costs one wasted warm pass.  Estimator semantics are
+    unchanged in kind: the full derivation is itself a sampled
+    estimate with a ×2 out-of-sample pad, and the warm check replaces
+    one sampled max-need with (previous full estimate + a fresh
+    smaller-sample drift check against the SAME ×2 pad).  A corpus
+    whose tie density grew past the previous pad fails the check and
+    escalates; measured at sf1/sf10 the warm pass reproduces the
+    full-pass window with the calibration cost cut ~6-8×
+    (OPTIMIZATION_r15.md).
+
     Returns ``{"n_sampled", "n_pairs", "max_needed", "window",
     "sample_mod"}`` (``max_needed`` None when the sample yields no
     pairs — window falls to the floor; at corpora small enough to
     sample nothing, the floor is ≥ the measured exact-recall need by
-    a wide margin)."""
+    a wide margin).  With ``prev_window``, two extra keys:
+    ``warm_start`` (True = previous window kept) and ``warm_window``
+    (what the small-sample pass derived)."""
     spark = left.sparkSession
     _require_dim2(right, vec_col, "derive_rank_window_stats(right)")
+    if prev_window is not None:
+        warm = derive_rank_window_stats(
+            left, right, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            sample_mod=warm_sample_mod or sample_mod * 8,
+            code_len=code_len, min_window=min_window,
+        )
+        if warm["window"] <= prev_window:
+            return {
+                **warm,
+                "window": int(prev_window),
+                "warm_start": True,
+                "warm_window": warm["window"],
+            }
+        full = derive_rank_window_stats(
+            left, right, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            sample_mod=sample_mod, code_len=code_len,
+            min_window=min_window,
+        )
+        return {
+            **full,
+            "warm_start": False,
+            "warm_window": warm["window"],
+        }
     _require_dim2(left, vec_col, "derive_rank_window_stats(left)")
     sample, n_sampled, used_mod = _derivation_sample(
         left, left_id, sample_mod
@@ -1145,6 +1237,7 @@ def rank_window_index(
     w_havs: float = DEFAULT_W_HAVS,
     sample_mod: int = 500,
     min_window: int = 64,
+    prev_window: int | None = None,
 ) -> DataFrame:
     """Build the PERSISTABLE client-side index of the rank-window peer
     search — the serving-path split (same pattern as the incremental
@@ -1177,7 +1270,11 @@ def rank_window_index(
     window from the corpus' measured tie density (floor
     ``min_window``; the remaining keyword args parameterize the
     calibration scoring).  Probes then need no window at all — they
-    read ``__w`` off the artifact."""
+    read ``__w`` off the artifact.  ``prev_window`` (read yesterday's
+    ``__w`` off the previous artifact) warm-starts that derivation —
+    the nightly amortization: the calibration kernel re-runs in full
+    only when the corpus drifted past the previous window (see
+    :func:`derive_rank_window_stats`)."""
     spark = right.sparkSession
     _require_dim2(right, vec_col, "rank_window_index(right)")
     if window is None:
@@ -1194,7 +1291,7 @@ def rank_window_index(
             lat_col=lat_col, lon_col=lon_col,
             k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
             sample_mod=sample_mod, code_len=code_len,
-            min_window=min_window,
+            min_window=min_window, prev_window=prev_window,
         )["window"]
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     ranked = _distributed_rank(cli, spark)
@@ -1624,6 +1721,8 @@ def derive_projection_window_stats(
     sample_mod: int = 500,
     code_len: int = CODE_LEN,
     min_window: int = 64,
+    prev_window: int | None = None,
+    warm_sample_mod: int | None = None,
 ) -> dict:
     """STANDALONE window derivation for the PROJECTION family — the
     general-dim twin of :func:`derive_rank_window_stats`, with the
@@ -1637,8 +1736,43 @@ def derive_projection_window_stats(
     (derive once at index time, stamp ``__w`` + ``__dir``) and the
     kernel-vs-window DISPATCH (round-13 verdict #1), which compares
     the derived window's predicted candidate volume against the exact
-    kernel's — see :func:`projection_window_wins`."""
+    kernel's — see :func:`projection_window_wins`.
+
+    ``prev_window``/``warm_sample_mod`` warm-start the derivation from
+    the previous snapshot's window exactly like
+    :func:`derive_rank_window_stats` (see its docstring): a ~8×
+    smaller-sample pass first, keep ``prev_window`` when it suffices,
+    escalate to the full pass when the corpus drifted past it."""
     spark = left.sparkSession
+    if prev_window is not None:
+        warm = derive_projection_window_stats(
+            left, right, left_id, right_id, direction,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            sample_mod=warm_sample_mod or sample_mod * 8,
+            code_len=code_len, min_window=min_window,
+        )
+        if warm["window"] <= prev_window:
+            return {
+                **warm,
+                "window": int(prev_window),
+                "warm_start": True,
+                "warm_window": warm["window"],
+            }
+        full = derive_projection_window_stats(
+            left, right, left_id, right_id, direction,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            sample_mod=sample_mod, code_len=code_len,
+            min_window=min_window,
+        )
+        return {
+            **full,
+            "warm_start": False,
+            "warm_window": warm["window"],
+        }
     sample, n_sampled, used_mod = _derivation_sample(
         left, left_id, sample_mod
     )
@@ -1936,6 +2070,7 @@ def projection_window_index(
     w_havs: float = DEFAULT_W_HAVS,
     sample_mod: int = 500,
     min_window: int = 64,
+    prev_window: int | None = None,
 ) -> DataFrame:
     """Nightly-buildable serving artifact for the GENERAL-DIM
     projection-window peer search (round-13 verdict #2) — the
@@ -1955,7 +2090,10 @@ def projection_window_index(
     ``window=None`` derives the build window at index time from a
     ``calibration`` prospect frame
     (:func:`derive_projection_window_stats`) — same nightly story as
-    the 2-D artifact.  Scale: (code_len+1)·|R| slim rows; write
+    the 2-D artifact; ``prev_window`` (yesterday's ``__w``)
+    warm-starts it, re-paying the full calibration kernel only when
+    the corpus drifted past the previous window.  Scale:
+    (code_len+1)·|R| slim rows; write
     partitioned by ``__lvl`` like the 2-D artifact (NOT by ``__blk``
     — the global arm's empty-string block id round-trips as NULL in
     Hive-style paths)."""
@@ -1973,7 +2111,7 @@ def projection_window_index(
             lat_col=lat_col, lon_col=lon_col,
             k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
             sample_mod=sample_mod, code_len=code_len,
-            min_window=min_window,
+            min_window=min_window, prev_window=prev_window,
         )["window"]
     key = _projection_key(direction, vec_col)
     cli = _arm_clients(

@@ -1046,3 +1046,64 @@ def test_pruned_post_rank_threshold_nan_equivalence(spark):
     # the binding-threshold case actually bound (fewer than k rows in
     # some group) and NaN rows truly exist in the scored pairs
     assert clis.filter(F.isnan(F.element_at("vec", 1))).count() > 0
+
+
+def test_warm_start_derivation_keeps_and_escalates(spark):
+    """prev_window warm-start (optimization r15): when the previous
+    snapshot's window still covers the corpus' measured need, the
+    small-sample warm pass KEEPS it (warm_start=True, window ==
+    prev); when prev is below the need (corpus drifted / bogus prev),
+    the derivation ESCALATES to the full pass and returns exactly the
+    cold full-sample window."""
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        derive_rank_window_stats,
+    )
+
+    pros, clis = _tie_heavy_sides(spark)
+    cold = derive_rank_window_stats(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0
+    )
+    assert cold["window"] > 64  # the fixture defeats the floor
+
+    kept = derive_rank_window_stats(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0,
+        prev_window=cold["window"],
+    )
+    assert kept["warm_start"] is True
+    assert kept["window"] == cold["window"]
+    # the warm pass derived a window and it fits under prev
+    assert kept["warm_window"] <= cold["window"]
+
+    escalated = derive_rank_window_stats(
+        pros, clis, "tgt", "src", k=5, threshold=-10.0,
+        prev_window=64,
+    )
+    assert escalated["warm_start"] is False
+    assert escalated["warm_window"] > 64  # the check that failed
+    assert escalated["window"] == cold["window"]  # full pass reproduced
+
+
+def test_warm_start_projection_index_threads_prev_window(spark):
+    """projection_window_index(prev_window=yesterday's __w) builds at
+    the kept window without re-paying the full calibration — the
+    artifact's __w equals the cold-derived __w (nightly warm rebuild
+    == cold rebuild, pytest-pinned at fixture scale)."""
+    from pyspark.sql import functions as F
+
+    from prod_recommendation_pyspark_spark.operators.hybrid import (
+        derive_projection_window_stats,
+        projection_window_index,
+    )
+
+    pros, clis = _tie_heavy_sides(spark)
+    direction = [0.6, 0.8]
+    cold = derive_projection_window_stats(
+        pros, clis, "tgt", "src", direction, k=5, threshold=-10.0
+    )
+    warm_index = projection_window_index(
+        clis, "src", direction, window=None,
+        calibration=pros, calibration_id="tgt",
+        k=5, threshold=-10.0, prev_window=cold["window"],
+    )
+    got_w = warm_index.select(F.max("__w")).first()[0]
+    assert got_w == cold["window"]
