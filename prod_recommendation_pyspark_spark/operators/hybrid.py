@@ -1128,8 +1128,23 @@ def derive_rank_window_stats(
     smaller-sample drift check against the SAME ×2 pad).  A corpus
     whose tie density grew past the previous pad fails the check and
     escalates; measured at sf1/sf10 the warm pass reproduces the
-    full-pass window with the calibration cost cut ~6-8×
+    full-pass window with the calibration cost cut ~2.5-7×
     (OPTIMIZATION_r15.md).
+
+    SENSITIVITY LIMIT (measured, sf1 projection family): the warm
+    check compares a SMALLER-sample max-need against ``prev_window``,
+    and max statistics shrink with sample size (sf1: 38-prospect warm
+    mx 510 vs 300-prospect full mx 1131) — so a prev sitting at or
+    below the full-pass window but ON the warm ladder rung can be
+    falsely kept (prev = cold/4 was kept at sf1; prev = cold/8
+    escalated correctly).  In the nightly deployment prev IS
+    yesterday's full-derived window, so a false keep requires the
+    corpus to out-drift the ×2 pad in one rebuild cycle; still, run a
+    full derivation (``prev_window=None``) on a fixed cadence (e.g.
+    weekly) to bound staleness, exactly like any TTL'd estimate.  At
+    decade scale the warm sample is large in absolute terms (sf10:
+    375 prospects — the size of sf1's FULL sample), so the shrinkage
+    narrows precisely where the calibration is expensive.
 
     Returns ``{"n_sampled", "n_pairs", "max_needed", "window",
     "sample_mod"}`` (``max_needed`` None when the sample yields no

@@ -100,7 +100,7 @@ def run(spark, sf_dir: str, out_dir: str, window: int) -> dict:
         served = hybrid_topk_pruned(
             batch, clients, "tgt_custkey", "src_custkey",
             vec_col="vec", naics_col="naics", lat_col="lat", lon_col="lon",
-            candidates=cand, dim=_FD_DIM, **KW,
+            candidates=cand, dim=_FD_DIM, broadcast_sides=True, **KW,
         )
         return {
             (r[0], r[1])

@@ -77,15 +77,25 @@ def run(spark, sf_dir: str, family: str) -> dict:
     warm = derive(prev_window=cold["window"])
     out["warm_keep"] = {**warm, "wall_s": round(time.time() - t0, 1)}
 
+    # boundary drift (prev = cold/4): the warm check's sensitivity
+    # limit — a small warm sample can under-estimate max-need and
+    # false-keep a prev sitting exactly on the warm ladder rung
     t0 = time.time()
-    esc = derive(prev_window=max(64, cold["window"] // 4))
+    bnd = derive(prev_window=max(64, cold["window"] // 4))
+    out["boundary"] = {**bnd, "wall_s": round(time.time() - t0, 1)}
+
+    # clear drift (prev = cold/8): must escalate to the full pass and
+    # land back on the cold window
+    t0 = time.time()
+    esc = derive(prev_window=max(64, cold["window"] // 8))
     out["escalate"] = {**esc, "wall_s": round(time.time() - t0, 1)}
 
-    out["window_invariant"] = (
-        cold["window"] == warm["window"] == esc["window"]
-    )
+    out["steady_state_invariant"] = cold["window"] == warm["window"]
     out["warm_kept"] = bool(warm.get("warm_start"))
-    out["escalated"] = warm.get("warm_start") and not esc.get("warm_start")
+    out["boundary_escalated"] = not bnd.get("warm_start")
+    out["clear_drift_escalated"] = (
+        not esc.get("warm_start") and esc["window"] == cold["window"]
+    )
     return out
 
 
