@@ -1905,6 +1905,21 @@ def projection_window_wins(
 #: decades and clamps outside them — it is calibrated for the
 #: decade-scale regime where the choice carries real wall, and
 #: below it both paths are cheap enough that either verdict is fine.
+#:
+#: STALENESS NOTE (round 15, comment-only): these constants were
+#: measured on the ROUND-14 plans.  The round-15 optimizations moved
+#: both sides — re-measured on identical geometry
+#: (OPTIMIZATION_r15.md / SCALE.md round-15 appendix): probe 2.44M/s
+#: at 135k and 1.33M/s at 1.35M (broadcast re-rank removed the
+#: memory-pressure collapse); kernel 1.75M/s and 5.65M/s (hops
+#: rewrite).  Under THOSE numbers the probe wins at BOTH decades for
+#: 1k batches (sf10: 172.5s vs kernel ≈239s) — the rule below is now
+#: conservative at the fourth decade (routes to a path costing ≤1.4×
+#: the winner's wall, never worse in the measured range).  The
+#: constants stay as-is THIS round because the serving-dispatch
+#: oracle replays them literally (rotating them changes the declared
+#: query's computed cost_ratio) — rotate both together next build
+#: round and re-verify the oracle.
 SERVING_PROBE_PAIRS_PER_SEC = {135_000: 1.042e6, 1_350_000: 0.599e6}
 SERVING_KERNEL_PAIRS_PER_SEC = {135_000: 1.063e6, 1_350_000: 4.104e6}
 
