@@ -230,6 +230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "rank_window_nightly_e2e",
             "peer_search_fulldim_topk",
             "peer_search_fulldim_recall",
+            # session 2: ann_lsh re-rank norms moved below the pair
+            # join (bit-identical values; re-verified at 3 scales)
+            "ann_lsh_topk_embeddings",
         ]
         if latest_round == 14
         else []
