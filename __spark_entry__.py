@@ -237,6 +237,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if latest_round == 14
         else []
     )
+    # 8. round 16 (optimization round 2): the serving-dispatch
+    #    throughput constants rotated to the round-15 re-measure IN
+    #    LOCKSTEP with their SQL twin (the oracle's literals are built
+    #    from the constants at registration) — the dispatch-evidence
+    #    query's computed cost_ratio changed and must be driver
+    #    re-verified against the rotated oracle the round it lands,
+    #    along with the e2e query that rides the routing decision.
+    changed_r16 = (
+        [
+            "peer_search_serving_dispatch",
+            "peer_search_serve_batch_e2e",
+        ]
+        if latest_round == 15
+        else []
+    )
     stale_companions = [
         n
         for n in ROWS_ONLY_COMPANIONS.values()
@@ -251,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         + changed_r13
         + changed_r14
         + changed_r15
+        + changed_r16
         if n in QUERIES and n not in fresh
     ]
     pool = [

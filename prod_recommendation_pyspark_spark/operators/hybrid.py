@@ -1886,53 +1886,55 @@ def projection_window_wins(
 
 
 #: Measured SERVING-path throughputs, pairs/second, at the two
-#: recorded decades (SCALE.md round-14 projection-artifact appendices;
+#: recorded decades (SCALE.md round-15 projection-artifact re-measure,
+#: OPTIMIZATION_r15.md §4 — on the ROUND-15 plans: broadcast re-rank +
+#: guards-above-window on the probe side, hops-rewrite kernel;
 #: local[32], 24g driver, 1,000-prospect batches, dim-9 recipe):
 #:
 #: ==========  ==================  ===================
 #: |clients|   probe (fetch+rank)  kernel (blocked GEMM)
 #: ==========  ==================  ===================
-#: 135,000     57.3M / 55.0s       13.5M / 12.7s
-#: 1,350,000   229.4M / 382.2s     135M / 32.9s
+#: 135,000     57.3M / 23.5s       13.5M / 7.7s
+#: 1,350,000   229.4M / 172.5s     135M / 23.9s
 #: ==========  ==================  ===================
 #:
-#: The probe's per-fetched-pair cost RISES with corpus (re-rank
-#: memory pressure) while the kernel's per-pair cost FALLS (GEMM
-#: utilization), which is exactly why the serving crossover flips
-#: inside the fourth decade.  Re-measure (measure_projection_artifact
-#: .py stages) whenever the recipe's dim, the re-rank path, or the
-#: kernel blocking changes; the rule below interpolates BETWEEN these
-#: decades and clamps outside them — it is calibrated for the
-#: decade-scale regime where the choice carries real wall, and
-#: below it both paths are cheap enough that either verdict is fine.
+#: The probe's per-fetched-pair cost still RISES with corpus while the
+#: kernel's FALLS (GEMM utilization) — but after the round-15 broadcast
+#: re-rank removed the probe's memory-pressure collapse, the probe now
+#: wins 1k-batches at BOTH measured decades (sf10: probe 172.5s vs
+#: kernel ≈239s = 10× the 23.9s subsample); the crossover moved past
+#: the measured range for this geometry.  Re-measure
+#: (measure_projection_artifact.py stages) whenever the recipe's dim,
+#: the re-rank path, or the kernel blocking changes; the rule below
+#: interpolates BETWEEN these decades and clamps outside them — it is
+#: calibrated for the decade-scale regime where the choice carries
+#: real wall, and below it both paths are cheap enough that either
+#: verdict is fine.
 #:
-#: STALENESS NOTE (round 15, comment-only): these constants were
-#: measured on the ROUND-14 plans.  The round-15 optimizations moved
-#: both sides — re-measured on identical geometry
-#: (OPTIMIZATION_r15.md / SCALE.md round-15 appendix): probe 2.44M/s
-#: at 135k and 1.33M/s at 1.35M (broadcast re-rank removed the
-#: memory-pressure collapse); kernel 1.75M/s and 5.65M/s (hops
-#: rewrite).  Under THOSE numbers the probe wins at BOTH decades for
-#: 1k batches (sf10: 172.5s vs kernel ≈239s) — the rule below is now
-#: conservative at the fourth decade (routes to a path costing ≤1.4×
-#: the winner's wall, never worse in the measured range).  The
-#: constants stay as-is THIS round because the serving-dispatch
-#: oracle replays them literally (rotating them changes the declared
-#: query's computed cost_ratio) — rotate both together next build
-#: round and re-verify the oracle.
-SERVING_PROBE_PAIRS_PER_SEC = {135_000: 1.042e6, 1_350_000: 0.599e6}
-SERVING_KERNEL_PAIRS_PER_SEC = {135_000: 1.063e6, 1_350_000: 4.104e6}
+#: ROTATED round 16 (optimization round 2, VERDICT r15 top task #1):
+#: the round-14 values (probe 1.042e6/0.599e6, kernel 1.063e6/4.104e6)
+#: encoded the pre-rewrite plans and mis-routed sf10 1k-batches to the
+#: kernel (~239s) where the probe (172.5s) wins — a bounded ~1.4× loss
+#: at the fourth decade.  The SQL twin of ``peer_search_serving_dispatch``
+#: builds its literals FROM these constants (queries/similarity.py::
+#: _srv_ratio_sql imports them at registration), so the oracle rotates
+#: in lockstep by construction; re-verified hash-green at
+#: sf0.001/0.01/0.1 after the rotation, and the dispatch pytest pins
+#: the new decade verdicts.
+SERVING_PROBE_PAIRS_PER_SEC = {135_000: 2.438e6, 1_350_000: 1.330e6}
+SERVING_KERNEL_PAIRS_PER_SEC = {135_000: 1.753e6, 1_350_000: 5.649e6}
 
 
 def serving_cost_ratio(n_right: int) -> float:
     """Kernel-vs-probe per-pair cost ratio at corpus size ``n_right``
     — kernel throughput over probe throughput, log-log interpolated
     between the two measured decades and clamped outside them:
-    ≈1.02 at 135k clients (the paths cost the same per pair) rising
-    to ≈6.85 at 1.35M (the probe pays ~7× per fetched pair).  The SQL
-    twin of the dispatch-evidence query replays this expression
-    bit-for-bit, so keep it a pure function of the two throughput
-    tables."""
+    ≈0.72 at 135k clients (the probe is CHEAPER per fetched pair than
+    the kernel per scored pair after the round-15 broadcast re-rank)
+    rising to ≈4.25 at 1.35M (the probe pays ~4× per fetched pair but
+    fetches far fewer).  The SQL twin of the dispatch-evidence query
+    replays this expression bit-for-bit, so keep it a pure function of
+    the two throughput tables."""
     import math
 
     lo_n, hi_n = 135_000, 1_350_000
@@ -1963,13 +1965,16 @@ def serving_probe_wins(
     because the quantities being compared ARE the two batch costs, and
     a future fixed-cost term would need it.
 
-    Measured anchors (SCALE.md round-14, pytest-pinned): at sf1
-    (window 4096, 135k clients) the probe wins ~2.3× (55s vs ~127s);
-    at sf10 (window 16384, 1.35M clients) the kernel edges ahead
-    (382s vs ~330s) — the rule reproduces both verdicts from the
-    recorded throughputs.  Clustered corpora (small derived windows)
-    and trickle batches stay firmly in the artifact's domain at any
-    measured scale."""
+    Measured anchors (SCALE.md round-15 re-measure, pytest-pinned): at
+    sf1 (window 4096, 135k clients) the probe wins ~3.3× (23.5s vs
+    ~77s); at sf10 (window 16384, 1.35M clients) the probe NOW wins
+    too (172.5s vs kernel ≈239s — the round-15 broadcast re-rank
+    removed the memory-pressure collapse that handed r14's sf10 to the
+    kernel) — the rule reproduces both verdicts from the recorded
+    throughputs.  Oversized windows (≥ the corpus/14 boundary, e.g.
+    window 16384 against only 135k clients) still route to the kernel;
+    clustered corpora (small derived windows) and trickle batches stay
+    firmly in the artifact's domain at any measured scale."""
     probe_pairs = (code_len + 1) * 2 * window * n_batch
     kernel_pairs = n_batch * n_right
     return probe_pairs * serving_cost_ratio(n_right) < kernel_pairs

@@ -3768,10 +3768,13 @@ def peer_search_serving_dispatch(
     routing decision — every input AND the decision recomputed
     independently by the SQL twin (which pins ``derived_window`` at
     the floor-512 claim and rebuilds the ratio from the same literal
-    throughput constants, SCALE.md round-14 appendices).  At the
-    oracle scales the clamped ratio is ~1.02 and the rule reads
-    ``14·512·1.02 < |clients|`` — probe at sf0.1 (13.5k clients),
-    kernel at sf0.01 (1.35k) — so the sweeps exercise BOTH verdicts;
+    throughput constants — rotated round 16 to the SCALE.md round-15
+    re-measure in LOCKSTEP with the rule, the oracle's literals being
+    built from the constants at registration).  At the oracle scales
+    the clamped ratio is ~0.719 and the rule reads
+    ``14·512·0.719 < |clients|`` — probe at sf0.1 (13.5k clients),
+    kernel at sf0.01 (1.35k), the same verdicts as before the
+    rotation — so the sweeps exercise BOTH verdicts;
     the measured decade geometries are pytest-pinned
     (tests/test_projection_artifact.py)."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (

@@ -256,12 +256,14 @@ def test_emptied_projection_artifact_compact_insert_graceful(spark):
 
 
 def test_serving_probe_vs_kernel_dispatch_rule():
-    """Round-14 verdict #1 pin: `serving_probe_wins` reproduces BOTH
-    measured decade verdicts from the recorded throughput constants
-    (SCALE.md round-14 appendices) — probe wins at the sf1 geometry
-    (window 4096, 135k clients: 55s vs ~127s), kernel at the sf10
-    geometry (window 16384, 1.35M clients: 382s vs ~330s) — and
-    behaves sanely around them."""
+    """Round-14 verdict #1 pin, re-pinned round 16 on the ROTATED
+    round-15 throughput constants (VERDICT r15 task #1):
+    `serving_probe_wins` reproduces BOTH measured decade verdicts from
+    the recorded throughputs (SCALE.md round-15 re-measure) — probe
+    wins at the sf1 geometry (window 4096, 135k clients: 23.5s vs
+    ~77s) AND now at the sf10 geometry too (window 16384, 1.35M
+    clients: 172.5s vs kernel ≈239s; the r14 constants mis-routed this
+    one to the kernel) — and behaves sanely around them."""
     from prod_recommendation_pyspark_spark.operators.hybrid import (
         serving_cost_ratio,
         serving_probe_wins,
@@ -269,18 +271,19 @@ def test_serving_probe_vs_kernel_dispatch_rule():
 
     # the two measured geometries, exactly
     assert serving_probe_wins(4096, 135_000) is True
-    assert serving_probe_wins(16384, 1_350_000) is False
+    assert serving_probe_wins(16384, 1_350_000) is True
     # batch size cancels (both costs are linear in it)
     assert serving_probe_wins(4096, 135_000, n_batch=1000) is True
-    assert serving_probe_wins(16384, 1_350_000, n_batch=1000) is False
+    assert serving_probe_wins(16384, 1_350_000, n_batch=1000) is True
     # clustered corpora (small derived windows) keep the artifact
-    # even at decade scale; oversized windows lose even at sf1 scale
+    # even at decade scale; oversized windows (the probe predicted to
+    # fetch MORE pairs than the kernel scores) still lose
     assert serving_probe_wins(512, 1_350_000) is True
     assert serving_probe_wins(16384, 135_000) is False
     # ratio endpoints match the measured throughput quotients and the
     # interpolation is monotone between the decades
-    assert abs(serving_cost_ratio(135_000) - 1.063e6 / 1.042e6) < 1e-9
-    assert abs(serving_cost_ratio(1_350_000) - 4.104e6 / 0.599e6) < 1e-9
+    assert abs(serving_cost_ratio(135_000) - 1.753e6 / 2.438e6) < 1e-9
+    assert abs(serving_cost_ratio(1_350_000) - 5.649e6 / 1.330e6) < 1e-9
     assert serving_cost_ratio(1_000) == serving_cost_ratio(135_000)
     assert serving_cost_ratio(10**9) == serving_cost_ratio(1_350_000)
     mids = [serving_cost_ratio(n) for n in (200_000, 400_000, 800_000)]
