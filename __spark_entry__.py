@@ -244,10 +244,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    query's computed cost_ratio changed and must be driver
     #    re-verified against the rotated oracle the round it lands,
     #    along with the e2e query that rides the routing decision.
+    #    ... and the ANN sign-LSH pair chain now repartitions by __qid
+    #    BELOW the dedup so dedup + scoring + top-K share one exchange
+    #    (same distinct set, same values; re-verified at 3 scales).
     changed_r16 = (
         [
             "peer_search_serving_dispatch",
             "peer_search_serve_batch_e2e",
+            "ann_lsh_topk_embeddings",
         ]
         if latest_round == 15
         else []

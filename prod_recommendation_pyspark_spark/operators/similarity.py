@@ -719,19 +719,30 @@ def ann_lsh_topk(
     q = q_sigs.select(
         "__qid", F.explode(F.array(*probe_structs)).alias("__k")
     ).select("__qid", F.col("__k.tbl").alias("__tbl"), F.col("__k.sig").alias("__sig"))
+    # ONE exchange for dedup + scoring + top-K (round 16, guide §2.4):
+    # repartition the raw bucket-join pairs by __qid BEFORE the
+    # distinct — HashPartitioning(__qid) satisfies the distinct's
+    # ClusteredDistribution((__qid, __cid)) (same-qid rows are
+    # co-located, hence every duplicate pair is), the scoring joins are
+    # broadcast, and the top-K window's ClusteredDistribution(__qid) is
+    # the same partitioning — so the dedup aggregate, both score joins
+    # and the window all ride this single shuffle (was: a (qid, cid)
+    # dedup exchange + this repartition = two pair-set shuffles, and
+    # strictly MORE bytes on the wire: duplicates crossed the dedup
+    # exchange and uniques crossed the repartition; now only the
+    # duplicates cross, once).  REPARTITION_BY_NUM is exempt from AQE
+    # coalescing, which would otherwise fold the byte-tiny but
+    # compute-heavy pair set onto ~1 core (the original reason this
+    # repartition exists); pinning it below the distinct keeps that
+    # property for every downstream stage.
     pairs = (
         q.join(c, ["__tbl", "__sig"])
         .filter(F.col("__qid") != F.col("__cid"))
         .select("__qid", "__cid")
+        .repartition(
+            queries.sparkSession.sparkContext.defaultParallelism, "__qid"
+        )
         .distinct()
-    )
-    # Candidate pairs are byte-tiny but score-compute-heavy: AQE's
-    # byte-based coalescing would fold the post-distinct shuffle to
-    # ~1 partition and serialize the scoring stage onto one core.  A
-    # REPARTITION_BY_NUM shuffle is exempt from AQE coalescing, so
-    # this pins the scoring parallelism (one tiny extra shuffle).
-    pairs = pairs.repartition(
-        queries.sparkSession.sparkContext.defaultParallelism, "__qid"
     )
     qv = queries.select(F.col(query_id).alias("__qid"), dvec.alias("__qvec"))
     cv = corpus.select(F.col(corpus_id).alias("__cid"), dvec.alias("__cvec"))
