@@ -346,8 +346,23 @@ def als_recommend_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = accumulated_volume(
         rated, "custkey", "partkey", "rating", out_col="acc"
     ).persist()
-    als_input, user_map, item_map = dense_id_ratings(acc, "custkey", "partkey", "acc")
-    model = train_als(als_input.cache(), ALSConfig())
+    # Overlap the ratings count with the dense-id derivations (round
+    # 16, guide §2.6): |als_input| == |acc| EXACTLY — percent_rank
+    # ratings na.drop both keys upstream, and each map join is inner
+    # on a map built from acc's own distinct keys, matching every row
+    # once — so counting acc on a concurrent driver thread feeds
+    # train_als the identical block count without the auto-sizer's
+    # post-join count job (the model is bit-identical; equality is
+    # pytest-pinned in test_recommender.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_n = pool.submit(acc.count)
+        als_input, user_map, item_map = dense_id_ratings(
+            acc, "custkey", "partkey", "acc"
+        )
+        n_ratings = fut_n.result()
+    model = train_als(als_input.cache(), ALSConfig(), n_ratings=n_ratings)
     recs = recommend_topn(model, 10, user_map, item_map)
     return recs.select(
         "custkey", "partkey", F.col("rating").cast("double").alias("rating")

@@ -42,6 +42,14 @@ class ALSConfig:
     ratings_per_block: int = 75_000
 
 
+def _blocks_for(n: int, par: int, cfg: ALSConfig) -> int:
+    """The auto-sizing rule alone, as a pure function of the ratings
+    count — kept separate so a caller that already KNOWS the count
+    (e.g. from an overlapped prep job) derives the identical block
+    count without the extra count job (round 16, guide §2.6)."""
+    return max(2, min(par, n // cfg.ratings_per_block or 1))
+
+
 def _auto_blocks(ratings: DataFrame, cfg: ALSConfig) -> int:
     """blocks = clamp(n_ratings / ratings_per_block, 2, parallelism) —
     at 100 TB the parallelism cap keeps blocks ≈ cores (the right
@@ -50,19 +58,34 @@ def _auto_blocks(ratings: DataFrame, cfg: ALSConfig) -> int:
     (it is iterated over max_iter times regardless)."""
     par = ratings.sparkSession.sparkContext.defaultParallelism
     n = ratings.count()
-    return max(2, min(par, n // cfg.ratings_per_block or 1))
+    return _blocks_for(n, par, cfg)
 
 
-def train_als(ratings: DataFrame, cfg: ALSConfig | None = None) -> ALSModel:
+def train_als(
+    ratings: DataFrame,
+    cfg: ALSConfig | None = None,
+    n_ratings: int | None = None,
+) -> ALSModel:
     """M9 — train on (userId, itemId, rating).
 
     Scale: ALS shuffles by user/item blocks; ``numUserBlocks``/
     ``numItemBlocks`` auto-size via ``_auto_blocks`` (at 100 TB that
     resolves to ~cores — override with ``cfg.num_blocks``), and MLlib
     checkpoints internally via ``setCheckpointInterval`` to cut
-    lineage."""
+    lineage.
+
+    ``n_ratings``: the exact ``ratings.count()`` when the caller
+    already has it (an overlapped prep job) — skips the auto-sizer's
+    count job and derives the IDENTICAL block count via the same
+    rule, so the fitted model is bit-identical either way."""
     cfg = cfg or ALSConfig()
-    blocks = cfg.num_blocks or _auto_blocks(ratings, cfg)
+    if cfg.num_blocks:
+        blocks = cfg.num_blocks
+    elif n_ratings is not None:
+        par = ratings.sparkSession.sparkContext.defaultParallelism
+        blocks = _blocks_for(n_ratings, par, cfg)
+    else:
+        blocks = _auto_blocks(ratings, cfg)
     als = ALS(
         rank=cfg.rank,
         maxIter=cfg.max_iter,

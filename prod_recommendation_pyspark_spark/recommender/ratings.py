@@ -66,9 +66,22 @@ def dense_id_ratings(
     Returns ``(als_input(userId,itemId,rating), user_map, item_map)``.
     The maps are *distinct keys* — small relative to the fact table —
     and broadcast back onto it.
+
+    The two map derivations are independent eager sub-jobs (each runs
+    a distinct + range partition + counts collect), so they run on
+    CONCURRENT driver threads (round 16, guide §2.6) — on a cached or
+    checkpointed ``ratings`` the second map's work was pure added
+    wall; uncached, the two passes race over the same persisted
+    blocks, which Spark's block-level locking computes once.  The ids
+    themselves are unchanged (each map is a pure function of its own
+    key column).
     """
-    user_map = dense_ids(ratings, user_col, "userId")
-    item_map = dense_ids(ratings, item_col, "itemId")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_u = pool.submit(dense_ids, ratings, user_col, "userId")
+        fut_i = pool.submit(dense_ids, ratings, item_col, "itemId")
+        user_map, item_map = fut_u.result(), fut_i.result()
     als_input = (
         ratings.join(F.broadcast(user_map), user_col)
         .join(F.broadcast(item_map), item_col)

@@ -40,6 +40,23 @@ def test_recommend_topn_shape_and_nonnegative(spark):
     assert recs.filter(F.col("rating") < 0).count() == 0  # nonnegative=True
 
 
+def test_als_input_count_equals_acc_count(spark):
+    """Pins the round-16 prep overlap's equality claim: the ALS query
+    feeds ``train_als`` the COUNT OF acc (computed on a concurrent
+    driver thread) in place of the auto-sizer's count of als_input —
+    valid only because the dense-id map joins match every acc row
+    exactly once (keys na.drop'd upstream, maps built from acc's own
+    distinct keys), so |als_input| == |acc| and the derived block
+    count (hence the fitted model) is bit-identical."""
+    usage = _usage(spark, SF_SMOKE)
+    rated = percent_rank_ratings(usage, "custkey", "partkey", "quantity")
+    acc = accumulated_volume(
+        rated, "custkey", "partkey", "rating", out_col="acc"
+    ).cache()
+    als_input, _, _ = dense_id_ratings(acc, "custkey", "partkey", "acc")
+    assert als_input.count() == acc.count()
+
+
 def test_rmse_reasonable(spark):
     als_input, _, _ = _als_input(spark)
     model = train_als(als_input, ALSConfig(max_iter=3))
