@@ -249,9 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #    (same distinct set, same values; re-verified at 3 scales);
     #    the cold window derivation overlaps its calibration kernel
     #    with the rank build on driver threads and materializes the
-    #    shared rank (same derived window, same candidates); both
-    #    kernel dim guards probe the two sides in one union job; the
-    #    ALS prep derives its dense-id maps concurrently and feeds the
+    #    shared rank (same derived window, same candidates); the ALS
+    #    prep derives its dense-id maps concurrently and feeds the
     #    auto-sizer a precomputed equal count (same block count, same
     #    model).  Every query riding those cells re-verifies the round
     #    the change lands.

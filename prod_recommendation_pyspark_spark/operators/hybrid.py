@@ -53,7 +53,6 @@ from prod_recommendation_pyspark_spark.operators.similarity import (
     hyperplane_signature,
     ivf_assign,
     probe_dim,
-    probe_dims,
     random_hyperplane_tables,
 )
 
@@ -801,10 +800,8 @@ def rank_window_candidates(
     drop the entry when the corpus is rebuilt (the nightly rhythm
     re-derives at index build instead — :func:`rank_window_index`)."""
     spark = left.sparkSession
-    _require_dim2_pair(
-        right, left, vec_col,
-        "rank_window_candidates(right)", "rank_window_candidates(left)",
-    )
+    _require_dim2(right, vec_col, "rank_window_candidates(right)")
+    _require_dim2(left, vec_col, "rank_window_candidates(left)")
     if (
         window is None
         and window_cache is not None
@@ -879,10 +876,7 @@ def _require_dim2(df: DataFrame, vec_col: str, who: str) -> None:
     candidates (low recall, no error); now misuse raises at plan-build
     time with a pointer at the high-dim operators.  Empty inputs pass
     (``probe_dim`` returns None; downstream yields empty results)."""
-    _check_dim2(probe_dim(df, vec_col), vec_col, who)
-
-
-def _check_dim2(dim: int | None, vec_col: str, who: str) -> None:
+    dim = probe_dim(df, vec_col)
     if dim is not None and dim != 2:
         raise ValueError(
             f"{who}: rank-window candidates order clients by "
@@ -892,18 +886,6 @@ def _check_dim2(dim: int | None, vec_col: str, who: str) -> None:
             "(ann_lsh_topk / ivf / ivfpq in operators/similarity.py, "
             "operators/pq.py)."
         )
-
-
-def _require_dim2_pair(
-    a: DataFrame, b: DataFrame, vec_col: str, who_a: str, who_b: str
-) -> None:
-    """:func:`_require_dim2` for both sides in ONE probe job (round
-    16): the union-limit probe answers both dims in one scheduler
-    round-trip; check order matches the sequential form (``a``
-    first)."""
-    dim_a, dim_b = probe_dims(a, b, vec_col)
-    _check_dim2(dim_a, vec_col, who_a)
-    _check_dim2(dim_b, vec_col, who_b)
 
 
 def _v1n_expr(vec_col: str):
@@ -1258,10 +1240,8 @@ def derive_rank_window_stats(
             "warm_start": False,
             "warm_window": warm["window"],
         }
-    _require_dim2_pair(
-        right, left, vec_col,
-        "derive_rank_window_stats(right)", "derive_rank_window_stats(left)",
-    )
+    _require_dim2(right, vec_col, "derive_rank_window_stats(right)")
+    _require_dim2(left, vec_col, "derive_rank_window_stats(left)")
     sample, n_sampled, used_mod = _derivation_sample(
         left, left_id, sample_mod
     )
@@ -2730,11 +2710,15 @@ def hybrid_topk_pruned(
         # the unrolled path: element_at beyond the array is NULL (a
         # too-large dim would NULL every score) and a too-small dim
         # would silently TRUNCATE the dot product — both diverging
-        # from the HOF fold this path claims bit-parity with.  BOTH
-        # sides probed in ONE limit-1 union job at plan-build time
-        # (was one job per side — round 16), loud on mismatch.
-        l_dim, r_dim = probe_dims(left, right, vec_col)
-        for side, actual in (("left", l_dim), ("right", r_dim)):
+        # from the HOF fold this path claims bit-parity with.  One
+        # limit-1 probe per side at plan-build time, loud on mismatch.
+        # (A fused two-side union probe was tried in round 16 and
+        # REVERTED: limit(1).first() short-circuits via executeTake —
+        # one task, no shuffle — while the union form pays a
+        # single-partition exchange + AQE stage barrier per side;
+        # measured 0.14s vs 0.18s for the pair at sf0.1.)
+        for side, df_side in (("left", left), ("right", right)):
+            actual = probe_dim(df_side, vec_col)
             if actual is not None and actual != dim:
                 raise ValueError(
                     f"hybrid_topk_pruned: dim={dim} but the {side} "

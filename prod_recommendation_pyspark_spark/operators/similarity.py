@@ -331,38 +331,6 @@ def probe_dim(
     )
 
 
-def probe_dims(
-    a: DataFrame, b: DataFrame, vec_col: str
-) -> tuple[int | None, int | None]:
-    """:func:`probe_dim` for TWO relations in ONE Spark job (round 16,
-    guide §2.6's count-your-chained-jobs discipline): the kernel paths
-    validate both sides' vector dim at plan-build time, and two
-    back-to-back limit-1 probe jobs cost two scheduler round-trips
-    where one union job answers both.  Sides that yield no valid
-    vector fall back to :func:`probe_dim`'s exact per-side semantics
-    (None for an empty relation, raise otherwise) — the degenerate
-    path only, so the common case stays one job."""
-    probed = (
-        a.select(F.lit(0).alias("__s"), F.size(vec_col).alias("__d"))
-        .filter(F.col("__d") > 0)
-        .limit(1)
-        .unionAll(
-            b.select(F.lit(1).alias("__s"), F.size(vec_col).alias("__d"))
-            .filter(F.col("__d") > 0)
-            .limit(1)
-        )
-        .collect()
-    )
-    found = {int(r["__s"]): int(r["__d"]) for r in probed}
-    out = []
-    for side, df in ((0, a), (1, b)):
-        if side in found:
-            out.append(found[side])
-        else:
-            out.append(probe_dim(df, vec_col))  # empty → None, else raise
-    return out[0], out[1]
-
-
 def _auto_n_blocks(
     right: DataFrame,
     vec_col: str,

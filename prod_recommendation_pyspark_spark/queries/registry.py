@@ -41,6 +41,7 @@ SLOW_SWEEP: set[str] = {
     "entity_resolution_pipeline_docs",       # 30.3s
     "mmr_diversify_embeddings",              # 25.1s
     "streaming_dedup_within_batch",          # 23.3s
+    "rank_window_warm_nightly_e2e",          # 24.7s (r16 debut: TWO nightly builds by design)
 }
 
 
