@@ -23,7 +23,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
@@ -42,6 +42,9 @@ from prod_recommendation_pyspark_spark.recommender.ratings import (
 from prod_recommendation_pyspark_spark.session import get_spark
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+# warmup fixture: third argument, defaulting to the sf0.001 sibling of SF
+WARMUP = (sys.argv[2] if len(sys.argv) > 2
+          else os.path.join(os.path.dirname(SF.rstrip("/")), "sf0.001"))
 MODE = sys.argv[2] if len(sys.argv) > 2 else "breakdown"
 
 
@@ -61,7 +64,7 @@ def main() -> None:
     ).count()
     from prod_recommendation_pyspark_spark.queries import QUERIES
 
-    QUERIES["als_recommend_topn"](spark, "/root/testdata/sf0.001").count()
+    QUERIES["als_recommend_topn"](spark, WARMUP).count()
     spark.catalog.clearCache()
 
     t_all = time.monotonic()
